@@ -1,0 +1,109 @@
+"""Similarity-search catalog queries over ``embeddings`` (SURVEY §2.9).
+
+Brute-force cosine paths carry exact DuckDB oracles (double-precision,
+rounded to 6 decimals on both sides). The sign-LSH approximate path is
+rows-only (bucket boundaries are float-sign-sensitive across engines);
+its recall is asserted against the brute-force baseline in
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.functions import similarity as sim
+from pandas_etl_spark.sources import load_table
+
+_N_QUERIES = 5
+_TOPK = 5
+
+_DD_COS = (
+    "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / "
+    "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(q.qv, q.qv))), 6)"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {_DD_COS} AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM sims
+    ) WHERE rn <= {_TOPK}
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k cosine — the ANN correctness baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.cosine_topk(emb, queries, k=_TOPK).withColumnRenamed("rank", "rnk")
+
+
+@query(
+    "embedding_neardup_exact",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+               AS cosine_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+      AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                 sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.9
+    """,
+)
+def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine near-dup on a capped id range (brute-force
+    correctness baseline; the LSH variant below is the scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(sim.cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.9)
+    )
+
+
+@query("ann_lsh_topk")
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-k (the 100 TB path: bucket is the
+    shuffle/partition key). Rows-only driver check; recall vs brute force
+    asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ann_lsh_topk(emb, queries, k=_TOPK, dim=64, bits=6).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+@query("embedding_neardup_lsh")
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH blocked near-dup pairs (rows-only driver check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(emb, threshold=0.9, dim=64, bits=6)

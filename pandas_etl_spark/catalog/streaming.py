@@ -1,0 +1,136 @@
+"""Streaming + sessionization catalog queries over ``events``.
+
+Streaming queries run the file stream synchronously to a memory sink and
+return the result table; their oracles are the batch-SQL equivalents
+(same grouping, same buckets) — valid because processAllAvailable drains
+the whole file source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.sources import load_table
+from pandas_etl_spark.streaming import read_events_stream, run_stream_to_table
+
+_GAP_S = 1800  # 30-minute session gap
+
+
+@query(
+    "sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR extract(epoch FROM ts) - extract(epoch FROM lag(ts) OVER w) > {_GAP_S}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           sum(value) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum = session id —
+    the classic two-window plan (single shuffle on user_id; both windows
+    and the final groupBy share the partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap.isNull() | (gap > _GAP_S), 1).otherwise(0).alias("new_sess"),
+    )
+    ws = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(ws).cast("bigint"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum("value").alias("total_value"),
+    )
+
+
+@query(
+    "stream_tumbling_hour",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n, sum(value) AS total_value
+    FROM events
+    GROUP BY bucket, event_type
+    """,
+)
+def q_stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation (1h) with a
+    watermark, drained synchronously; oracle = batch bucket agg."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )
+    table = run_stream_to_table(agg, output_mode="complete")
+    return spark.table(table).select(
+        F.col("win.start").alias("bucket"), "event_type", "n", "total_value"
+    )
+
+
+@query(
+    "stream_dedup_counts",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup (dropDuplicates on event_id) feeding a
+    running count per type; oracle = batch distinct count."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    table = run_stream_to_table(agg, output_mode="complete")
+    return spark.table(table)
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - s * INTERVAL '30 minutes'
+               AS win_start,
+           CAST(count(*) AS BIGINT) AS n, sum(value) AS total_value
+    FROM events, (SELECT unnest([0, 1]) AS s)
+    WHERE event_type = 'purchase'
+    GROUP BY win_start
+    """,
+)
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h window, 30m slide) over the purchase stream.
+    Every event lands in exactly 2 windows; the oracle enumerates both
+    copies explicitly."""
+    ev = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )
+    table = run_stream_to_table(agg, output_mode="complete")
+    return spark.table(table).select(
+        F.col("win.start").alias("win_start"), "n", "total_value"
+    )

@@ -1,0 +1,143 @@
+"""Text-analysis catalog queries over the ``documents`` table (SURVEY §2.9).
+
+Oracles mirror the exact arithmetic (IEEE doubles, same operation order)
+so value-hashes match without tolerance games.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.functions import text as tx
+from pandas_etl_spark.sources import load_table
+
+# DuckDB fragments mirroring functions/text.py expressions
+_DD_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+)
+_DD_NTOK = f"len({_DD_TOKENS})"
+_DD_PUNCT = (
+    "CAST(length(text) - length(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS DOUBLE)"
+    " / greatest(length(text), 1)"
+)
+
+
+def _dd_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS[lang])
+    return f"len(list_filter({_DD_TOKENS}, t -> list_contains([{words}], t)))"
+
+
+@query(
+    "doc_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_DD_NTOK} AS BIGINT)          AS n_tokens,
+           CAST(length(text) AS BIGINT)        AS n_chars_computed,
+           {_DD_PUNCT}                         AS punct_ratio,
+           CAST({_dd_hits('en')} AS DOUBLE) / greatest({_DD_NTOK}, 1)
+                                               AS stopword_ratio_en
+    FROM documents
+    """,
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.char_count("text").alias("n_chars_computed"),
+        tx.punct_ratio("text").alias("punct_ratio"),
+        tx.stopword_ratio("text", "en").alias("stopword_ratio_en"),
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               {_dd_hits('de')} AS h_de, {_dd_hits('en')} AS h_en,
+               {_dd_hits('es')} AS h_es, {_dd_hits('fr')} AS h_fr,
+               {_dd_hits('zh')} AS h_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                WHEN h_fr >= h_zh THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM h
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID; deterministic alphabetical tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "word_freq_topk",
+    oracle=f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_DD_TOKENS}) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 50
+    """,
+)
+def q_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (UDTF-class, §2.8) + count + distributed top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tx.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+@query("doc_rolling_fingerprint")
+def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint set (min-sampled winnowing style): the 4
+    smallest Rabin–Karp window hashes per doc. Rows-only check (the
+    polynomial-hash fold is not portable DuckDB SQL)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.slice(F.array_sort(tx.rolling_hashes("text", window=8)), 1, 4).alias(
+            "min_hashes"
+        ),
+    )
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           0.4 * least(CAST({_DD_NTOK} AS DOUBLE) / 20.0, 1.0)
+         + 0.3 * (1.0 - least(({_DD_PUNCT}) * 5, 1.0))
+         + 0.3 * least((CAST({_dd_hits('en')} AS DOUBLE) / greatest({_DD_NTOK}, 1)) * 10, 1.0)
+           AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score("text").alias("quality"))

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the query
+  set, JVM-side dot products via ``F.zip_with``/``F.aggregate`` (doubles,
+  sequential fold → deterministic), distributed top-k per query via a
+  window. Cost O(N·Q·d) but embarrassingly parallel; correct reference
+  for the approximate paths.
+- **LSH-bucketed ANN (random hyperplane / sign-LSH)** — the scale path:
+  deterministic seeded hyperplanes → sign-bit bucket; candidates only
+  within equal buckets (plus the query's bucket), then exact re-rank.
+  Recall tunable by bits/tables; shuffle key is the bucket id.
+
+No Python on the hot path — everything is Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Deterministic sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is a small frame (query_id, query_vec); it is broadcast —
+    the corpus never shuffles. Top-k per query uses a row_number window
+    partitioned by query (deterministic tie-break on neighbor id).
+    Self-matches (same id) are excluded.
+    """
+    q = F.broadcast(queries)
+    sim = (
+        emb.crossJoin(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via an LCG (no numpy RNG
+    state — reproducible everywhere)."""
+    planes: list[list[float]] = []
+    state = seed
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def signlsh_bucket(vec_col: str, dim: int, bits: int = 12, seed: int = 42) -> Column:
+    """Sign-LSH bucket id: ``bits`` hyperplane sign bits packed into a
+    bigint. Deterministic seeded planes inlined as array literals."""
+    planes = _hyperplanes(dim, bits, seed)
+    bucket = F.lit(0).cast("bigint")
+    vec = F.col(vec_col)
+    for i, plane in enumerate(planes):
+        parr = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(vec, parr) > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        bucket = bucket + (bit * F.lit(1 << i).cast("bigint"))
+    return bucket
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign-LSH bucket;
+    exact cosine re-rank within the bucket. At 100 TB the corpus is
+    written bucket-partitioned so a query touches one partition."""
+    bucketed = emb.withColumn("bucket", signlsh_bucket(vec_col, dim, bits))
+    qb = F.broadcast(
+        queries.withColumn(
+            "bucket",
+            signlsh_bucket("query_vec", dim, bits),
+        )
+    )
+    sim = (
+        bucketed.join(qb, "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking + exact
+    verify (id_a < id_b, cosine ≥ threshold)."""
+    b = emb.withColumn("bucket", signlsh_bucket(vec_col, dim, bits)).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    return (
+        b.alias("a")
+        .join(b.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

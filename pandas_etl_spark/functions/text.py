@@ -1,0 +1,149 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python UDFs. Designed for the ``documents``
+table (doc_id, text, lang, source, n_chars) but generic over any string
+column.
+
+Operators: tokenization, token counting, quality scoring
+(length/punct/stopword ratios), n-gram-heuristic language ID, document
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Public-knowledge common function words.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "de", "un", "une", "pour", "dans"),
+    "es": ("el", "la", "los", "las", "y", "es", "de", "un", "una", "para"),
+    "zh": ("de", "shi", "le", "bu", "wo", "you", "he", "zai", "ren", "ta"),
+}
+
+_WS = r"\s+"
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization, lowercased, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.trim(c)), _WS), lambda t: t != F.lit(""))
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def char_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("bigint")
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}-]", ""))
+    return (n_punct.cast("double") / F.greatest(F.length(c), F.lit(1))).alias("punct_ratio")
+
+
+def stopword_hits(col: str | Column, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    words = LANG_STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t))).cast("bigint")
+
+
+def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
+    return stopword_hits(col, lang).cast("double") / F.greatest(
+        token_count(col), F.lit(1)
+    )
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite heuristic quality score in [0, 1]:
+    rewards reasonable length, moderate punctuation, stopword presence.
+    Deterministic closed-form — SQL-expressible for the oracle."""
+    ntok = token_count(col).cast("double")
+    len_score = F.least(ntok / F.lit(20.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col) * 10, F.lit(1.0))
+    return (0.4 * len_score + 0.3 * punct_pen + 0.3 * stop_score).alias("quality")
+
+
+def lang_scores(col: str | Column) -> list[Column]:
+    """Per-language stopword-hit counts (the language-ID signal)."""
+    return [stopword_hits(col, lg).alias(f"hits_{lg}") for lg in sorted(LANG_STOPWORDS)]
+
+
+def lang_id(col: str | Column) -> Column:
+    """Pick the language with the most stopword hits; deterministic
+    alphabetical tie-break; 'und' (undetermined) when zero hits."""
+    toks = tokens(col)
+    pairs = []
+
+    def _contains(arr):
+        # close over arr without a default arg: F.filter treats 2-arg
+        # lambdas as (element, index)
+        return lambda t: F.array_contains(arr, t)
+
+    for lg in sorted(LANG_STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lg]])
+        hits = F.size(F.filter(toks, _contains(arr)))
+        pairs.append(F.struct(hits.alias("hits"), F.lit(lg).alias("lg")))
+    # ties pick the alphabetically FIRST lang: sort ascending on
+    # (-hits, lg) and take element 0.
+    sorted_arr = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-p.getField("hits")).alias("neg_hits"), p.getField("lg").alias("lg")
+                )
+                for p in pairs
+            ]
+        )
+    )
+    best = sorted_arr.getItem(0)
+    return F.when(
+        -best.getField("neg_hits") > 0, best.getField("lg")
+    ).otherwise(F.lit("und"))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased text.
+    Stable across engines (DuckDB md5 produces identical hex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), _WS, " "))
+
+
+def rolling_hashes(col: str, window: int = 8, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
+    """Rolling polynomial (Rabin–Karp) hashes over character windows of the
+    normalized text — returns ``array<bigint>`` of per-window hashes
+    (winnowing/fingerprint candidates). Pure built-in higher-order
+    functions; stays inside codegen, no Python on the hot path.
+
+    ``col`` must be a column *name* (the expression is built as SQL text).
+    """
+    norm = rf"regexp_replace(lower(trim({col})), '\\s+', ' ')"
+    return F.expr(
+        f"transform(sequence(1, greatest(length({norm}) - {window - 1}, 0)), "
+        f"i -> aggregate(filter(split(substring({norm}, i, {window}), ''), ch -> ch <> ''), "
+        f"0L, (acc, ch) -> pmod(acc * {base} + ascii(ch), {mod})))"
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard text-analysis columns to a documents frame."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars_computed"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col).alias("stopword_ratio_en"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+    )

@@ -1,0 +1,192 @@
+"""Scan/sink implementations on the Spark DataFrame reader/writer.
+
+Design notes for 100 TB:
+- Parquet is the primary format: columnar, predicate pushdown, partition
+  pruning. CSV is kept for reference parity (its test pipelines are CSV).
+- Sinks default to distributed multi-file writes; ``single_file=True``
+  reproduces the reference's one-file ``to_csv`` semantics via
+  ``coalesce(1)`` and is documented as a driver-side bottleneck to avoid
+  at scale.
+- JDBC scan supports full query pushdown (the ``query`` option), matching
+  ``pd.read_sql``'s behavior of shipping user SQL to the database
+  (/root/reference/README.md:45-52). ``partition_column``/bounds enable
+  parallel reads — absent in the single-connection reference.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.functions.timeparse import strptime_to_java
+
+TPCH_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated parquet table from an sf directory.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS,false) which Spark lacks; the
+    session reads it as long (legacy.parquet.nanosAsLong) and we convert to
+    a microsecond timestamp here (truncation — matching DuckDB's read)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_nanos_ts(df)
+
+
+def normalize_nanos_ts(df: DataFrame) -> DataFrame:
+    """Convert nanos-as-long timestamp columns (marked by the parquet
+    reader) back to proper timestamps (micros, truncating)."""
+    out = df
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "long" and (
+            f.metadata.get("__nanos_as_long") or f.name == "ts"
+        ):
+            out = out.withColumn(f.name, F.expr(f"timestamp_micros({f.name} div 1000)"))
+    return out
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    schema: Any = None,
+    parse_dates: dict[str, dict[str, str]] | None = None,
+    index_col: str | None = None,  # accepted for parity; indexes are columns (SURVEY §1.1)
+    **options: Any,
+) -> DataFrame:
+    """pd.read_csv parity (reference etl.py:599-601, test_etl.py:193-194)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.csv(path)
+    return _apply_parse_dates(df, parse_dates)
+
+
+def _apply_parse_dates(
+    df: DataFrame, parse_dates: dict[str, dict[str, str]] | None
+) -> DataFrame:
+    """parse_dates={"col": {"format": "%d/%m/%y"}} → to_timestamp
+    (reference README.md:52)."""
+    if not parse_dates:
+        return df
+    for col, spec in parse_dates.items():
+        fmt = spec.get("format") if isinstance(spec, dict) else None
+        expr = (
+            F.to_timestamp(F.col(col), strptime_to_java(fmt))
+            if fmt
+            else F.to_timestamp(F.col(col))
+        )
+        df = df.withColumn(col, expr)
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str, **options: Any) -> DataFrame:
+    return spark.read.options(**options).parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: Any = None, **options: Any) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_sql(
+    spark: SparkSession,
+    sql: str | None = None,
+    con: dict[str, str] | None = None,
+    table: str | None = None,
+    parse_dates: dict[str, dict[str, str]] | None = None,
+    index_col: str | None = None,  # parity no-op (SURVEY §1.1)
+    partition_column: str | None = None,
+    lower_bound: Any = None,
+    upper_bound: Any = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """pd.read_sql parity via JDBC with query pushdown.
+
+    ``con`` is a JDBC options bundle from the connection registry
+    (pipeline/connections.py). The user's SQL ships to the DB verbatim —
+    the same pushdown-by-delegation as the reference (README.md:45-52).
+    """
+    if con is None:
+        raise ValueError("read_sql requires a connection (JDBC options dict)")
+    reader = spark.read.format("jdbc").options(**con)
+    if sql is not None:
+        reader = reader.option("query", sql)
+    elif table is not None:
+        reader = reader.option("dbtable", table)
+    else:
+        raise ValueError("read_sql requires sql= or table=")
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return _apply_parse_dates(reader.load(), parse_dates)
+
+
+def to_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    mode: str = "overwrite",
+    single_file: bool = True,
+    order_by: list[str] | None = None,
+) -> str:
+    """DataFrame.to_csv parity (reference README.md:71-74, etl.py:562-563).
+
+    ``single_file`` reproduces pandas' one-file output (coalesce(1) —
+    driver-adjacent bottleneck; at scale pass single_file=False).
+    ``order_by`` gives deterministic row order (pandas preserves input
+    order; Spark does not — SURVEY §7 hard part 3).
+    """
+    out = df
+    if order_by:
+        out = out.orderBy(*order_by)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode(mode).option("header", str(header).lower()).csv(path)
+    return path
+
+
+def to_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> str:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+_IF_EXISTS_TO_MODE = {"fail": "errorifexists", "replace": "overwrite", "append": "append"}
+
+
+def to_sql(
+    df: DataFrame,
+    name: str,
+    con: dict[str, str],
+    if_exists: str = "fail",
+    index: bool = False,  # parity no-op: there is no index (SURVEY §1.1)
+) -> None:
+    """DataFrame.to_sql parity (reference tests/test_etl_postgresql.py:63-67)."""
+    mode = _IF_EXISTS_TO_MODE.get(if_exists)
+    if mode is None:
+        raise ValueError(f"if_exists must be one of {sorted(_IF_EXISTS_TO_MODE)}")
+    df.write.format("jdbc").options(**con).option("dbtable", name).mode(mode).save()

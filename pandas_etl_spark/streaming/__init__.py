@@ -1,0 +1,48 @@
+"""Structured Streaming surface (SURVEY §2.9, north-star — the reference
+is strictly batch: one-shot scheduler at /root/reference/pandas_etl/etl.py:572-617).
+
+Helpers to run file-backed streams of the ``events`` table synchronously
+(memory sink + processAllAvailable) so streaming operators are testable
+and oracle-comparable against their batch equivalents.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events parquet as a file stream (schema from the batch footer —
+    streaming readers require an explicit schema)."""
+    from pandas_etl_spark.sources.io import normalize_nanos_ts
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # file-stream sources require a directory; glob-filter to the events file
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return normalize_nanos_ts(stream)
+
+
+def run_stream_to_table(
+    result: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> str:
+    """Drive a streaming frame to completion into an in-memory table;
+    returns the table name. Synchronous (processAllAvailable)."""
+    table = name or f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(table)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return table

@@ -1,0 +1,83 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a catalog query on Spark and its oracle SQL on DuckDB over the same
+parquet tables, then compares row count, column names, and
+order-insensitive values (floats rounded, NaN≡NULL, timestamps
+normalized) — mirroring CORRECTNESS_r{N}.json semantics so failures are
+caught before the driver runs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _norm_cell(v: Any) -> Any:
+    if v is None:
+        return None
+    if hasattr(v, "item") and not hasattr(v, "__len__"):  # numpy scalar
+        v = v.item()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        if v == 0:
+            return 0.0
+        # relative rounding to ~9 significant-ish digits
+        return float(f"{v:.9g}")
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+        seq = v.tolist() if hasattr(v, "tolist") else list(v)
+        return tuple(_norm_cell(x) for x in seq)
+    return v
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_norm_cell(row[c]) for c in cols)
+        for _, row in df[cols].iterrows()
+    ]
+    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Returns a list of mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    spdf = spark_df.toPandas()
+    if len(spdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spdf)} oracle={len(oracle_pdf)}")
+    sc, oc = sorted(spdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        problems.append(f"columns: spark={sc} oracle={oc}")
+        return problems
+    a, b = canonical_rows(spdf), canonical_rows(oracle_pdf)
+    if a != b:
+        diffs = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:5]
+        for i in diffs:
+            problems.append(f"row {i}: spark={a[i]} oracle={b[i]}")
+        if not diffs and len(a) != len(b):
+            problems.append("row multiset differs in length")
+        elif not diffs:
+            problems.append("row multiset differs")
+    return problems

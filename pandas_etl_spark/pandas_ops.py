@@ -1,0 +1,291 @@
+"""pandas-flavored operator adapters over Spark DataFrames.
+
+The reference's steps call pandas methods on step outputs
+(``${steps['x'].output.groupby}``, ``.max``, ``.to_csv`` — e.g.
+/root/reference/tests/test_etl.py:188-202,
+/root/reference/tests/etl_definition_folder/pipelines/pandas_pipeline_recovery_1.yaml:18-51).
+``Table`` gives those names pandas *semantics* with Spark *execution*:
+lazy DataFrames, group keys stay columns (no index — SURVEY §1.1),
+aggregations run distributed.
+
+Unknown attributes delegate to the wrapped Spark DataFrame, so pipelines
+can also use Spark-native fluent calls (``select``, ``filter``, ...) —
+anything returning a DataFrame is re-wrapped.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.sources import io as _io
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long"}
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype.split("(")[0] in _NUMERIC
+
+
+class Table:
+    """A Spark DataFrame with pandas-flavored method names."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # -- plumbing --------------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    def __getattr__(self, name: str) -> Any:
+        attr = getattr(self._df, name)
+        if callable(attr):
+            def _wrapped(*args, **kwargs):
+                out = attr(*args, **kwargs)
+                return Table(out) if isinstance(out, DataFrame) else out
+
+            return _wrapped
+        return attr
+
+    def __repr__(self) -> str:
+        return f"Table({self._df.schema.simpleString()})"
+
+    # -- pandas surface (§2.3–§2.7) -------------------------------------------
+
+    def groupby(self, by: str | list[str], dropna: bool = False) -> "Grouped":
+        keys = [by] if isinstance(by, str) else list(by)
+        return Grouped(self._df, keys)
+
+    def _reduce_all(self, fn, numeric_only: bool = False) -> "Table":
+        cols = [
+            c for c, t in self._df.dtypes if not numeric_only or _is_numeric(t)
+        ]
+        return Table(self._df.agg(*[fn(c).alias(c) for c in cols]))
+
+    def max(self, numeric_only: bool = False) -> "Table":
+        """Per-column maxima as a 1-row frame (pandas Series analogue)."""
+        return self._reduce_all(F.max, numeric_only)
+
+    def min(self, numeric_only: bool = False) -> "Table":
+        return self._reduce_all(F.min, numeric_only)
+
+    def sum(self, numeric_only: bool = True) -> "Table":
+        return self._reduce_all(F.sum, numeric_only)
+
+    def mean(self, numeric_only: bool = True) -> "Table":
+        return self._reduce_all(F.avg, numeric_only)
+
+    def query(self, expr: str) -> "Table":
+        """pandas.query grammar is near-SQL; Spark accepts and/or/not."""
+        return Table(self._df.filter(expr))
+
+    def assign(self, **kwargs: Any) -> "Table":
+        out = self._df
+        for name, value in kwargs.items():
+            out = out.withColumn(
+                name, value if isinstance(value, Column) else F.lit(value)
+            )
+        return Table(out)
+
+    def rename(self, columns: dict[str, str] | None = None) -> "Table":
+        return Table(self._df.withColumnsRenamed(columns or {}))
+
+    def astype(self, dtype: dict[str, str]) -> "Table":
+        out = self._df
+        for c, t in dtype.items():
+            out = out.withColumn(c, F.col(c).cast(_pandas_dtype_to_spark(t)))
+        return Table(out)
+
+    def fillna(self, value: Any) -> "Table":
+        return Table(self._df.na.fill(value))
+
+    def dropna(self, how: str = "any", subset: list[str] | None = None) -> "Table":
+        return Table(self._df.na.drop(how=how, subset=subset))
+
+    def replace(self, to_replace: Any, value: Any) -> "Table":
+        return Table(self._df.na.replace(to_replace, value))
+
+    def drop_duplicates(self, subset: list[str] | None = None) -> "Table":
+        return Table(self._df.dropDuplicates(subset))
+
+    def sort_values(self, by: str | list[str], ascending: bool | list[bool] = True) -> "Table":
+        keys = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(keys) if isinstance(ascending, bool) else list(ascending)
+        cols = [F.col(k).asc() if a else F.col(k).desc() for k, a in zip(keys, asc)]
+        return Table(self._df.orderBy(*cols))
+
+    def head(self, n: int = 5) -> "Table":
+        return Table(self._df.limit(n))
+
+    def nlargest(self, n: int, columns: str | list[str]) -> "Table":
+        keys = [columns] if isinstance(columns, str) else list(columns)
+        return Table(self._df.orderBy(*[F.col(k).desc() for k in keys]).limit(n))
+
+    def nsmallest(self, n: int, columns: str | list[str]) -> "Table":
+        keys = [columns] if isinstance(columns, str) else list(columns)
+        return Table(self._df.orderBy(*[F.col(k).asc() for k in keys]).limit(n))
+
+    def merge(
+        self,
+        right: "Table | DataFrame",
+        on: str | list[str] | None = None,
+        how: str = "inner",
+        left_on: str | list[str] | None = None,
+        right_on: str | list[str] | None = None,
+    ) -> "Table":
+        return merge(self, right, on=on, how=how, left_on=left_on, right_on=right_on)
+
+    def explode(self, column: str) -> "Table":
+        others = [c for c in self._df.columns if c != column]
+        return Table(
+            self._df.select(*others, F.explode_outer(column).alias(column))
+        )
+
+    # -- sinks (§2.2) ----------------------------------------------------------
+
+    def to_csv(self, path_or_buf: str, index: bool = False, header: bool = True) -> str:
+        """``index`` accepted for parity; there is no index (SURVEY §1.1)."""
+        return _io.to_csv(self._df, path_or_buf, header=header)
+
+    def to_parquet(self, path: str, partition_by: list[str] | None = None) -> str:
+        return _io.to_parquet(self._df, path, partition_by=partition_by)
+
+    def to_sql(self, name: str, con: Any, if_exists: str = "fail", index: bool = False) -> None:
+        options = con.jdbc_options() if hasattr(con, "jdbc_options") else con
+        _io.to_sql(self._df, name, options, if_exists=if_exists)
+
+
+class Grouped:
+    """pandas GroupBy analogue: keys stay columns; aggs cover all non-key
+    columns (pandas applies max/min to strings too — replicated)."""
+
+    _AGG_FNS = {
+        "max": (F.max, False),
+        "min": (F.min, False),
+        "sum": (F.sum, True),
+        "mean": (F.avg, True),
+        "avg": (F.avg, True),
+        "count": (F.count, False),
+        "std": (F.stddev_samp, True),
+        "var": (F.var_samp, True),
+        "first": (F.first, False),
+        "last": (F.last, False),
+        "nunique": (F.countDistinct, False),
+        "median": (lambda c: F.percentile_approx(c, 0.5), True),
+    }
+
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self._df = df
+        self.keys = keys
+
+    def _agg_all(self, fn_name: str) -> Table:
+        fn, numeric_only = self._AGG_FNS[fn_name]
+        cols = [
+            c
+            for c, t in self._df.dtypes
+            if c not in self.keys and (not numeric_only or _is_numeric(t))
+        ]
+        return Table(
+            self._df.groupBy(*self.keys).agg(*[fn(c).alias(c) for c in cols])
+        )
+
+    def __getattr__(self, name: str):
+        if name in self._AGG_FNS:
+            return lambda: self._agg_all(name)
+        raise AttributeError(name)
+
+    def agg(self, spec: dict[str, str | list[str]]) -> Table:
+        """pandas agg-dict: {"col": "mean"} or {"col": ["min", "max"]}."""
+        aggs = []
+        for col, fns in spec.items():
+            for fn_name in [fns] if isinstance(fns, str) else fns:
+                fn, _ = self._AGG_FNS[fn_name]
+                alias = col if isinstance(fns, str) else f"{col}_{fn_name}"
+                aggs.append(fn(col).alias(alias))
+        return Table(self._df.groupBy(*self.keys).agg(*aggs))
+
+    def size(self) -> Table:
+        return Table(self._df.groupBy(*self.keys).agg(F.count(F.lit(1)).alias("size")))
+
+
+# -- module-level combinators (pd.concat / pd.merge analogues) ----------------
+
+
+def _unwrap(obj: Any) -> DataFrame:
+    return obj.df if isinstance(obj, Table) else obj
+
+
+def concat(objs: list[Any], ignore_index: bool = False, axis: int = 0) -> Table:
+    """pd.concat parity: aligns by column NAME, outer-fills missing with
+    null (unionByName allowMissingColumns). ``ignore_index`` is moot —
+    there is no index (SURVEY §2.7).
+    Reference use: pandas_pipeline_recovery_1.yaml:42-46."""
+    if axis != 0:
+        raise NotImplementedError(
+            "horizontal concat (axis=1) requires an explicit join key in a "
+            "distributed engine; use merge instead"
+        )
+    dfs = [_unwrap(o) for o in objs]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return Table(out)
+
+
+_HOW_MAP = {
+    "inner": "inner", "left": "left", "right": "right",
+    "outer": "outer", "cross": "cross",
+}
+
+
+def merge(
+    left: Any,
+    right: Any,
+    on: str | list[str] | None = None,
+    how: str = "inner",
+    left_on: str | list[str] | None = None,
+    right_on: str | list[str] | None = None,
+    indicator: bool = False,
+) -> Table:
+    """pd.merge parity (§2.4). Semi/anti are native Spark joins exposed via
+    how='leftsemi'/'leftanti' (extension beyond pandas)."""
+    ldf, rdf = _unwrap(left), _unwrap(right)
+    spark_how = _HOW_MAP.get(how, how)  # pass through leftsemi/leftanti
+    if indicator:
+        raise NotImplementedError("merge(indicator=True): use how='leftsemi'/'leftanti'")
+    if on is not None:
+        return Table(ldf.join(rdf, on=on, how=spark_how))
+    if left_on is not None and right_on is not None:
+        lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+        rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+        cond = None
+        for lk, rk in zip(lkeys, rkeys):
+            c = ldf[lk] == rdf[rk]
+            cond = c if cond is None else (cond & c)
+        return Table(ldf.join(rdf, on=cond, how=spark_how))
+    if spark_how == "cross":
+        return Table(ldf.crossJoin(rdf))
+    common = [c for c in ldf.columns if c in set(rdf.columns)]
+    if not common:
+        raise ValueError("merge: no common columns and no join keys given")
+    return Table(ldf.join(rdf, on=common, how=spark_how))
+
+
+_DTYPE_MAP = {
+    "int": "int", "int32": "int", "int64": "bigint", "float": "double",
+    "float32": "float", "float64": "double", "str": "string", "string": "string",
+    "object": "string", "bool": "boolean", "datetime64[ns]": "timestamp",
+    "category": "string",
+}
+
+
+def _pandas_dtype_to_spark(dtype: str) -> str:
+    return _DTYPE_MAP.get(str(dtype), str(dtype))

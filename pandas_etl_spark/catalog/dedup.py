@@ -87,41 +87,9 @@ _DD_SHINGLES = (
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh0 = d.select(
-        F.col("doc_id").alias("id"),
-        F.explode(dd.char_shingles("text", _K)).alias("shingle"),
+    return dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=_K, threshold=0.5, max_df=_MAX_DF
     )
-    rare = (
-        sh0.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _MAX_DF)
-        .select("shingle")
-    )
-    sh = sh0.join(rare, "shingle")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    out = (
-        pairs.join(
-            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a"
-        )
-        .join(
-            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b"
-        )
-        .withColumn(
-            "jaccard",
-            F.col("shared").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
-    )
-    return out
 
 
 @query("minhash_lsh_pairs")

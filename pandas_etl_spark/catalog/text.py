@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pandas_etl_spark.catalog.registry import query
 from pandas_etl_spark.functions import text as tx
 from pandas_etl_spark.sources import load_table
+from pandas_etl_spark.sources.io import ensure_parallelism
 
 # DuckDB fragments mirroring functions/text.py expressions
 _DD_TOKENS = (
@@ -42,7 +43,7 @@ def _dd_hits(lang: str) -> str:
     """,
 )
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         tx.token_count("text").alias("n_tokens"),
@@ -74,7 +75,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID; deterministic alphabetical tie-break."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", tx.lang_id("text").alias("lang_pred"))
 
 
@@ -90,7 +91,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode (UDTF-class, §2.8) + count + distributed top-k."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return (
         d.select(F.explode(tx.tokens("text")).alias("word"))
         .groupBy("word")
@@ -109,7 +110,7 @@ def q_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
@@ -118,10 +119,12 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint set (min-sampled winnowing style): the 4
     smallest Rabin–Karp window hashes per doc. Rows-only check (the
     polynomial-hash fold is not portable DuckDB SQL)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    from pandas_etl_spark.functions.dedup import normalized
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", normalized("text").alias("_n")).select(
         "doc_id",
-        F.slice(F.array_sort(tx.rolling_hashes("text", window=8)), 1, 4).alias(
+        F.slice(F.array_sort(tx.rolling_hashes("_n", window=8)), 1, 4).alias(
             "min_hashes"
         ),
     )
@@ -139,5 +142,5 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", tx.quality_score("text").alias("quality"))

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from pandas_etl_spark.sources.io import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Deterministic sequential-fold dot product in double precision."""
@@ -56,7 +58,8 @@ def cosine_topk(
     """
     q = F.broadcast(queries)
     sim = (
-        emb.crossJoin(q)
+        ensure_parallelism(emb)
+        .crossJoin(q)
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             F.col("query_id"),
@@ -111,7 +114,9 @@ def ann_lsh_topk(
     """Approximate top-k: candidates share the query's sign-LSH bucket;
     exact cosine re-rank within the bucket. At 100 TB the corpus is
     written bucket-partitioned so a query touches one partition."""
-    bucketed = emb.withColumn("bucket", signlsh_bucket(vec_col, dim, bits))
+    bucketed = ensure_parallelism(emb).withColumn(
+        "bucket", signlsh_bucket(vec_col, dim, bits)
+    )
     qb = F.broadcast(
         queries.withColumn(
             "bucket",
@@ -145,7 +150,7 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH blocking + exact
     verify (id_a < id_b, cosine ≥ threshold)."""
-    b = emb.withColumn("bucket", signlsh_bucket(vec_col, dim, bits)).select(
+    b = ensure_parallelism(emb).withColumn("bucket", signlsh_bucket(vec_col, dim, bits)).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
     )
     return (

@@ -39,6 +39,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_nanos_ts(df)
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition when the scan produced fewer partitions than the
+    session's parallelism — small local test files arrive as ONE split,
+    serializing expensive per-row compute downstream. At real scale
+    (many input splits) this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalize_nanos_ts(df: DataFrame) -> DataFrame:
     """Convert nanos-as-long timestamp columns (marked by the parquet
     reader) back to proper timestamps (micros, truncating)."""

@@ -12,6 +12,7 @@ the registry is fully populated.
 from pandas_etl_spark.catalog.registry import ORACLES, QUERIES, query  # noqa: F401
 
 # populate the registry
+from pandas_etl_spark.catalog import advanced  # noqa: E402,F401
 from pandas_etl_spark.catalog import batch  # noqa: E402,F401
 from pandas_etl_spark.catalog import text  # noqa: E402,F401
 from pandas_etl_spark.catalog import dedup  # noqa: E402,F401

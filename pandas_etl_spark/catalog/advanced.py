@@ -1,0 +1,282 @@
+"""Advanced operator catalog: as-of join, per-group pandas UDFs (ewm),
+pct_change, first/last-by, binning, horizontal concat, anchored weekly
+Grouper, multimodal columns (SURVEY §2.4-§2.9).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.functions import multimodal as mm
+from pandas_etl_spark.functions.timeparse import grouper_bucket
+from pandas_etl_spark.functions.udf import apply_by_group
+from pandas_etl_spark.operators import asof_join
+from pandas_etl_spark.sources import load_table
+from pandas_etl_spark.sources.io import ensure_parallelism
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, arg_max(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_value, c.ts AS ts_click
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.merge_asof parity: for each purchase, the most recent click by
+    the same user at-or-before it. Union-tag + running-last plan — one
+    shuffle on user_id (operators/asof.py; DuckDB has native ASOF JOIN
+    as the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    return asof_join(purchases, clicks, on="ts", by="user_id", suffix="_click")
+
+
+_EWM_ALPHA = 0.2
+
+
+@query(
+    "ewm_mean",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    lists AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        FROM ordered GROUP BY user_id
+    )
+    SELECT o.user_id, o.event_id, o.value,
+           round(CAST(list_reduce(l.vs[1:o.rn],
+                 (acc, x) -> {1 - _EWM_ALPHA} * acc + {_EWM_ALPHA} * x) AS DOUBLE), 6)
+               AS ewm_value
+    FROM ordered o JOIN lists l USING (user_id)
+    """,
+)
+def q_ewm_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``ewm(alpha, adjust=False).mean()`` per group — the
+    applyInPandas (M5 UDF) showcase: no closed-form SQL window exists, so
+    per-group Arrow batches run real pandas; the oracle replicates the
+    recursion with DuckDB list_reduce."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+    def ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["ewm_value"] = (
+            pdf["value"].ewm(alpha=_EWM_ALPHA, adjust=False).mean().round(6)
+        )
+        return pdf[["user_id", "event_id", "value", "ewm_value"]]
+
+    return apply_by_group(
+        ev, "user_id", ewm, "user_id long, event_id long, value double, ewm_value double"
+    )
+
+
+@query(
+    "pct_change",
+    oracle="""
+    SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+           (l_extendedprice - lag(l_extendedprice) OVER w)
+               / lag(l_extendedprice) OVER w AS pct_change
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+def q_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    prev = F.lag("l_extendedprice").over(w)
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        ((F.col("l_extendedprice") - prev) / prev).alias("pct_change"),
+    )
+
+
+@query(
+    "first_last_by",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey, min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_custkey,
+           min(CASE WHEN o.o_orderdate = m.first_date THEN o.o_orderkey END) AS first_order,
+           max(CASE WHEN o.o_orderdate = m.last_date  THEN o.o_orderkey END) AS last_order,
+           m.first_date, m.last_date
+    FROM orders o JOIN m USING (o_custkey)
+    GROUP BY o.o_custkey, m.first_date, m.last_date
+    """,
+)
+def q_first_last_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas groupby().first()/last() (ordered): single-pass struct
+    min/max — lexicographic (date, key) gives a deterministic tie-break
+    (min_by/max_by alone are nondeterministic on date ties)."""
+    ds = F.struct(F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(ds).getField("k").alias("first_order"),
+            F.max(ds).getField("k").alias("last_order"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+    )
+
+
+@query(
+    "cut_bins",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 2500 THEN 'low'
+                WHEN c_acctbal < 7500 THEN 'mid'
+                ELSE 'high' END AS bal_bin
+    FROM customer
+    """,
+)
+def q_cut_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.cut with explicit edges → when-chain (Bucketizer-equivalent,
+    but codegen'd and null-safe)."""
+    b = F.col("c_acctbal")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(b < 0, "negative")
+        .when(b < 2500, "low")
+        .when(b < 7500, "mid")
+        .otherwise("high")
+        .alias("bal_bin"),
+    )
+
+
+@query(
+    "hconcat_ranked",
+    oracle="""
+    WITH a AS (
+        SELECT * FROM (
+            SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                   o_orderkey, o_totalprice
+            FROM orders
+        ) WHERE rn <= 5
+    ),
+    b AS (
+        SELECT * FROM (
+            SELECT row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn,
+                   c_custkey, c_acctbal
+            FROM customer
+        ) WHERE rn <= 5
+    )
+    SELECT CAST(a.rn AS BIGINT) AS rn, a.o_orderkey, a.o_totalprice,
+           b.c_custkey, b.c_acctbal
+    FROM a JOIN b USING (rn)
+    """,
+)
+def q_hconcat_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal concat (pandas axis=1) — only well-defined with an
+    explicit ordering in a distributed engine: rank each side, join on
+    rank (SURVEY §2.7 ordering caveat)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(5)
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))).cast("bigint"),
+        )
+        .select("rn", "o_orderkey", "o_totalprice")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(5)
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))).cast("bigint"),
+        )
+        .select("rn", "c_custkey", "c_acctbal")
+    )
+    return o.join(c, "rn")
+
+
+@query(
+    "grouper_week_anchored",
+    oracle="""
+    SELECT date_trunc('week', o_orderdate - INTERVAL 1 DAY) + INTERVAL 1 DAY AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o_totalprice) AS total
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def q_grouper_week_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.Grouper(freq='W-MON') (reference README.md:54-58): weeks ending
+    Monday, labeled by their Tuesday start (our documented start-label
+    convention) via the freq-alias translation layer."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(grouper_bucket("o_orderdate", "W-MON"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total"))
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           md5(text) AS payload_md5,
+           'application/octet-stream' AS sniffed_mime
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column convention: text bytes stand in for media
+    payloads (no media libs in-container); metadata extraction is pure
+    JVM (octet_length / md5 / magic-byte sniff)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return mm.attach_binary_meta(d, "payload").select(
+        "doc_id", "payload_bytes", "payload_md5", "sniffed_mime"
+    )
+
+
+@query("multimodal_decode_stub")
+def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing over binary payloads (stubbed decoder —
+    deterministic fake dims; rows-only driver check, exactness covered in
+    tests/test_multimodal.py)."""
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+    )
+    return mm.decode_images(d, "payload", "doc_id")

@@ -92,6 +92,68 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_portable_oracle(num_perm: int = 32, bands: int = 8, k: int = 5, threshold: float = 0.4) -> str:
+    """Generate the DuckDB SQL replicating minhash_lsh_pairs_portable
+    bit-for-bit (same md5-derived 40-bit hashes, same permutations)."""
+    params = dd.portable_perm_params(num_perm)
+    rows = num_perm // bands
+    sig_cols = ",\n           ".join(
+        f"min((h * {a} + {b}) % {dd._P40}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT id, {b} AS band, concat_ws('-', {cols}) AS bucket FROM sig".format(
+            b=b, cols=", ".join(f"m{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return f"""
+    WITH norm AS (
+        SELECT doc_id AS id, {_DD_NORM} AS t FROM documents
+    ),
+    sh AS (
+        SELECT id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(t) - {k - 1}, 1)),
+                   i -> substring(t, i, {k})))) AS s
+        FROM norm
+    ),
+    h AS (SELECT id, CAST('0x' || substring(md5(s), 1, 10) AS BIGINT) AS h FROM sh),
+    sig AS (
+        SELECT id,
+           {sig_cols}
+        FROM h GROUP BY id
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.id < b.id
+    )
+    SELECT id_a, id_b,
+           ({agree}) / {float(num_perm)} AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.id = cand.id_a
+    JOIN sig sb ON sb.id = cand.id_b
+    WHERE ({agree}) / {float(num_perm)} >= {threshold}
+    """
+
+
+@query("minhash_lsh_pairs_checked", oracle=_minhash_portable_oracle())
+def q_minhash_lsh_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-reproducible MinHash-LSH (md5-derived 40-bit hashes, int64
+    exact arithmetic, concatenated-signature band buckets) — proves the
+    LSH pipeline end-to-end against DuckDB. The xxhash64 variant below is
+    the faster production path."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs_portable(
+        d, "text", "doc_id", num_perm=32, bands=8, k=5, threshold=0.4
+    )
+
+
 @query("minhash_lsh_pairs")
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms) + LSH(16 bands) near-dup candidates with

@@ -243,6 +243,97 @@ def minhash_lsh_pairs(
     )
 
 
+# Portable MinHash: md5-derived 40-bit shingle hashes with small-coefficient
+# permutations — every intermediate fits int64 exactly, so an ANSI-SQL
+# engine (the DuckDB oracle) reproduces it bit-for-bit. The xxhash64
+# variant above stays the production path (faster, engine-native).
+_P40 = 1099511627689  # prime > 2^40
+
+
+def portable_perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """(a, b) with a < 2^20, b < 2^40: h*a+b < 2^61 — exact in int64."""
+    return [
+        ((a % ((1 << 20) - 1)) + 1, b % _P40) for a, b in _perm_params(num_perm, seed)
+    ]
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, m0..m{n-1}) MinHash signature columns, oracle-reproducible."""
+    params = portable_perm_params(num_perm, seed)
+    hashed = char_shingles(df, text_col, id_col, k).select(
+        "id",
+        F.expr("cast(conv(substring(md5(shingle), 1, 10), 16, 10) as bigint)").alias("h"),
+    )
+    aggs = [
+        F.min(F.expr(f"(h * {a}L + {b}L) % {_P40}L")).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return hashed.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    threshold: float = 0.4,
+    seed: int = 42,
+) -> DataFrame:
+    """Oracle-reproducible MinHash-LSH pairs: band bucket key is the
+    concatenated signature slice (portable across engines, unlike
+    murmur3 ``F.hash``)."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = minhash_signatures_portable(df, text_col, id_col, num_perm, k, seed)
+    banded = sig.select(
+        "id",
+        *[F.col(f"m{i}") for i in range(num_perm)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", *[f"m{i}" for i in range(num_perm)], "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.m{i}").alias(f"am{i}") for i in range(num_perm)],
+            *[F.col(f"b.m{i}").alias(f"bm{i}") for i in range(num_perm)],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = None
+    for i in range(num_perm):
+        term = F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        cand.withColumn("est_jaccard", agree / F.lit(float(num_perm)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1,0 +1,109 @@
+"""Multimodal column convention + processing plumbing (SURVEY §2.9).
+
+Convention for image/audio/video at 100 TB:
+- payload: an opaque ``binary`` column (inline for small blobs), or a
+  pointer struct ``(path string, offset long, length long)`` for large
+  blobs stored out-of-row — the scan then reads bytes lazily per task.
+- metadata: a typed struct column (``kind``, ``mime``, ``width``, ...).
+
+Decode / feature-extract run as Arrow-batched ``mapInPandas`` — the only
+sane shape for per-blob Python libs (PIL/librosa/av are NOT in this
+container: the decode body is STUBBED behind ``NotImplementedError`` with
+a deterministic fake used in tests; the Spark-side plumbing — schemas,
+batch iteration, partitioning — is real and tested).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),   # image|audio|video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+POINTER = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+    ]
+)
+
+
+def attach_binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap JVM-side metadata over a binary payload: byte length, md5,
+    magic-byte sniff. No Python, full codegen."""
+    p = F.col(payload_col)
+    magic = F.hex(F.expr(f"substring({payload_col}, 1, 4)"))
+    kind = (
+        F.when(magic.startswith("FFD8"), "image/jpeg")
+        .when(magic.startswith("89504E47"), "image/png")
+        .when(magic.startswith("52494646"), "audio/wav")
+        .when(magic.startswith("66747970"), "video/mp4")
+        .otherwise("application/octet-stream")
+    )
+    return df.select(
+        "*",
+        F.octet_length(p).alias("payload_bytes"),
+        F.md5(p).alias("payload_md5"),
+        kind.alias("sniffed_mime"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Placeholder for a real decoder (PIL not in this container).
+
+    Deterministic fake: "dimensions" derived from the payload hash so the
+    distributed plumbing is testable end-to-end. Swap the body for
+    ``PIL.Image.open(io.BytesIO(payload))`` in production."""
+    if payload is None:
+        return {"width": None, "height": None, "ok": False}
+    h = 0
+    for b in payload[:64]:
+        h = (h * 131 + b) % (1 << 31)
+    return {"width": 16 + h % 1024, "height": 16 + (h // 1024) % 1024, "ok": True}
+
+
+_DECODED_SCHEMA_SUFFIX = "width int, height int, ok boolean"
+
+
+def decode_images(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas decode: Arrow batches in, per-blob decode, Arrow out.
+    Output schema must be declared (Spark requirement; the reference's
+    pandas UDFs infer — SURVEY §7 hard part 4)."""
+    schema = f"{id_col} long, {_DECODED_SCHEMA_SUFFIX}"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf[payload_col].map(decode_image_stub)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "ok": [d["ok"] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp
+    (the decode itself is the stub above). Demonstrates the explode-based
+    fan-out that keeps sampling distributed and lazy."""
+    return df.withColumn(
+        "sample_ms",
+        F.explode(F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))),
+    )

@@ -102,35 +102,57 @@ def signlsh_bucket(vec_col: str, dim: int, bits: int = 12, seed: int = 42) -> Co
     return bucket
 
 
+def _multi_table_buckets(vec_col: str, dim: int, bits: int, tables: int, seed: int) -> Column:
+    """array<struct<table,bucket>> — one sign-LSH bucket per hash table
+    (independent hyperplane sets per table)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                signlsh_bucket(vec_col, dim, bits, seed=seed + 1000 * t).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    bits: int = 8,
+    bits: int = 4,
+    tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's sign-LSH bucket;
-    exact cosine re-rank within the bucket. At 100 TB the corpus is
-    written bucket-partitioned so a query touches one partition."""
-    bucketed = ensure_parallelism(emb).withColumn(
-        "bucket", signlsh_bucket(vec_col, dim, bits)
-    )
+    """Approximate top-k via multi-table sign-LSH: candidates share the
+    query's bucket in ANY of ``tables`` independent hash tables (recall
+    ≈ 1-(1-p^bits)^tables, p = 1-θ/π); exact cosine re-rank on the
+    candidate union. At 100 TB the corpus is written partitioned by
+    (table, bucket) so a query touches ``tables`` partitions."""
+    bucketed = ensure_parallelism(emb).select(
+        F.col(id_col), F.col(vec_col), F.explode(
+            _multi_table_buckets(vec_col, dim, bits, tables, seed=42)
+        ).alias("tb")
+    ).select(id_col, vec_col, "tb.table", "tb.bucket")
     qb = F.broadcast(
-        queries.withColumn(
-            "bucket",
-            signlsh_bucket("query_vec", dim, bits),
-        )
+        queries.select(
+            "query_id", "query_vec", F.explode(
+                _multi_table_buckets("query_vec", dim, bits, tables, seed=42)
+            ).alias("tb")
+        ).select("query_id", "query_vec", "tb.table", "tb.bucket")
     )
-    sim = (
-        bucketed.join(qb, "bucket")
+    cand = (
+        bucketed.join(qb, ["table", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("cosine_sim"),
-        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"), vec_col, "query_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -145,23 +167,29 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     dim: int = 64,
     bits: int = 8,
+    tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via sign-LSH blocking + exact
-    verify (id_a < id_b, cosine ≥ threshold)."""
-    b = ensure_parallelism(emb).withColumn("bucket", signlsh_bucket(vec_col, dim, bits)).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
-    )
+    """Embedding-cosine near-duplicate pairs via multi-table sign-LSH
+    blocking + exact verify (id_a < id_b, cosine ≥ threshold). High
+    thresholds → tiny angles → high per-table recall, so few tables
+    suffice."""
+    b = ensure_parallelism(emb).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(_multi_table_buckets(vec_col, dim, bits, tables, seed=42)).alias("tb"),
+    ).select("id", "v", "tb.table", "tb.bucket")
     return (
         b.alias("a")
-        .join(b.alias("b"), "bucket")
+        .join(b.alias("b"), ["table", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "a.v", F.col("b.v").alias("w"))
+        .dropDuplicates(["id_a", "id_b"])
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v"), F.col("w")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )

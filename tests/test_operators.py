@@ -1,0 +1,163 @@
+"""Semantics tests for custom operators beyond the oracle harness:
+as-of join directions/edges, LSH recall vs brute force, multimodal
+plumbing, UDF dispatch helpers, timeparse translation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.functions import dedup as dd
+from pandas_etl_spark.functions import similarity as sim
+from pandas_etl_spark.functions import multimodal as mm
+from pandas_etl_spark.functions.timeparse import grouper_bucket, strptime_to_java
+from pandas_etl_spark.operators import asof_join
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:00:00"), 100.0),
+            (1, ts("2024-01-01T10:05:00"), 101.0),
+            (2, ts("2024-01-01T10:01:00"), 50.0),
+            (3, ts("2024-01-01T10:00:00"), 7.0),  # no quotes at all
+        ],
+        "sym int, ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T09:59:00"), 99.5),
+            (1, ts("2024-01-01T10:05:00"), 100.9),  # equal-ts: should match backward
+            (1, ts("2024-01-01T10:07:00"), 101.5),
+            (2, ts("2024-01-01T10:02:00"), 49.9),  # only after the trade
+        ],
+        "sym int, ts timestamp, quote double",
+    )
+    return trades, quotes
+
+
+class TestAsofJoin:
+    def test_backward(self, trades_quotes):
+        trades, quotes = trades_quotes
+        out = asof_join(trades, quotes, on="ts", by="sym").orderBy("sym", "ts")
+        rows = out.collect()
+        assert [r.quote for r in rows] == [99.5, 100.9, None, None]
+        assert rows[1].ts_right == ts("2024-01-01T10:05:00")  # equal-ts matched
+
+    def test_forward(self, trades_quotes):
+        trades, quotes = trades_quotes
+        out = asof_join(trades, quotes, on="ts", by="sym", direction="forward").orderBy(
+            "sym", "ts"
+        )
+        rows = out.collect()
+        assert [r.quote for r in rows] == [100.9, 100.9, 49.9, None]
+
+    def test_all_left_rows_survive(self, trades_quotes):
+        trades, quotes = trades_quotes
+        assert asof_join(trades, quotes, on="ts", by="sym").count() == trades.count()
+
+
+class TestLshRecall:
+    def test_minhash_lsh_finds_exact_neardups(self, spark, sf_dir):
+        """Every high-Jaccard pair from the exact n-gram computation must
+        be recovered by MinHash-LSH at a lower threshold (recall check)."""
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        exact = {
+            (r.id_a, r.id_b)
+            for r in dd.ngram_jaccard_pairs(d, threshold=0.8, max_df=10**9).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in dd.minhash_lsh_pairs(d, threshold=0.5).collect()
+        }
+        missed = exact - lsh
+        assert not missed, f"LSH missed {len(missed)} of {len(exact)} exact pairs"
+
+    def test_ann_lsh_recall_vs_bruteforce(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = sim.cosine_topk(emb, queries, k=3).collect()
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.ann_lsh_topk(emb, queries, k=3, dim=64, bits=4).collect()
+        }
+        exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+        # LSH with few bits keeps most true neighbors in-bucket
+        recall = len(exact_pairs & approx) / len(exact_pairs)
+        assert recall >= 0.5, f"recall {recall}"
+
+    def test_simhash_identical_docs_zero_distance(self, spark):
+        d = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the  QUICK brown fox "), (3, "completely different words here")],
+            "doc_id long, text string",
+        )
+        pairs = dd.simhash_pairs(d, max_hamming=0).collect()
+        assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+class TestMultimodal:
+    def test_meta_and_decode_plumbing(self, spark):
+        payloads = [
+            (1, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"jpegdata"),
+            (2, bytes([0x89, 0x50, 0x4E, 0x47]) + b"pngdata"),
+            (3, b"plain bytes"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+        meta = {r.doc_id: r for r in mm.attach_binary_meta(df).collect()}
+        assert meta[1].sniffed_mime == "image/jpeg"
+        assert meta[2].sniffed_mime == "image/png"
+        assert meta[3].sniffed_mime == "application/octet-stream"
+        assert meta[1].payload_bytes == 12
+
+        decoded = {r.doc_id: r for r in mm.decode_images(df).collect()}
+        assert decoded[1].ok and decoded[1].width >= 16
+        assert not decoded[4].ok and decoded[4].width is None
+        # deterministic fake: same payload → same dims
+        again = {r.doc_id: r for r in mm.decode_images(df).collect()}
+        assert decoded[1].width == again[1].width
+
+
+class TestTimeparse:
+    def test_strptime_translation(self):
+        assert strptime_to_java("%d/%m/%y") == "dd/MM/yy"
+        assert strptime_to_java("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+        with pytest.raises(ValueError):
+            strptime_to_java("%Q")
+
+    def test_week_anchor_buckets(self, spark):
+        df = spark.createDataFrame(
+            [
+                (ts("2024-01-01T12:00:00"),),  # Monday
+                (ts("2024-01-02T12:00:00"),),  # Tuesday
+                (ts("2024-01-08T12:00:00"),),  # next Monday
+            ],
+            "t timestamp",
+        )
+        out = df.select(grouper_bucket("t", "W-MON").alias("b")).collect()
+        # W-MON: weeks run Tue..Mon; Mon Jan 1 belongs to the week started
+        # Tue Dec 26; Tue Jan 2 and Mon Jan 8 share the week started Jan 2
+        assert out[0].b == ts("2023-12-26T00:00:00")
+        assert out[1].b == ts("2024-01-02T00:00:00")
+        assert out[2].b == ts("2024-01-02T00:00:00")
+
+    def test_parse_dates_ingestion(self, spark, tmp_path):
+        p = tmp_path / "d.csv"
+        p.write_text("id,date_column\n1,07/03/24\n2,25/12/23\n")
+        from pandas_etl_spark.sources import read_csv
+
+        df = read_csv(
+            spark, str(p), parse_dates={"date_column": {"format": "%d/%m/%y"}}
+        )
+        rows = {r.id: r.date_column for r in df.collect()}
+        assert rows[1] == ts("2024-03-07T00:00:00")
+        assert rows[2] == ts("2023-12-25T00:00:00")

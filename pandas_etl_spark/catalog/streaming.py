@@ -68,6 +68,92 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_window_agg",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR extract(epoch FROM ts) - extract(epoch FROM lag(ts) OVER w) > {_GAP_S}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                                  AS session_start,
+           max(ts) + INTERVAL {_GAP_S} SECOND       AS session_end,
+           CAST(count(*) AS BIGINT)                 AS n_events,
+           sum(value)                               AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` (works on batch frames too): merged
+    gap-based sessions per user. The oracle derives identical session
+    bounds from the lag/cumsum formulation — proving the two sessionization
+    paths agree (session.end = last event + gap, per Spark semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{_GAP_S} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("stream_stateful_counter")
+def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming (applyInPandasWithState): running
+    per-user event count + value total maintained in explicit state.
+    Rows-only driver check; value-parity with batch groupBy is asserted
+    in tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table = run_stream_to_table(out, output_mode="update")
+    # one update row per user per batch; the final state per user is the
+    # last emitted row — dedup deterministically on max n_events
+    from pyspark.sql import functions as SF
+
+    t = spark.table(table)
+    return t.groupBy("user_id").agg(
+        SF.max("n_events").alias("n_events"),
+        SF.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+@query(
     "stream_tumbling_hour",
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket, event_type,

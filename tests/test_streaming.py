@@ -1,0 +1,70 @@
+"""Streaming semantics beyond the oracle harness: stateful operator
+value-parity with batch, watermark late-data behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.catalog import QUERIES
+from pandas_etl_spark.sources import load_table
+
+
+def test_stateful_counter_matches_batch(spark, sf_dir):
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 3))
+        for r in QUERIES["stream_stateful_counter"](spark, sf_dir).collect()
+    }
+    exp = {
+        r.user_id: (r.n, round(r.t, 3))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with watermark: a row far behind the
+    watermark arriving in a later batch is dropped."""
+    import pandas as pd
+
+    d1 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 10:05:00", "2024-01-01 12:00:00"]), "v": [1.0, 2.0]}
+    )
+    d2 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 10:10:00"]), "v": [100.0]})  # late
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(d1).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("total"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(d2).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        # force one more empty-ish microbatch so closed windows flush
+        spark.createDataFrame(
+            pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 14:00:00"]), "v": [0.0]})
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.w.start.hour: r.total for r in spark.sql("SELECT * FROM late_test").collect()}
+    # the 10:00 window must NOT include the late 100.0 (arrived after
+    # watermark passed 11:50)
+    assert rows.get(10) == 1.0

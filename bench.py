@@ -26,11 +26,17 @@ HEADLINE = [
     "window_running_total",
     "rollup_totals",
     "sessionize",
+    "session_window_agg",
+    "asof_join_events",
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "simhash_pairs",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "doc_stats",
+    "quality_score",
+    "ewm_mean",
 ]
 
 

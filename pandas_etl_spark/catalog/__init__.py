@@ -16,5 +16,6 @@ from pandas_etl_spark.catalog import advanced  # noqa: E402,F401
 from pandas_etl_spark.catalog import batch  # noqa: E402,F401
 from pandas_etl_spark.catalog import text  # noqa: E402,F401
 from pandas_etl_spark.catalog import dedup  # noqa: E402,F401
+from pandas_etl_spark.catalog import misc  # noqa: E402,F401
 from pandas_etl_spark.catalog import similarity  # noqa: E402,F401
 from pandas_etl_spark.catalog import streaming  # noqa: E402,F401

@@ -1,0 +1,122 @@
+"""Remaining §2 operator families: null handling (fillna/dropna/replace),
+exact percentiles, approximate distinct, plus the YAML-pipeline-engine
+demo query (the framework exercised inside the driver-checked contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.sources import load_table
+
+
+@query(
+    "null_handling",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               nullif(o_orderstatus, 'P') AS status_n,
+               CASE WHEN o_totalprice < 1000 THEN NULL ELSE o_totalprice END AS price_n
+        FROM orders
+    )
+    SELECT o_orderkey,
+           coalesce(status_n, 'UNKNOWN') AS status_filled,
+           coalesce(price_n, -1.0) AS price_filled
+    FROM base
+    WHERE status_n IS NOT NULL OR price_n IS NOT NULL
+    """,
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fillna (na.fill) + dropna(how='all') over synthesized nulls —
+    TPC-H-ish tables are dense, so nulls are introduced via nullif."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_n"),
+        F.when(F.col("o_totalprice") < 1000, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_n"),
+    )
+    return (
+        base.na.drop(how="all", subset=["status_n", "price_n"])
+        .na.fill({"status_n": "UNKNOWN", "price_n": -1.0})
+        .withColumnsRenamed({"status_n": "status_filled", "price_n": "price_filled"})
+    )
+
+
+@query(
+    "percentiles_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (pandas quantile parity);
+    ``approx_distinct`` below is the sketch-based scale path."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", 0.25).alias("p25"),
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.75).alias("p75"),
+        )
+    )
+
+
+@query("approx_distinct")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — sketch is engine-specific, so
+    rows-only driver check; the exact countDistinct twin is oracle-checked
+    in agg_stats. The ±5% envelope vs exact is asserted in tests."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+@query(
+    "pipeline_yaml_engine",
+    oracle="""
+    SELECT l_returnflag,
+           max(l_orderkey) AS l_orderkey, max(l_partkey) AS l_partkey,
+           max(l_suppkey) AS l_suppkey,
+           CAST(max(l_linenumber) AS INTEGER) AS l_linenumber,
+           max(l_quantity) AS l_quantity,
+           max(l_extendedprice) AS l_extendedprice,
+           max(l_discount) AS l_discount, max(l_tax) AS l_tax,
+           max(l_linestatus) AS l_linestatus, max(l_shipdate) AS l_shipdate
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pipeline_yaml_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The YAML pipeline ENGINE inside the correctness contract: a
+    3-step declarative pipeline (read_parquet → bound-method groupby →
+    max), mirroring the reference's flagship pipeline shape
+    (pandas_pipeline_recovery_1.yaml) on the driver's lineitem table."""
+    from pandas_etl_spark.pipeline import Pipeline
+
+    p = Pipeline(
+        yamlData={
+            "variables": {"sf_dir": sf_dir},
+            "steps": [
+                {"read_parquet": {"path": "${var.sf_dir}/lineitem.parquet"}},
+                {"${ steps['read_parquet'].output.groupby }": {"by": "l_returnflag"}},
+                {"${ steps['read_parquet.groupby'].output.max }": {}},
+            ],
+        },
+        spark=spark,
+    )
+    p.run()
+    return p.steps["read_parquet.groupby.max"].output.df

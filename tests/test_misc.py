@@ -1,0 +1,61 @@
+"""Misc operator semantics: approx-distinct error envelope, parquet
+checkpoints (the reference only supported csv)."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pandas_etl_spark.catalog import QUERIES
+from pandas_etl_spark.pipeline import Pipeline
+
+
+def test_approx_distinct_envelope(spark, sf_dir):
+    for r in QUERIES["approx_distinct"](spark, sf_dir).collect():
+        assert abs(r.approx_parts - r.exact_parts) <= max(0.05 * r.exact_parts, 2), r
+
+
+def test_parquet_checkpoint_roundtrip(spark, caplog, tmp_path):
+    ckpt = str(tmp_path / "step.parquet")
+    yaml_text = f"""
+    preFlight:
+      script: |
+        def marked(df):
+            logging.info("parquet step ran")
+            return df.groupby(by="AB").max()
+    steps:
+    - pd.read_csv:
+        filepath_or_buffer: ./tests/data/test.csv
+    - name: grouped
+      function: marked
+      args:
+        df: ${{ steps['pd.read_csv'].output }}
+      saveProgress: {ckpt}
+    """
+    with caplog.at_level(logging.INFO):
+        Pipeline(yamlData=yaml_text, spark=spark).run()
+        assert any(r.message == "parquet step ran" for r in caplog.records)
+    assert os.path.isdir(ckpt)
+
+    caplog.clear()
+    with caplog.at_level(logging.INFO):
+        p2 = Pipeline(yamlData=yaml_text, spark=spark)
+        p2.run()
+        assert not any(r.message == "parquet step ran" for r in caplog.records)
+        # resumed output readable and correctly typed
+        assert p2.steps["grouped"].output.df.count() > 0
+
+
+def test_unknown_checkpoint_extension_errors(spark, tmp_path):
+    yaml_text = f"""
+    steps:
+    - name: load
+      function: pd.read_csv
+      args:
+        filepath_or_buffer: ./tests/data/test.csv
+      saveProgress: {tmp_path}/out.xlsx
+    """
+    import pytest
+
+    with pytest.raises(ValueError, match="saveProgress supports"):
+        Pipeline(yamlData=yaml_text, spark=spark).run()

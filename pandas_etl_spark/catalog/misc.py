@@ -86,6 +86,110 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_metrics",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_price
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, val
+    FROM agg UNPIVOT (val FOR metric IN (sum_qty, sum_price))
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt / unpivot → stack() (§2.5 pivot family, reverse direction)."""
+    agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_price"),
+        )
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (metric, val)",
+    )
+
+
+@query(
+    "percent_rank_cume",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "regexp_extract_ids",
+    oracle="""
+    SELECT c_custkey, c_name,
+           regexp_extract(c_name, '(\\d+)', 1) AS digits,
+           CAST(regexp_matches(c_name, '\\d') AS BOOLEAN) AS has_digit
+    FROM customer
+    """,
+)
+def q_regexp_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.str.extract parity; both engines return '' on no-match."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("digits"),
+        F.col("c_name").rlike(r"\d").alias("has_digit"),
+    )
+
+
+@query(
+    "equi_range_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_prompt_lines,
+           sum(l.l_extendedprice) AS prompt_revenue
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_equi_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range predicate (interval containment, §2.4): Catalyst
+    keeps the equi part as the join key, applies the range as a post-join
+    filter — no cartesian blowup."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_prompt_lines"),
+            F.sum("l_extendedprice").alias("prompt_revenue"),
+        )
+    )
+
+
+@query(
     "pipeline_yaml_engine",
     oracle="""
     SELECT l_returnflag,

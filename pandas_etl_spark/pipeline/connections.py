@@ -44,6 +44,13 @@ class Connection:
         else:
             self.url = url_or_kwargs
             self.extra = {}
+        if self.url.startswith("jdbc:"):
+            # raw JDBC URL (e.g. embedded derby) — pass through verbatim
+            self.dialect = self.url.split(":", 2)[1]
+            self.user = self.password = self.host = self.port = self.database = None
+            self._raw_jdbc = True
+            return
+        self._raw_jdbc = False
         m = _URL_RE.match(self.url)
         if not m:
             raise ValueError(f"Unrecognized connection URL: {self.url!r}")
@@ -55,6 +62,10 @@ class Connection:
         self.database = m.group("database")
 
     def jdbc_options(self) -> dict[str, str]:
+        if self._raw_jdbc:
+            opts = {"url": self.url}
+            opts.update({k: str(v) for k, v in self.extra.items()})
+            return opts
         sub, driver = _DIALECTS.get(self.dialect, (self.dialect, ""))
         hostpart = self.host or ""
         if self.port:
@@ -70,6 +81,8 @@ class Connection:
         return opts
 
     def __repr__(self) -> str:  # sqlalchemy-Engine-compatible masking
+        if self._raw_jdbc:
+            return f"Engine({self.url})"
         auth = ""
         if self.user:
             auth = self.user + (":***" if self.password else "") + "@"

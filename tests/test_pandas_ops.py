@@ -1,0 +1,102 @@
+"""pandas-flavored Table/Grouped adapter semantics (SURVEY §2.3–§2.7):
+each method vs the equivalent pandas computation on the same small data."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pandas_etl_spark.pandas_ops import Table, concat, merge
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "c"],
+            "x": [1, 2, 3, 4, 5],
+            "y": [10.0, 20.0, 30.0, 40.0, None],
+            "s": ["p", "q", "r", "s", "t"],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def t(spark, pdf):
+    return Table(spark.createDataFrame(pdf))
+
+
+def rows(table, order_by):
+    return [tuple(r) for r in table.df.orderBy(*order_by).collect()]
+
+
+class TestTable:
+    def test_groupby_max_matches_pandas(self, t, pdf):
+        got = {r.k: (r.x, r.s) for r in t.groupby("k").max().df.collect()}
+        exp = pdf.groupby("k")[["x", "s"]].max()
+        assert got == {k: (row.x, row.s) for k, row in exp.iterrows()}
+
+    def test_groupby_agg_dict(self, t, pdf):
+        got = {r.k: (r.x, r.y) for r in t.groupby("k").agg({"x": "sum", "y": "mean"}).df.collect()}
+        exp_x = pdf.groupby("k").x.sum()
+        exp_y = pdf.groupby("k").y.mean()
+        for k in exp_x.index:
+            assert got[k][0] == exp_x[k]
+            ey = exp_y[k]
+            assert (got[k][1] is None and pd.isna(ey)) or got[k][1] == ey
+
+    def test_global_max_one_row(self, t):
+        row = t.max().df.collect()
+        assert len(row) == 1 and row[0].x == 5 and row[0].s == "t"
+
+    def test_query_filter(self, t):
+        assert t.query("x > 2 and k != 'c'").df.count() == 2
+
+    def test_sort_head_nlargest(self, t):
+        assert [r.x for r in t.sort_values("x", ascending=False).head(2).df.collect()] == [5, 4]
+        assert [r.x for r in t.nlargest(2, "x").df.collect()] == [5, 4]
+        assert [r.x for r in t.nsmallest(2, "x").df.collect()] == [1, 2]
+
+    def test_rename_astype_assign(self, t):
+        out = t.rename({"x": "xx"}).astype({"xx": "float64"}).assign(z=1)
+        assert "xx" in out.columns and "z" in out.columns
+        assert dict(out.df.dtypes)["xx"] == "double"
+
+    def test_fillna_dropna(self, t, pdf):
+        assert t.fillna(-1.0).df.filter("y = -1.0").count() == 1
+        assert t.dropna(subset=["y"]).df.count() == len(pdf.dropna(subset=["y"]))
+
+    def test_drop_duplicates(self, t):
+        assert t.drop_duplicates(["k"]).df.count() == 3
+
+    def test_explode(self, spark):
+        t2 = Table(spark.createDataFrame([(1, [1, 2]), (2, [])], "id int, v array<int>"))
+        got = rows(t2.explode("v"), ["id", "v"])
+        assert got == [(1, 1), (1, 2), (2, None)]
+
+    def test_spark_fluent_passthrough(self, t):
+        out = t.select("k", "x").filter("x >= 3")
+        assert isinstance(out, Table) and out.df.count() == 3
+
+
+class TestCombinators:
+    def test_concat_aligns_by_name(self, spark):
+        a = Table(spark.createDataFrame([(1, "x")], "id int, a string"))
+        b = Table(spark.createDataFrame([(2, "y")], "id int, b string"))
+        got = rows(concat([a, b]), ["id"])
+        assert got == [(1, "x", None), (2, None, "y")]
+
+    def test_concat_axis1_raises(self, spark):
+        a = Table(spark.createDataFrame([(1,)], "id int"))
+        with pytest.raises(NotImplementedError):
+            concat([a, a], axis=1)
+
+    def test_merge_how_variants(self, spark):
+        l = Table(spark.createDataFrame([(1, "a"), (2, "b")], "id int, lv string"))
+        r = Table(spark.createDataFrame([(2, "B"), (3, "C")], "id int, rv string"))
+        assert merge(l, r, on="id").df.count() == 1
+        assert merge(l, r, on="id", how="left").df.count() == 2
+        assert merge(l, r, on="id", how="outer").df.count() == 3
+        assert merge(l, r, on="id", how="leftanti").df.count() == 1
+        got = merge(l, r, left_on="id", right_on="id").df.count()
+        assert got == 1

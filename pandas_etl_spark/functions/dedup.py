@@ -204,9 +204,12 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, k, seed)
+    # candidate generation carries ONLY (id, band, bucket) through the
+    # shuffle — signatures (the wide arrays) re-join after pair dedup
+    # (carrying them through the bucket join measured ~100× the shuffle
+    # bytes: Σ bucket² rows × 0.5 KB of sig payload)
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -220,24 +223,23 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    with_sigs = (
+        cand.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     agree = F.expr(
         "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
     ).cast("double") / F.lit(float(num_perm))
     return (
-        cand.withColumn("est_jaccard", agree)
+        with_sigs.withColumn("est_jaccard", agree)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -294,9 +296,10 @@ def minhash_lsh_pairs_portable(
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signatures_portable(df, text_col, id_col, num_perm, k, seed)
+    # same shuffle-slimming as the xxhash64 variant: bucket join carries
+    # only (id, band, bucket); signature columns re-join after pair dedup
     banded = sig.select(
         "id",
-        *[F.col(f"m{i}") for i in range(num_perm)],
         F.explode(
             F.array(
                 *[
@@ -310,25 +313,23 @@ def minhash_lsh_pairs_portable(
                 ]
             )
         ).alias("bb"),
-    ).select("id", *[f"m{i}" for i in range(num_perm)], "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            *[F.col(f"a.m{i}").alias(f"am{i}") for i in range(num_perm)],
-            *[F.col(f"b.m{i}").alias(f"bm{i}") for i in range(num_perm)],
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"m{i}").alias(f"am{i}") for i in range(num_perm)])
+    sb = sig.select(F.col("id").alias("id_b"), *[F.col(f"m{i}").alias(f"bm{i}") for i in range(num_perm)])
+    with_sigs = cand.join(sa, "id_a").join(sb, "id_b")
     agree = None
     for i in range(num_perm):
         term = F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0)
         agree = term if agree is None else agree + term
     return (
-        cand.withColumn("est_jaccard", agree / F.lit(float(num_perm)))
+        with_sigs.withColumn("est_jaccard", agree / F.lit(float(num_perm)))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

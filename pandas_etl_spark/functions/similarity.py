@@ -151,28 +151,38 @@ def ann_lsh_topk(
     ≈ 1-(1-p^bits)^tables, p = 1-θ/π); exact cosine re-rank on the
     candidate union. At 100 TB the corpus is written partitioned by
     (table, bucket) so a query touches ``tables`` partitions."""
-    bucketed = ensure_parallelism(emb).select(
-        F.col(id_col), F.col(vec_col), F.explode(
+    # candidate generation is id-only; vectors re-join after dedup so the
+    # bucket-join shuffle stays narrow (same slimming as MinHash-LSH)
+    corpus = ensure_parallelism(emb)
+    bucketed = corpus.select(
+        F.col(id_col), F.explode(
             _multi_table_buckets(vec_col, dim, bits, tables, seed=42)
         ).alias("tb")
-    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+    ).select(id_col, "tb.table", "tb.bucket")
     qb = F.broadcast(
         queries.select(
-            "query_id", "query_vec", F.explode(
+            "query_id", F.explode(
                 _multi_table_buckets("query_vec", dim, bits, tables, seed=42)
             ).alias("tb")
-        ).select("query_id", "query_vec", "tb.table", "tb.bucket")
+        ).select("query_id", "tb.table", "tb.bucket")
     )
     cand = (
         bucketed.join(qb, ["table", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", F.col(id_col).alias("neighbor_id"), vec_col, "query_vec")
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("cosine_sim"),
+    sim = (
+        cand.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+            "neighbor_id",
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("cosine_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -195,17 +205,23 @@ def embedding_neardup_pairs(
     blocking + exact verify (id_a < id_b, cosine ≥ threshold). High
     thresholds → tiny angles → high per-table recall, so few tables
     suffice."""
-    b = ensure_parallelism(emb).select(
+    corpus = ensure_parallelism(emb)
+    b = corpus.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         F.explode(_multi_table_buckets(vec_col, dim, bits, tables, seed=42)).alias("tb"),
-    ).select("id", "v", "tb.table", "tb.bucket")
-    return (
+    ).select("id", "tb.table", "tb.bucket")
+    cand = (
         b.alias("a")
         .join(b.alias("b"), ["table", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "a.v", F.col("b.v").alias("w"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("w"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -2,11 +2,35 @@
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from typing import Any
 
 QUERIES: dict[str, Callable[..., Any]] = {}
 ORACLES: dict[str, str] = {}
+
+# Runtime-settable SQL confs every catalog query depends on. The driver
+# may hand us a session it built itself (without our session factory) —
+# force these before building any plan:
+# - nanosAsLong: events.parquet is TIMESTAMP(NANOS) (unreadable otherwise)
+# - UTC: DuckDB oracle timestamps are UTC-naive
+# - ANSI off: pandas-parity semantics + wraparound hash arithmetic
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static confs on exotic sessions
+            pass
 
 
 def query(name: str, oracle: str | None = None):
@@ -15,9 +39,14 @@ def query(name: str, oracle: str | None = None):
     driver records a weaker rows-only check otherwise)."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco

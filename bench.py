@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -37,6 +39,7 @@ HEADLINE = [
     "doc_stats",
     "quality_score",
     "ewm_mean",
+    "curate_corpus",
 ]
 
 
@@ -46,8 +49,19 @@ def main() -> None:
     from pandas_etl_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm the JVM + parquet footers once
+    # warm the JVM + parquet footers + the Python/Arrow worker pool once
+    # (the first pandas_udf otherwise pays ~3-5s of worker spawn inside
+    # whichever query hits it first)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1024).repartition(64).select(_noop("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

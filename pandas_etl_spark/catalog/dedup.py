@@ -92,6 +92,78 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DD_NTOK_D = (
+    "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> ''))"
+)
+_DD_PUNCT_D = (
+    "CAST(length(text) - length(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS DOUBLE)"
+    " / greatest(length(text), 1)"
+)
+_DD_HITS_EN = (
+    "len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> ''), "
+    "t -> list_contains(['the','and','of','to','in','is','that','it','for','with'], t)))"
+)
+_DD_QUALITY = (
+    f"0.4 * least(CAST({_DD_NTOK_D} AS DOUBLE) / 20.0, 1.0)"
+    f" + 0.3 * (1.0 - least(({_DD_PUNCT_D}) * 5, 1.0))"
+    f" + 0.3 * least((CAST({_DD_HITS_EN} AS DOUBLE) / greatest({_DD_NTOK_D}, 1)) * 10, 1.0)"
+)
+
+
+@query(
+    "curate_corpus",
+    oracle=f"""
+    WITH annotated AS (
+        SELECT doc_id, lang, source, text,
+               CAST({_DD_NTOK_D} AS BIGINT) AS n_tokens,
+               {_DD_QUALITY} AS quality
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM annotated WHERE n_tokens >= 8 AND quality >= 0.5
+    ),
+    fp AS (SELECT doc_id, md5({_DD_NORM}) AS fp FROM gated),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    uniq AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+    norm AS (SELECT doc_id AS id, {_DD_NORM} AS t FROM uniq),
+    sh0 AS (
+        SELECT id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(t) - 4, 1)),
+                   i -> substring(t, i, 5)))) AS shingle
+        FROM norm
+    ),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 50),
+    sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    ),
+    drop_ids AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM pairs
+        JOIN sizes sa ON sa.id = pairs.id_a
+        JOIN sizes sb ON sb.id = pairs.id_b
+        WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.85
+    )
+    SELECT u.doc_id, u.lang, u.source, u.n_tokens, u.quality
+    FROM uniq u
+    WHERE u.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+    """,
+)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-data curation pipeline (quality gate → exact
+    dedup → n-gram-Jaccard near-dup removal) as ONE lazy plan, fully
+    oracle-reproduced. functions/curate.py."""
+    from pandas_etl_spark.functions.curate import curate_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    return curate_corpus(
+        d, min_tokens=8, min_quality=0.5, jaccard_threshold=0.85, shingle_k=5, max_df=50
+    ).select("doc_id", "lang", "source", "n_tokens", "quality")
+
+
 def _minhash_portable_oracle(num_perm: int = 32, bands: int = 8, k: int = 5, threshold: float = 0.4) -> str:
     """Generate the DuckDB SQL replicating minhash_lsh_pairs_portable
     bit-for-bit (same md5-derived 40-bit hashes, same permutations)."""

@@ -1,0 +1,50 @@
+"""Corpus curation — the composed training-data pipeline (SURVEY §2.9).
+
+One declarative flow over ``documents``:
+
+1. annotate: token count, quality score (text.py);
+2. quality gate: ``n_tokens ≥ min_tokens`` and ``quality ≥ min_quality``;
+3. exact dedup: keep the min doc_id per normalized-content md5;
+4. near-dup removal: n-gram Jaccard pairs (stop-shingle-capped inverted
+   index, dedup.py) — every ``id_b`` of a pair (id_a < id_b) is dropped,
+   a deterministic greedy keep-lowest-id rule.
+
+Everything is built-in Catalyst expressions — the whole pipeline is ONE
+lazy plan (filters push into the scan; the pair join sees only gated,
+exact-deduped survivors). Fully reproducible by an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.functions import text as tx
+from pandas_etl_spark.functions.dedup import exact_dedup, ngram_jaccard_pairs
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.85,
+    shingle_k: int = 5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Surviving documents with their curation annotations."""
+    annotated = docs.select(
+        "*",
+        tx.token_count(text_col).alias("n_tokens"),
+        tx.quality_score(text_col).alias("quality"),
+    )
+    gated = annotated.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
+    )
+    unique = exact_dedup(gated, text_col, id_col)
+    pairs = ngram_jaccard_pairs(
+        unique, text_col, id_col, k=shingle_k, threshold=jaccard_threshold, max_df=max_df
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return unique.join(drop, id_col, "left_anti")

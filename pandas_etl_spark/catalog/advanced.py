@@ -260,6 +260,88 @@ def q_grouper_week_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "resample_interpolate",
+    oracle="""
+    WITH bucketed AS (
+        SELECT user_id,
+               CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+                 - CAST(floor(extract(epoch FROM ts)) AS BIGINT) % 3600 AS bucket_s,
+               avg(value) AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(min(bucket_s), max(bucket_s), 3600)) AS bucket_s
+        FROM bucketed GROUP BY user_id
+    ),
+    filled AS (
+        SELECT g.user_id, g.bucket_s, b.v
+        FROM grid g LEFT JOIN bucketed b USING (user_id, bucket_s)
+    ),
+    w AS (
+        SELECT user_id, bucket_s, v,
+               last_value(v IGNORE NULLS) OVER wb AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER wb AS prev_t,
+               first_value(v IGNORE NULLS) OVER wf AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER wf AS next_t
+        FROM filled
+        WINDOW wb AS (PARTITION BY user_id ORDER BY bucket_s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY bucket_s
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           to_timestamp(bucket_s) AS bucket,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN prev_t IS NULL THEN next_v
+                      WHEN next_t IS NULL THEN prev_v
+                      ELSE prev_v + (next_v - prev_v)
+                           * (CAST(bucket_s - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+                 END, 6) AS value,
+           v IS NULL AS interpolated
+    FROM w
+    """,
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas resample('1h').mean().interpolate() parity: complete per-key
+    hourly grid (sequence explode) + linear gap interpolation via
+    backward/forward ignorenulls windows (operators/resample.py)."""
+    from pandas_etl_spark.operators.resample import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return resample_interpolate(ev, key="user_id", ts_col="ts", value_col="value")
+
+
+@query(
+    "map_dict_lookup",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CASE c_mktsegment
+                WHEN 'AUTOMOBILE' THEN 'auto' WHEN 'BUILDING' THEN 'bld'
+                WHEN 'FURNITURE' THEN 'furn' WHEN 'HOUSEHOLD' THEN 'house'
+                WHEN 'MACHINERY' THEN 'mach' ELSE NULL END AS seg_code
+    FROM customer
+    """,
+)
+def q_map_dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.map(dict) parity (§2.8): literal create_map + getItem —
+    unmatched keys → null, like pandas."""
+    mapping = {
+        "AUTOMOBILE": "auto",
+        "BUILDING": "bld",
+        "FURNITURE": "furn",
+        "HOUSEHOLD": "house",
+        "MACHINERY": "mach",
+    }
+    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        m.getItem(F.col("c_mktsegment")).alias("seg_code"),
+    )
+
+
+@query(
     "multimodal_meta",
     oracle="""
     SELECT doc_id,

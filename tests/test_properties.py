@@ -1,0 +1,178 @@
+"""Property-based tests (hypothesis) — equivalence against pandas on
+randomized inputs, far stronger than the reference's fixed fixtures.
+
+Spark sessions are expensive per example, so Spark-backed properties use
+few, large examples; pure-Python properties (merge, expressions,
+timeparse) run the full default budget.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pandas_etl_spark.pipeline.expressions import ExpressionResolver
+from pandas_etl_spark.pipeline.yaml_loader import merge_yaml_dict
+
+# ---------------------------------------------------------------------------
+# pure-Python properties
+# ---------------------------------------------------------------------------
+
+scalars = st.one_of(st.integers(-5, 5), st.text("abc", max_size=3), st.booleans())
+yaml_vals = st.recursive(
+    scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(st.text("xyz", min_size=1, max_size=2), children, max_size=3),
+    ),
+    max_leaves=8,
+)
+yaml_docs = st.dictionaries(st.text("abcde", min_size=1, max_size=3), yaml_vals, max_size=4)
+
+
+@given(main=yaml_docs)
+def test_merge_identity(main):
+    """Merging an empty import changes nothing."""
+    import copy
+
+    snapshot = copy.deepcopy(main)
+    assert merge_yaml_dict(copy.deepcopy(main), {}) == snapshot
+
+
+@given(main=yaml_docs, imported=yaml_docs)
+def test_merge_key_union_and_rules(main, imported):
+    """Merge result covers the key union; same-type collisions follow the
+    reference rules (lists prepend, scalars take the import)."""
+    import copy
+
+    m, i = copy.deepcopy(main), copy.deepcopy(imported)
+    try:
+        out = merge_yaml_dict(m, i)
+    except ValueError:
+        # a (possibly nested) same-key type mismatch raises by contract
+        return
+    assert set(out) == set(main) | set(imported)
+    for k in main:
+        if k in imported and isinstance(main[k], list) and isinstance(imported[k], list):
+            assert out[k] == imported[k] + main[k]
+        if (
+            k in imported
+            and not isinstance(main[k], (list, dict, str))
+            and type(main[k]) is type(imported[k])
+        ):
+            assert out[k] == imported[k]
+
+
+@given(
+    value=st.integers(-1000, 1000),
+    name=st.builds(lambda a, b: a + b, st.sampled_from("ab"), st.text("ab_", max_size=4)),
+)
+def test_expression_roundtrip(value, name):
+    r = ExpressionResolver({name: value})
+    assert r.resolve("${" + name + "}") == value
+    assert r.resolve(f"v=${{{name}}}!") == f"v={value}!"
+
+
+@given(
+    y=st.integers(1971, 2037),
+    m=st.integers(1, 12),
+    d=st.integers(1, 28),
+    h=st.integers(0, 23),
+    mi=st.integers(0, 59),
+)
+def test_strptime_translation_roundtrip(y, m, d, h, mi):
+    """A timestamp formatted with strftime parses back identically through
+    the translated Java pattern (validated via pandas on the Python side;
+    the Spark-side parse is covered in test_operators)."""
+    from pandas_etl_spark.functions.timeparse import strptime_to_java
+
+    fmt = "%d/%m/%Y %H:%M"
+    t = dt.datetime(y, m, d, h, mi)
+    java = strptime_to_java(fmt)
+    assert java == "dd/MM/yyyy HH:mm"
+    assert dt.datetime.strptime(t.strftime(fmt), fmt) == t
+
+
+# ---------------------------------------------------------------------------
+# Spark-backed properties (few, large examples)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def asof_frames(draw):
+    n_left = draw(st.integers(1, 25))
+    n_right = draw(st.integers(1, 25))
+    keys = draw(st.lists(st.integers(1, 3), min_size=1, max_size=3, unique=True))
+    base = dt.datetime(2024, 1, 1)
+
+    def frame(n, value_name):
+        rows = []
+        used = set()
+        for i in range(n):
+            k = draw(st.sampled_from(keys))
+            t = draw(st.integers(0, 500))
+            if (k, t) in used:  # unique (key, ts) — merge_asof tie semantics
+                continue
+            used.add((k, t))
+            rows.append((k, base + dt.timedelta(minutes=t), float(i)))
+        return pd.DataFrame(rows, columns=["k", "ts", value_name])
+
+    return frame(n_left, "lv"), frame(n_right, "rv")
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(frames=asof_frames())
+def test_asof_join_matches_pandas_merge_asof(spark, frames):
+    from pandas_etl_spark.operators import asof_join
+
+    lpdf, rpdf = frames
+    if lpdf.empty:
+        return
+    lpdf = lpdf.sort_values(["ts", "k"]).reset_index(drop=True)
+    rpdf = rpdf.sort_values(["ts", "k"]).reset_index(drop=True)
+
+    exp = pd.merge_asof(lpdf, rpdf, on="ts", by="k", direction="backward")
+
+    l = spark.createDataFrame(lpdf)
+    r = spark.createDataFrame(rpdf)
+    got = (
+        asof_join(l, r, on="ts", by="k", direction="backward")
+        .toPandas()
+        .sort_values(["ts", "k"])
+        .reset_index(drop=True)
+    )
+    exp_pairs = exp[["k", "ts", "lv", "rv"]].sort_values(["ts", "k"]).reset_index(drop=True)
+    got_pairs = got[["k", "ts", "lv", "rv"]].sort_values(["ts", "k"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_pairs, exp_pairs, check_dtype=False)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-100, 100)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_grouped_max_matches_pandas(spark, data):
+    from pandas_etl_spark.pandas_ops import Table
+
+    pdf = pd.DataFrame(data, columns=["k", "v"])
+    t = Table(spark.createDataFrame(pdf))
+    got = {r.k: r.v for r in t.groupby("k").max().df.collect()}
+    exp = pdf.groupby("k").v.max().to_dict()
+    assert got == exp

@@ -154,6 +154,59 @@ def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts, p.value AS purchase_value
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join with watermarks: purchases matched to
+    the same user's clicks in the preceding hour. State is bounded by the
+    watermark + interval condition (Spark drops click state older than
+    purchase-watermark − 1h). Oracle = the equivalent batch interval
+    join, valid because the file stream drains completely."""
+    from pyspark.sql import functions as SF
+
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(SF.col("event_type") == "purchase")
+        .select(
+            SF.col("event_id").alias("purchase_id"),
+            "user_id",
+            SF.col("ts").alias("purchase_ts"),
+            SF.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(SF.col("event_type") == "click")
+        .select(
+            SF.col("event_id").alias("click_id"),
+            SF.col("user_id").alias("c_user_id"),
+            SF.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (SF.col("user_id") == SF.col("c_user_id"))
+        & (SF.col("click_ts") >= SF.col("purchase_ts") - SF.expr("INTERVAL 1 HOUR"))
+        & (SF.col("click_ts") <= SF.col("purchase_ts")),
+        "inner",
+    ).select(
+        "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts", "purchase_value"
+    )
+    table = run_stream_to_table(joined, output_mode="append")
+    return spark.table(table)
+
+
+@query(
     "stream_tumbling_hour",
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket, event_type,

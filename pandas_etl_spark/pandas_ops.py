@@ -29,6 +29,20 @@ def _is_numeric(dtype: str) -> bool:
     return dtype.split("(")[0] in _NUMERIC
 
 
+class TimeGrouper:
+    """pd.Grouper(key=..., freq=...) analogue (reference README.md:54-58,
+    110-112): a declarative time-bucketing group key. ``Table.groupby``
+    replaces the key column with its bucket start (functions/timeparse.py
+    freq-alias translation)."""
+
+    def __init__(self, key: str, freq: str, **_ignored: Any):
+        self.key = key
+        self.freq = freq
+
+    def __repr__(self) -> str:
+        return f"TimeGrouper(key={self.key!r}, freq={self.freq!r})"
+
+
 class Table:
     """A Spark DataFrame with pandas-flavored method names."""
 
@@ -60,7 +74,30 @@ class Table:
 
     # -- pandas surface (§2.3–§2.7) -------------------------------------------
 
-    def groupby(self, by: str | list[str], dropna: bool = False) -> "Grouped":
+    def groupby(
+        self,
+        by: "str | list[str] | TimeGrouper",
+        axis: Any = 0,
+        dropna: bool = False,
+    ) -> "Grouped":
+        """``axis="columns"`` (reference README.md:65) has no distributed
+        analogue and is a doc artifact (SURVEY §2.5) — accepted and
+        ignored with a warning. ``dropna=False`` matches Spark's default
+        (null groups kept)."""
+        if axis in ("columns", 1):
+            import warnings
+
+            warnings.warn(
+                "groupby(axis='columns') has no distributed analogue; grouping rows",
+                stacklevel=2,
+            )
+        if isinstance(by, TimeGrouper):
+            from pandas_etl_spark.functions.timeparse import grouper_bucket
+
+            bucketed = self._df.withColumn(
+                by.key, grouper_bucket(by.key, by.freq)
+            )
+            return Grouped(bucketed, [by.key])
         keys = [by] if isinstance(by, str) else list(by)
         return Grouped(self._df, keys)
 

@@ -137,6 +137,7 @@ class Pipeline:
             (("concat",), pandas_ops.concat),
             (("merge",), pandas_ops.merge),
             (("DataFrame",), dataframe),
+            (("Grouper",), pandas_ops.TimeGrouper),
         ]:
             for n in names:
                 for prefix in ("pd.", "pandas.", ""):

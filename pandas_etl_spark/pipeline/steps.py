@@ -50,11 +50,22 @@ class _Step:
         # defaults merge through the YAML merge rules — this is where the
         # reference raises its type-mismatch error for malformed short-hand
         # steps (etl.py:524-535 + 244-252); replicated for message parity.
+        # Divergence (fix): positional/scalar args (`args: [x]`, README.md
+        # long-hand `to_csv` example) are allowed — the reference's dispatcher
+        # handles them (etl.py:552-557) but its defaults merge rejects them,
+        # so its own README example cannot run. String args still raise the
+        # reference's exact error (pinned by its test_mismatch_type).
         from pandas_etl_spark.pipeline.yaml_loader import merge_yaml_dict
 
+        step_definition = dict(step_definition)
+        args_override = None
+        if "args" in step_definition and not isinstance(step_definition["args"], (dict, str)):
+            args_override = step_definition.pop("args")
         merged = merge_yaml_dict(
             {"args": {}, "resumeFromSaved": True, "saveProgress": ""}, step_definition
         )
+        if args_override is not None:
+            merged["args"] = args_override
         if "name" not in merged or "function" not in merged:
             raise ValueError(
                 f"Step definition needs 'name' and 'function' (or short-hand): {step_definition}"

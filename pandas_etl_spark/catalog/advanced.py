@@ -292,12 +292,12 @@ def q_grouper_week_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            to_timestamp(bucket_s) AS bucket,
-           round(CASE WHEN v IS NOT NULL THEN v
-                      WHEN prev_t IS NULL THEN next_v
-                      WHEN next_t IS NULL THEN prev_v
-                      ELSE prev_v + (next_v - prev_v)
-                           * (CAST(bucket_s - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
-                 END, 6) AS value,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_t IS NULL THEN next_v
+                WHEN next_t IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(bucket_s - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+           END AS value,
            v IS NULL AS interpolated
     FROM w
     """,

@@ -5,6 +5,9 @@ demo query (the framework exercised inside the driver-checked contract).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -186,6 +189,68 @@ def q_equi_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_prompt_lines"),
             F.sum("l_extendedprice").alias("prompt_revenue"),
         )
+    )
+
+
+@query(
+    "value_counts",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_mktsegment
+    ORDER BY n DESC, c_mktsegment
+    """,
+)
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.value_counts parity: count desc, deterministic tie-break."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("c_mktsegment"))
+    )
+
+
+@query(
+    "isin_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderstatus
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus NOT IN ('P')
+    """,
+)
+def q_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.isin / ~isin parity."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & ~F.col("o_orderstatus").isin("P")
+        )
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+    )
+
+
+@query(
+    "geomean_udaf",
+    oracle="""
+    SELECT o_orderpriority,
+           round(exp(avg(ln(o_totalprice))), 6) AS geo_mean
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregating pandas UDF (GROUPED_AGG, §2.8 UDAF row): geometric
+    mean of order totals per priority — numpy inside, Arrow-batched;
+    oracle is the closed form exp(avg(ln(x)))."""
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.round(geo_mean("o_totalprice"), 6).alias("geo_mean"))
     )
 
 

@@ -70,9 +70,12 @@ def resample_interpolate(
         .when(next_t.isNull(), prev_v)  # trailing gap → last known
         .otherwise(prev_v + (next_v - prev_v) * frac)
     )
+    # no rounding: the lerp arithmetic is order-identical across engines
+    # (bit-equal doubles); rounding at a fixed precision would CREATE
+    # half-way mismatches on the exact dyadic fractions lerp produces
     return full.select(
         key,
         F.timestamp_seconds(F.col("bucket_s")).alias("bucket"),
-        F.round(interpolated, 6).alias("value"),
+        interpolated.alias("value"),
         F.col("v").isNull().alias("interpolated"),
     )

@@ -1,0 +1,73 @@
+"""Storage-layout scale features proven executable: bucketed co-located
+joins (no exchange) and partition pruning (pruned file listing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _formatted_plan(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
+    """Both sides bucketed+sorted on the join key → sort-merge join with
+    ZERO Exchange operators (the 100 TB co-location strategy)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_b")
+    )
+    (
+        o.withColumnRenamed("o_orderkey", "l_orderkey")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("o_b")
+    )
+    try:
+        # disable broadcast so the co-location (not a broadcast) is what
+        # avoids the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("li_b")
+            .join(spark.table("o_b"), "l_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = _formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        join_section = plan.split("HashAggregate")[0]
+        assert "Exchange" not in join_section.replace("BroadcastExchange", "")
+        # values still correct
+        exp = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, exp.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Writing partitioned by a derived key and filtering on it prunes
+    the file listing (PartitionFilters in the scan)."""
+    out = str(tmp_path / "orders_by_year")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    o.write.partitionBy("o_year").mode("overwrite").parquet(out)
+
+    filtered = spark.read.parquet(out).filter(F.col("o_year") == 1997)
+    plan = _formatted_plan(filtered)
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters")[1].split("\n")[0]
+    n_all = spark.read.parquet(out).count()
+    n_1997 = filtered.count()
+    assert 0 < n_1997 < n_all

@@ -254,6 +254,45 @@ def q_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORRELATED_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM {orders}
+    WHERE o_totalprice > (
+        SELECT 1.5 * avg(o2.o_totalprice)
+        FROM {orders} o2
+        WHERE o2.o_custkey = {outer}.o_custkey
+    )
+"""
+
+
+@query(
+    "correlated_subquery",
+    oracle=_CORRELATED_SQL.format(orders="orders", outer="orders"),
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface: correlated scalar subquery (orders 1.5× above the
+    customer's own average) — Catalyst decorrelates it into an aggregate
+    + join; identical SQL runs on DuckDB as the oracle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("cat_orders")
+    return spark.sql(_CORRELATED_SQL.format(orders="cat_orders", outer="cat_orders"))
+
+
+_GSETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+    FROM {t}
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("grouping_sets", oracle=_GSETS_SQL.format(t="lineitem"))
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL GROUPING SETS (strictly more general than the reference's
+    pandas margins emulation — SURVEY §2.5)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("cat_lineitem")
+    return spark.sql(_GSETS_SQL.format(t="cat_lineitem"))
+
+
 @query(
     "pipeline_yaml_engine",
     oracle="""

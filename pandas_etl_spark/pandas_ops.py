@@ -297,7 +297,20 @@ def merge(
     ldf, rdf = _unwrap(left), _unwrap(right)
     spark_how = _HOW_MAP.get(how, how)  # pass through leftsemi/leftanti
     if indicator:
-        raise NotImplementedError("merge(indicator=True): use how='leftsemi'/'leftanti'")
+        # pandas indicator semantics: a _merge column with
+        # left_only/right_only/both, driven by key presence on each side
+        if on is None:
+            raise ValueError("merge(indicator=True) requires on=")
+        keys = [on] if isinstance(on, str) else list(on)
+        lflag = ldf.withColumn("__in_left", F.lit(1))
+        rflag = rdf.withColumn("__in_right", F.lit(1))
+        out = lflag.join(rflag, on=keys, how=spark_how)
+        merge_col = (
+            F.when(F.col("__in_left").isNotNull() & F.col("__in_right").isNotNull(), "both")
+            .when(F.col("__in_left").isNotNull(), "left_only")
+            .otherwise("right_only")
+        )
+        return Table(out.withColumn("_merge", merge_col).drop("__in_left", "__in_right"))
     if on is not None:
         return Table(ldf.join(rdf, on=on, how=spark_how))
     if left_on is not None and right_on is not None:
@@ -314,6 +327,32 @@ def merge(
     if not common:
         raise ValueError("merge: no common columns and no join keys given")
     return Table(ldf.join(rdf, on=common, how=spark_how))
+
+
+def crosstab(index: Any, columns: Any, index_col: str, columns_col: str) -> Table:
+    """pd.crosstab parity over a single frame: counts of (index, column)
+    combinations as a pivot. ``index``/``columns`` is the frame; column
+    names passed explicitly (no positional Series in a distributed engine)."""
+    df = _unwrap(index)
+    return Table(
+        df.groupBy(index_col).pivot(columns_col).count().na.fill(0)
+    )
+
+
+def read_excel(spark, path: str, sheet_name: Any = 0, **kwargs: Any) -> Table:
+    """pd.read_excel parity — driver-side pandas (openpyxl) then
+    createDataFrame; suitable for small config-style workbooks only.
+    Gated behind an import-try: the engine works without excel deps."""
+    try:
+        import pandas as _pd
+
+        pdf = _pd.read_excel(path, sheet_name=sheet_name, **kwargs)
+    except ImportError as e:  # openpyxl/xlrd not installed
+        raise NotImplementedError(
+            "read_excel needs openpyxl/xlrd on the driver; not available in "
+            "this environment"
+        ) from e
+    return Table(spark.createDataFrame(pdf))
 
 
 _DTYPE_MAP = {

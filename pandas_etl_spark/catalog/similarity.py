@@ -102,6 +102,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic mini-k-means cells, nprobe-cell probe,
+    exact re-rank (the partition-the-corpus-by-centroid scale path,
+    complementing the sign-LSH variant). Rows-only driver check; recall
+    vs brute force asserted in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ann_ivf_topk(
+        emb, queries, k=_TOPK, n_cells=16, nprobe=4
+    ).withColumnRenamed("rank", "rnk")
+
+
 @query("embedding_neardup_lsh")
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH blocked near-dup pairs (rows-only driver check)."""

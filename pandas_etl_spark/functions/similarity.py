@@ -192,6 +192,110 @@ def ann_lsh_topk(
     )
 
 
+def _kmeans_centroids(
+    emb: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic mini k-means for IVF cells: init = the k vectors
+    with the lowest ids (reproducible), then ``iters`` Lloyd steps as
+    Spark aggregations (assign via codegen'd argmin over broadcast
+    centroids; update via per-dimension avg). Small driver-side state
+    (k×dim floats) — the data never leaves executors."""
+    init = [
+        list(r[vec_col])
+        for r in emb.orderBy(id_col).limit(k).collect()
+    ]
+    centroids = [[float(x) for x in v] for v in init]
+    for _ in range(iters):
+        # cell computed ONCE per row, then dimensions explode
+        assigned = emb.withColumn(
+            "cell", _nearest_centroid(F.col(vec_col), centroids)
+        ).select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in rows:
+            new[r["cell"]][r["pos"]] = r["m"]
+        centroids = new
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2, deterministic lowest-
+    index tie-break): one distance array + array argmin. (A chained
+    ``when`` argmin duplicates each distance subtree into every later
+    branch — exponential expression growth, unanalyzable past ~12
+    centroids.)"""
+    darr = F.array(*[_sqdist(vec, c) for c in centroids])
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: corpus assigned to k-means cells; each query probes
+    its ``nprobe`` nearest cells and re-ranks exactly. At 100 TB the
+    corpus is written partitioned by cell (the inverted file); a query
+    reads nprobe/n_cells of the data. Deterministic (seedless k-means
+    init by lowest ids)."""
+    corpus = ensure_parallelism(emb)
+    centroids = _kmeans_centroids(corpus, n_cells, kmeans_iters, id_col, vec_col)
+    assigned = corpus.withColumn("cell", _nearest_centroid(F.col(vec_col), centroids))
+
+    # nprobe nearest cells per query: sort (dist, cell) structs, slice
+    dist_cells = F.array(
+        *[
+            F.struct(
+                _sqdist(F.col("query_vec"), c).alias("d"), F.lit(i).alias("c")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    qcells = queries.select(
+        "query_id",
+        "query_vec",
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(dist_cells), 1, nprobe), lambda p: p.getField("c")
+            )
+        ).alias("cell"),
+    )
+    cand = (
+        assigned.join(F.broadcast(qcells), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -95,6 +95,22 @@ class TestLshRecall:
         recall = len(exact_pairs & approx) / len(exact_pairs)
         assert recall >= 0.5, f"recall {recall}"
 
+    def test_ann_ivf_recall_vs_bruteforce(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact_pairs = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.cosine_topk(emb, queries, k=3).collect()
+        }
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.ann_ivf_topk(emb, queries, k=3, n_cells=8, nprobe=4).collect()
+        }
+        recall = len(exact_pairs & ivf) / len(exact_pairs)
+        assert recall >= 0.5, f"recall {recall}"
+
     def test_simhash_identical_docs_zero_distance(self, spark):
         d = spark.createDataFrame(
             [(1, "the quick brown fox"), (2, "the  QUICK brown fox "), (3, "completely different words here")],

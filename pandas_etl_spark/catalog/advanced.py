@@ -291,7 +291,7 @@ def q_grouper_week_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT user_id,
-           to_timestamp(bucket_s) AS bucket,
+           CAST(to_timestamp(bucket_s) AS TIMESTAMP) AS bucket,
            CASE WHEN v IS NOT NULL THEN v
                 WHEN prev_t IS NULL THEN next_v
                 WHEN next_t IS NULL THEN prev_v

@@ -98,27 +98,45 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
            min(o_totalprice)                   AS min_price,
            max(o_totalprice)                   AS max_price,
-           avg(o_totalprice)                   AS avg_price,
-           stddev_samp(o_totalprice)           AS sd_price,
-           var_samp(o_totalprice)              AS var_price
+           round(avg(o_totalprice), 6)         AS avg_price,
+           round(stddev_samp(o_totalprice), 6) AS sd_price,
+           round(var_samp(o_totalprice), 3)    AS var_price
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sum/mean/min/max/count/std/var/nunique family (§2.5 D-rows)."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("o_custkey").alias("n_cust"),
-            F.min("o_totalprice").alias("min_price"),
-            F.max("o_totalprice").alias("max_price"),
-            F.avg("o_totalprice").alias("avg_price"),
-            F.stddev_samp("o_totalprice").alias("sd_price"),
-            F.var_samp("o_totalprice").alias("var_price"),
-        )
+    """sum/mean/min/max/count/std/var/nunique family (§2.5 D-rows).
+
+    nunique is computed as a SEPARATE aggregation joined back (broadcast —
+    result has one row per group key): mixing countDistinct into the same
+    agg makes Catalyst insert an Expand + regroup, which (a) multiplies the
+    pre-shuffle row count by the number of distinct-aggs at 100 TB and
+    (b) re-orders the float summation for avg/std/var (nondeterministic
+    last-ulp drift vs any sequential oracle)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("sd_price"),
+        # var's Welford M2 merge order differs per engine by ~1 ulp
+        # (~4e-6 abs at 2e10): round well above the noise floor
+        F.round(F.var_samp("o_totalprice"), 3).alias("var_price"),
+    )
+    ncust = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+    return base.join(F.broadcast(ncust), "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        "n_cust",
+        "min_price",
+        "max_price",
+        "avg_price",
+        "sd_price",
+        "var_price",
     )
 
 

@@ -117,16 +117,22 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("doc_rolling_fingerprint")
 def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint set (min-sampled winnowing style): the 4
-    smallest Rabin–Karp window hashes per doc. Rows-only check (the
-    polynomial-hash fold is not portable DuckDB SQL)."""
+    smallest Rabin–Karp window hashes per doc, emitted as one
+    comma-joined string column (scalar output — array columns break the
+    driver's row canonicalizer). Rows-only check (the polynomial-hash
+    fold is not portable DuckDB SQL)."""
     from pandas_etl_spark.functions.dedup import normalized
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", normalized("text").alias("_n")).select(
         "doc_id",
-        F.slice(F.array_sort(tx.rolling_hashes("_n", window=8)), 1, 4).alias(
-            "min_hashes"
-        ),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(tx.rolling_hashes("_n", window=8)), 1, 4),
+                lambda h: h.cast("string"),
+            ),
+            ",",
+        ).alias("min_hashes"),
     )
 
 

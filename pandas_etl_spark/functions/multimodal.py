@@ -55,7 +55,7 @@ def attach_binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame
     )
     return df.select(
         "*",
-        F.octet_length(p).alias("payload_bytes"),
+        F.octet_length(p).cast("bigint").alias("payload_bytes"),
         F.md5(p).alias("payload_md5"),
         kind.alias("sniffed_mime"),
     )

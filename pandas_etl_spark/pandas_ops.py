@@ -177,8 +177,19 @@ class Table:
         how: str = "inner",
         left_on: str | list[str] | None = None,
         right_on: str | list[str] | None = None,
+        indicator: bool = False,
+        suffixes: tuple[str, str] = ("_x", "_y"),
     ) -> "Table":
-        return merge(self, right, on=on, how=how, left_on=left_on, right_on=right_on)
+        return merge(
+            self,
+            right,
+            on=on,
+            how=how,
+            left_on=left_on,
+            right_on=right_on,
+            indicator=indicator,
+            suffixes=suffixes,
+        )
 
     def explode(self, column: str) -> "Table":
         others = [c for c in self._df.columns if c != column]
@@ -213,8 +224,6 @@ class Grouped:
         "count": (F.count, False),
         "std": (F.stddev_samp, True),
         "var": (F.var_samp, True),
-        "first": (F.first, False),
-        "last": (F.last, False),
         "nunique": (F.countDistinct, False),
         "median": (lambda c: F.percentile_approx(c, 0.5), True),
     }
@@ -239,11 +248,48 @@ class Grouped:
             return lambda: self._agg_all(name)
         raise AttributeError(name)
 
+    def first(self, order_by: str | None = None) -> Table:
+        return self._first_last("first", order_by)
+
+    def last(self, order_by: str | None = None) -> Table:
+        return self._first_last("last", order_by)
+
+    def _first_last(self, which: str, order_by: str | None) -> Table:
+        """pandas groupby().first()/last() are defined by ROW ORDER, which a
+        distributed table does not have — F.first/F.last give run-to-run
+        unstable answers across partitions (ADVICE r1, medium). We require
+        an explicit ordering column and take, per column, the first/last
+        NON-NULL value by that order (pandas skips NaN the same way),
+        deterministically via struct min/max (order ties broken by value)."""
+        if order_by is None:
+            raise ValueError(
+                f"groupby().{which}() needs order_by=<column>: a distributed "
+                "table has no row order, so pandas' order-defined "
+                f"{which} is nondeterministic here"
+            )
+        agg = F.min if which == "first" else F.max
+        cols = [c for c in self._df.columns if c not in self.keys]
+        aggs = [
+            agg(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.col(order_by).alias("o"), F.col(c).alias("v")),
+                )
+            )["v"].alias(c)
+            for c in cols
+        ]
+        return Table(self._df.groupBy(*self.keys).agg(*aggs))
+
     def agg(self, spec: dict[str, str | list[str]]) -> Table:
         """pandas agg-dict: {"col": "mean"} or {"col": ["min", "max"]}."""
         aggs = []
         for col, fns in spec.items():
             for fn_name in [fns] if isinstance(fns, str) else fns:
+                if fn_name in ("first", "last"):
+                    raise ValueError(
+                        f"agg '{fn_name}' is order-defined; use "
+                        f"groupby(...).{fn_name}(order_by=...) instead"
+                    )
                 fn, _ = self._AGG_FNS[fn_name]
                 alias = col if isinstance(fns, str) else f"{col}_{fn_name}"
                 aggs.append(fn(col).alias(alias))
@@ -291,17 +337,49 @@ def merge(
     left_on: str | list[str] | None = None,
     right_on: str | list[str] | None = None,
     indicator: bool = False,
+    suffixes: tuple[str, str] = ("_x", "_y"),
 ) -> Table:
     """pd.merge parity (§2.4). Semi/anti are native Spark joins exposed via
-    how='leftsemi'/'leftanti' (extension beyond pandas)."""
+    how='leftsemi'/'leftanti' (extension beyond pandas).
+
+    Overlapping non-key columns are disambiguated with pandas' _x/_y
+    ``suffixes`` BEFORE joining (ADVICE r1: Spark keeps duplicate names,
+    making any later reference to them ambiguous)."""
     ldf, rdf = _unwrap(left), _unwrap(right)
     spark_how = _HOW_MAP.get(how, how)  # pass through leftsemi/leftanti
+    if (
+        on is None
+        and left_on is None
+        and right_on is None
+        and spark_how != "cross"
+        and not indicator
+    ):
+        on = [c for c in ldf.columns if c in set(rdf.columns)]  # natural join
+        if not on:
+            raise ValueError("merge: no common columns and no join keys given")
+    if indicator and on is None:
+        raise ValueError("merge(indicator=True) requires on=")
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+
+    # pandas suffix semantics: every column name present on BOTH sides and
+    # not a shared join key gets suffixed (semi/anti output only left cols)
+    overlap = [
+        c for c in ldf.columns if c in set(rdf.columns) and c not in keys
+    ]
+    if overlap and spark_how not in ("leftsemi", "leftanti", "semi", "anti"):
+        sx, sy = suffixes
+        ldf = ldf.select(
+            *[F.col(c).alias(c + sx) if c in overlap else F.col(c) for c in ldf.columns]
+        )
+        rdf = rdf.select(
+            *[F.col(c).alias(c + sy) if c in overlap else F.col(c) for c in rdf.columns]
+        )
+    else:
+        sx, sy = "", ""
+
     if indicator:
         # pandas indicator semantics: a _merge column with
         # left_only/right_only/both, driven by key presence on each side
-        if on is None:
-            raise ValueError("merge(indicator=True) requires on=")
-        keys = [on] if isinstance(on, str) else list(on)
         lflag = ldf.withColumn("__in_left", F.lit(1))
         rflag = rdf.withColumn("__in_right", F.lit(1))
         out = lflag.join(rflag, on=keys, how=spark_how)
@@ -311,22 +389,17 @@ def merge(
             .otherwise("right_only")
         )
         return Table(out.withColumn("_merge", merge_col).drop("__in_left", "__in_right"))
-    if on is not None:
-        return Table(ldf.join(rdf, on=on, how=spark_how))
+    if keys:
+        return Table(ldf.join(rdf, on=keys, how=spark_how))
     if left_on is not None and right_on is not None:
         lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
         rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
         cond = None
         for lk, rk in zip(lkeys, rkeys):
-            c = ldf[lk] == rdf[rk]
+            c = ldf[lk + sx if lk in overlap else lk] == rdf[rk + sy if rk in overlap else rk]
             cond = c if cond is None else (cond & c)
         return Table(ldf.join(rdf, on=cond, how=spark_how))
-    if spark_how == "cross":
-        return Table(ldf.crossJoin(rdf))
-    common = [c for c in ldf.columns if c in set(rdf.columns)]
-    if not common:
-        raise ValueError("merge: no common columns and no join keys given")
-    return Table(ldf.join(rdf, on=common, how=spark_how))
+    return Table(ldf.crossJoin(rdf))
 
 
 def crosstab(index: Any, columns: Any, index_col: str, columns_col: str) -> Table:

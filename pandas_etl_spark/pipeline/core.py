@@ -188,7 +188,16 @@ class Pipeline:
 
     @staticmethod
     def checkpoint_exists(path: str) -> bool:
-        return bool(path) and os.path.exists(path)
+        """A checkpoint counts only if its Spark job COMMITTED. Spark
+        creates the output directory before writing and drops a _SUCCESS
+        marker at job commit — a crash mid-write leaves the directory
+        without the marker, and bare os.path.exists would silently resume
+        from a partial/empty checkpoint (ADVICE r1, medium)."""
+        if not path or not os.path.exists(path):
+            return False
+        if os.path.isdir(path):
+            return os.path.exists(os.path.join(path, "_SUCCESS"))
+        return True  # plain file (non-Spark-written): existence is commit
 
     def write_checkpoint(self, output: Any, path: str) -> None:
         df = output.df if isinstance(output, Table) else output

@@ -4,16 +4,28 @@ Reference behavior (etl.py:40-96), reproduced exactly:
 - strings scanned with the greedy/non-greedy pattern ``(.*)\\$\\{(.*?)\\}(.*)``;
 - a string that is ENTIRELY one ``${expr}`` returns the evaluated *object*
   (not its str());
-- otherwise each ``${expr}`` is str()-replaced inside the string, and the
-  result is re-scanned (nested expressions);
+- otherwise each ``${expr}`` is str()-replaced inside the string;
 - dicts/lists resolve recursively; other types pass through.
 
-Deliberate divergence (SURVEY §7, security): the reference calls raw
-``eval`` with module globals (etl.py:71,77 — arbitrary code execution by
-design). We AST-validate the expression against an allow-list of node
-types and evaluate against the per-pipeline namespace with a minimal
-builtin set. Power stays available via preFlight-defined functions,
-which land in the namespace and are callable from expressions.
+Deliberate divergences (SURVEY §7, security):
+
+1. The reference calls raw ``eval`` with module globals (etl.py:71,77 —
+   arbitrary code execution by design). We AST-validate the expression
+   and evaluate against the per-pipeline namespace with a minimal builtin
+   set. The validator DENY-lists by shape, not by enumeration: every
+   attribute or name starting with ``_`` is rejected (closing the
+   ``__reduce_ex__``/``__getattribute__`` gadget family), plus
+   ``format``/``format_map`` (str.format's ``{0.__class__...}``
+   mini-language reaches dunders at runtime). Power stays available via
+   preFlight-defined functions, which land in the namespace.
+
+2. The reference re-scans interpolated OUTPUT for ``${...}`` (etl.py's
+   recursive resolve), so a ``${...}`` smuggled inside a variable VALUE
+   (e.g. CLI overrideVariables) gets evaluated — an injection channel.
+   We substitute evaluated results via inert placeholders: only ``${...}``
+   present in the original TEMPLATE text is ever evaluated. Template-level
+   nesting (``${ steps['${name}'].output }``) still composes; value-level
+   injection is returned literally.
 """
 
 from __future__ import annotations
@@ -60,9 +72,11 @@ _SAFE_BUILTINS = {
     "True": True, "False": False, "None": None,
 }
 
-_BLOCKED_ATTRS = {"__globals__", "__code__", "__closure__", "__subclasses__",
-                  "__bases__", "__mro__", "__class__", "__dict__", "__init__",
-                  "__builtins__", "__import__"}
+# str.format / str.format_map re-open attribute traversal at runtime via
+# the "{0.__class__}" replacement-field mini-language — no AST to inspect.
+_BLOCKED_ATTRS = {"format", "format_map"}
+
+_PLACEHOLDER_RE = re.compile(r"\x00\d+\x00")
 
 
 class ExpressionError(ValueError):
@@ -87,11 +101,13 @@ class ExpressionResolver:
                 raise ExpressionError(
                     f"Disallowed syntax {type(node).__name__!r} in expression '{expression}'"
                 )
-            if isinstance(node, ast.Attribute) and node.attr in _BLOCKED_ATTRS:
+            if isinstance(node, ast.Attribute) and (
+                node.attr.startswith("_") or node.attr in _BLOCKED_ATTRS
+            ):
                 raise ExpressionError(
                     f"Disallowed attribute '{node.attr}' in expression '{expression}'"
                 )
-            if isinstance(node, ast.Name) and node.id.startswith("__"):
+            if isinstance(node, ast.Name) and node.id.startswith("_"):
                 raise ExpressionError(
                     f"Disallowed name '{node.id}' in expression '{expression}'"
                 )
@@ -105,22 +121,39 @@ class ExpressionResolver:
 
     def resolve(self, value: Any) -> Any:
         if isinstance(value, str):
-            matches = _EXPR_RE.findall(value)
-            output = value
-            for before, expression, after in matches:
-                if len(matches) == 1 and not before and not after:
-                    # whole-string expression → return the object itself
-                    return self.evaluate(expression)
-                # plain str.replace — expressions may contain regex
-                # metacharacters (e.g. steps['pd.read_csv'])
-                output = output.replace(
-                    "${" + expression + "}", str(self.evaluate(expression))
-                )
-                if _EXPR_RE.findall(output):
-                    output = self.resolve(output)
-            return output
+            return self._resolve_str(value)
         if isinstance(value, dict):
             return {k: self.resolve(v) for k, v in value.items()}
         if isinstance(value, list):
             return [self.resolve(v) for v in value]
         return value
+
+    def _resolve_str(self, template: str) -> Any:
+        m = _EXPR_RE.fullmatch(template)
+        if m and not m.group(1) and not m.group(3):
+            # whole-string expression → return the object itself
+            return self.evaluate(m.group(2))
+        # Evaluate template-level ${...} innermost-first, splicing results
+        # in as inert \x00N\x00 placeholders so evaluated OUTPUT is never
+        # re-scanned as template (injection via variable values). A nested
+        # ${ outer ${inner} } composes by substituting the inner's str()
+        # into the outer's expression TEXT before evaluation.
+        values: dict[str, Any] = {}
+        output = template
+        while True:
+            m = _EXPR_RE.search(output)
+            if not m:
+                break
+            expr = _PLACEHOLDER_RE.sub(
+                lambda p: str(values[p.group(0)]), m.group(2)
+            )
+            key = f"\x00{len(values)}\x00"
+            values[key] = self.evaluate(expr)
+            start, end = m.span(2)
+            output = output[: start - 2] + key + output[end + 1 :]
+        if output in values:
+            # the whole template reduced to one nested expression → object
+            return values[output]
+        for key, val in values.items():
+            output = output.replace(key, str(val))
+        return output

@@ -35,8 +35,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.parquet`` stores TIMESTAMP(NANOS,false) which Spark lacks; the
     session reads it as long (legacy.parquet.nanosAsLong) and we convert to
     a microsecond timestamp here (truncation — matching DuckDB's read)."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return normalize_nanos_ts(df)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return normalize_nanos_ts(spark.read.parquet(path), nanos_columns(path))
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -50,13 +50,34 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def normalize_nanos_ts(df: DataFrame) -> DataFrame:
-    """Convert nanos-as-long timestamp columns (marked by the parquet
-    reader) back to proper timestamps (micros, truncating)."""
+def nanos_columns(path: str) -> set[str]:
+    """Column names whose parquet logical type is TIMESTAMP(NANOS) —
+    read from the file footer (pyarrow), NOT guessed from names. Spark's
+    legacy.parquet.nanosAsLong surfaces these as plain longs; only
+    footer-confirmed nanos columns may be converted back (ADVICE r1: a
+    user bigint named 'ts' holding epoch-seconds must pass through)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(path, format="parquet").schema
+        return {
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+    except Exception:
+        return set()
+
+
+def normalize_nanos_ts(df: DataFrame, nanos_cols: set[str] | None = None) -> DataFrame:
+    """Convert footer-confirmed nanos-as-long columns to proper
+    timestamps (micros, truncating — matching DuckDB's read)."""
+    cols = nanos_cols or set()
     out = df
     for f in df.schema.fields:
         if f.dataType.typeName() == "long" and (
-            f.metadata.get("__nanos_as_long") or f.name == "ts"
+            f.metadata.get("__nanos_as_long") or f.name in cols
         ):
             out = out.withColumn(f.name, F.expr(f"timestamp_micros({f.name} div 1000)"))
     return out

@@ -16,9 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events parquet as a file stream (schema from the batch footer —
     streaming readers require an explicit schema)."""
-    from pandas_etl_spark.sources.io import normalize_nanos_ts
+    from pandas_etl_spark.sources.io import nanos_columns, normalize_nanos_ts
 
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)
     # file-stream sources require a directory; glob-filter to the events file
     stream = (
         spark.readStream.schema(batch.schema)
@@ -26,7 +27,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return normalize_nanos_ts(stream)
+    # nanos columns confirmed from the batch footer (same file)
+    return normalize_nanos_ts(stream, nanos_columns(path))
 
 
 def run_stream_to_table(

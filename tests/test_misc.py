@@ -46,6 +46,51 @@ def test_parquet_checkpoint_roundtrip(spark, caplog, tmp_path):
         assert p2.steps["grouped"].output.df.count() > 0
 
 
+def test_partial_checkpoint_not_resumed(spark, caplog, tmp_path):
+    """A checkpoint directory WITHOUT _SUCCESS (crash mid-write) must be
+    recomputed, not silently resumed (ADVICE r1, medium)."""
+    ckpt = str(tmp_path / "step.parquet")
+    yaml_text = f"""
+    preFlight:
+      script: |
+        def marked(df):
+            logging.info("step recomputed")
+            return df.groupby(by="AB").max()
+    steps:
+    - pd.read_csv:
+        filepath_or_buffer: ./tests/data/test.csv
+    - name: grouped
+      function: marked
+      args:
+        df: ${{ steps['pd.read_csv'].output }}
+      saveProgress: {ckpt}
+    """
+    Pipeline(yamlData=yaml_text, spark=spark).run()
+    os.remove(os.path.join(ckpt, "_SUCCESS"))  # simulate crash mid-write
+    with caplog.at_level(logging.INFO):
+        Pipeline(yamlData=yaml_text, spark=spark).run()
+        assert any(r.message == "step recomputed" for r in caplog.records)
+
+
+def test_nanos_conversion_gated_on_footer(spark, tmp_path):
+    """A user bigint column literally named 'ts' (epoch seconds here) must
+    NOT be rewritten by the nanos normalization — conversion is keyed on
+    the parquet footer's TIMESTAMP(NANOS) logical type only (ADVICE r1)."""
+    from pandas_etl_spark.sources.io import load_table, nanos_columns
+
+    p = str(tmp_path / "mytable.parquet")
+    spark.createDataFrame(
+        [(1, 1700000000), (2, 1700003600)], "id int, ts long"
+    ).write.parquet(p)
+    assert nanos_columns(p) == set()
+    df = load_table(spark, str(tmp_path), "mytable")
+    assert dict(df.dtypes)["ts"] == "bigint"
+    assert {r.ts for r in df.collect()} == {1700000000, 1700003600}
+    # the driver-generated events table IS footer-marked nanos → converted
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
 def test_unknown_checkpoint_extension_errors(spark, tmp_path):
     yaml_text = f"""
     steps:

@@ -100,3 +100,47 @@ class TestCombinators:
         assert merge(l, r, on="id", how="leftanti").df.count() == 1
         got = merge(l, r, left_on="id", right_on="id").df.count()
         assert got == 1
+
+    def test_merge_suffixes_overlapping_columns(self, spark):
+        """pandas _x/_y disambiguation (ADVICE r1: bare Spark join keeps
+        duplicate names → later references are ambiguous)."""
+        l = Table(spark.createDataFrame([(1, 10.0)], "id int, val double"))
+        r = Table(spark.createDataFrame([(1, 20.0)], "id int, val double"))
+        out = merge(l, r, on="id")
+        assert sorted(out.df.columns) == ["id", "val_x", "val_y"]
+        row = out.df.collect()[0]
+        assert (row["val_x"], row["val_y"]) == (10.0, 20.0)
+        # custom suffixes, pandas-style
+        out2 = merge(l, r, on="id", suffixes=("_l", "_r"))
+        assert sorted(out2.df.columns) == ["id", "val_l", "val_r"]
+        # left_on/right_on: shared non-key name still suffixed
+        out3 = merge(l, r, left_on="id", right_on="id")
+        assert {"val_x", "val_y"} <= set(out3.df.columns)
+
+    def test_merge_indicator_with_overlap(self, spark):
+        l = Table(spark.createDataFrame([(1, "a"), (2, "a")], "id int, v string"))
+        r = Table(spark.createDataFrame([(2, "b"), (3, "b")], "id int, v string"))
+        out = merge(l, r, on="id", how="outer", indicator=True)
+        got = {row["id"]: row["_merge"] for row in out.df.collect()}
+        assert got == {1: "left_only", 2: "both", 3: "right_only"}
+        assert {"v_x", "v_y"} <= set(out.df.columns)
+
+    def test_groupby_first_last_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [("a", 3, None), ("a", 1, "x"), ("a", 2, "y"), ("b", 1, None)],
+            "k string, o int, v string",
+        )
+        t = Table(df)
+        first = {
+            r["k"]: (r["o"], r["v"])
+            for r in t.groupby("k").first(order_by="o").df.collect()
+        }
+        # per-column first NON-NULL by order (pandas skips NaN likewise)
+        assert first == {"a": (1, "x"), "b": (1, None)}
+        last = {
+            r["k"]: (r["o"], r["v"])
+            for r in t.groupby("k").last(order_by="o").df.collect()
+        }
+        assert last == {"a": (3, "y"), "b": (1, None)}
+        with pytest.raises(ValueError, match="order_by"):
+            t.groupby("k").first()

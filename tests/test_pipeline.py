@@ -200,9 +200,50 @@ class TestExpressionSecurity:
         assert r.resolve("${x}") == [1, 2, 3]
         assert r.resolve("len=${len(x)}") == "len=3"
 
-    def test_nested_resolution(self):
+    def test_value_injection_is_inert(self):
+        """A ``${...}`` smuggled inside a variable VALUE is returned
+        literally, never evaluated (ADVICE r1: re-resolving evaluated
+        output let attacker-controlled values reach eval)."""
         r = ExpressionResolver({"a": "${b}", "b": 42})
-        assert r.resolve("value ${a}") == "value 42"
+        assert r.resolve("value ${a}") == "value ${b}"
+        assert r.resolve("${a}") == "${b}"
+
+    def test_template_level_nesting_still_composes(self):
+        r = ExpressionResolver({"name": "x", "d": {"x": 7}})
+        assert r.resolve("${ d['${name}'] }") == 7
+        assert r.resolve("got ${ d['${name}'] }!") == "got 7!"
+
+    def test_multiple_expressions_one_string(self):
+        r = ExpressionResolver({"a": 1, "b": 2})
+        assert r.resolve("${a}+${b}=${a + b}") == "1+2=3"
+
+    def test_reduce_ex_gadget_blocked(self):
+        """The published bypass chain: ``''.__reduce_ex__(2)[0]
+        .__getattribute__('__globals__')...`` (ADVICE r1, high)."""
+        r = ExpressionResolver({})
+        with pytest.raises(ExpressionError):
+            r.resolve(
+                "${''.__reduce_ex__(2)[0].__getattribute__('__globals__')"
+                "['__builtins__']['__import__']('os').system('true')}"
+            )
+
+    def test_single_underscore_attribute_blocked(self):
+        r = ExpressionResolver({"f": lambda: 1})
+        with pytest.raises(ExpressionError):
+            r.resolve("${f._anything}")
+
+    def test_str_format_mini_language_blocked(self):
+        r = ExpressionResolver({"f": lambda: 1})
+        with pytest.raises(ExpressionError):
+            r.resolve("${'{0.__globals__}'.format(f)}")
+        with pytest.raises(ExpressionError):
+            r.resolve("${'{f.__globals__}'.format_map({'f': f})}")
+
+    def test_injected_value_not_evaluated_in_loop(self):
+        """Evaluated output containing ${...} must not re-enter the
+        template scanner even mid-string."""
+        r = ExpressionResolver({"v": "${len('boom')}"})
+        assert r.resolve("x=${v};") == "x=${len('boom')};"
 
 
 @pytest.mark.usefixtures("spark")

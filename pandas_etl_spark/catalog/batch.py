@@ -815,3 +815,149 @@ def q_dedup_rows_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+@query(
+    "corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 3) AS covar_s,
+           round(covar_pop(l_quantity, l_extendedprice), 3)  AS covar_p
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregate family (corr / covar_samp / covar_pop, §2.5).
+    Rounded above the cross-engine Welford-merge ulp noise (same reasoning
+    as agg_stats' var)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("covar_s"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 3).alias("covar_p"),
+        )
+    )
+
+
+@query(
+    "sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 0
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by content hash (md5 of the key) — the
+    reproducible-across-engines/runs sampling primitive for pipeline
+    debugging and A/B slices. Pure narrow filter: no shuffle, prunes to
+    three columns at the scan, identical rows on every engine (unlike
+    TABLESAMPLE / rand(seed), which are engine- and partitioning-
+    dependent)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 4), 16, 10) as bigint) % 10"
+    )
+    return o.filter(bucket == 0).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "trade_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(extract(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name < n2.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between nation pairs by
+    ship year. Two independent broadcast joins against the same dimension
+    (supplier-side and customer-side nation) — the fact table shuffles
+    only for the orders/customer equi-joins; both nation lookups stay
+    map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "rolling_time_window",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s,
+               value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, epoch_s, value,
+           round(avg(value) OVER w, 6) AS avg_1h,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-range window frame (rangeBetween on epoch seconds): trailing
+    1-hour mean/count per user — the frame is defined by VALUE distance,
+    not row count (rolling_window covers the row-count variant). One
+    shuffle on user_id; the sort feeds both window aggregates."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").cast("long").alias("epoch_s"),
+            "value",
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3599, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "epoch_s",
+        "value",
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )

@@ -136,6 +136,32 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DD_BPE = (
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+).replace("'", "''")
+
+
+@query(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_DD_NTOK} AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{_DD_BPE}')) AS BIGINT) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-regex token counting (the LLM budget
+    signal). The pattern sticks to the RE2 ∩ java.util.regex common
+    subset, so Spark and the oracle tokenize identically."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens_ws"),
+        tx.bpe_token_count("text").alias("n_tokens_bpe"),
+    )
+
+
 @query(
     "quality_score",
     oracle=f"""

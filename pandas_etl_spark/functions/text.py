@@ -148,6 +148,34 @@ def rolling_hashes(norm_col: str, window: int = 8, base: int = 257, mod: int = (
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the context-window prep step of a training/RAG pipeline. Pure
+    explode(sequence) + substring: distributed, no Python, output rows
+    ∝ total corpus characters / stride. Chunk ids are 0-based positions,
+    so (doc_id, chunk_id) is a stable global key."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    starts = F.expr(
+        f"sequence(1, greatest(length({text_col}) - {overlap}, 1), {stride})"
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.expr(f"substring({text_col}, start, {chunk_size})").alias("chunk_text"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard text-analysis columns to a documents frame."""
     return df.select(

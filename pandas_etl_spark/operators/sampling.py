@@ -1,0 +1,49 @@
+"""Deterministic content-hash sampling (SURVEY §2.3 extension).
+
+``TABLESAMPLE`` / ``df.sample(seed)`` choose rows by partition-dependent
+RNG streams — the sample CHANGES when the input repartitions, and no
+other engine reproduces it. Hashing a stable key instead gives a sample
+that is identical across engines, runs, partitionings, and appends
+(a row's membership never changes), which is what pipeline debugging,
+A/B slices, and corpus rebalancing actually need.
+
+Both operators are narrow filters: no shuffle, full predicate/column
+pushdown around them, linear scan cost at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: str, modulus: int) -> Column:
+    """md5-derived bucket in [0, modulus) — portable: DuckDB's
+    ``CAST('0x'||substring(md5(k),1,4) AS BIGINT)`` computes the same."""
+    return F.expr(
+        f"cast(conv(substring(md5(cast({key} as string)), 1, 4), 16, 10) as bigint) % {modulus}"
+    )
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by md5 bucket of ``key``
+    (percent granularity)."""
+    return df.filter(_bucket(key, 100) < int(round(fraction * 100)))
+
+
+def hash_sample_by(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """``df.sampleBy`` with deterministic membership: per-stratum keep
+    rates (percent granularity), ``default`` for unlisted strata."""
+    rate = F.lit(int(round(default * 100)))
+    for stratum, frac in sorted(rates.items()):
+        rate = (
+            F.when(F.col(strata_col) == stratum, int(round(frac * 100)))
+            .otherwise(rate)
+        )
+    return df.filter(_bucket(key, 100) < rate)

@@ -206,6 +206,9 @@ class Table:
     def to_parquet(self, path: str, partition_by: list[str] | None = None) -> str:
         return _io.to_parquet(self._df, path, partition_by=partition_by)
 
+    def to_orc(self, path: str, partition_by: list[str] | None = None) -> str:
+        return _io.to_orc(self._df, path, partition_by=partition_by)
+
     def to_sql(self, name: str, con: Any, if_exists: str = "fail", index: bool = False) -> None:
         options = con.jdbc_options() if hasattr(con, "jdbc_options") else con
         _io.to_sql(self._df, name, options, if_exists=if_exists)

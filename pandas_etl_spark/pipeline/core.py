@@ -110,6 +110,9 @@ class Pipeline:
         def read_parquet(**kw):
             return Table(_io.read_parquet(self.spark, **kw))
 
+        def read_orc(**kw):
+            return Table(_io.read_orc(self.spark, **kw))
+
         def read_json(**kw):
             return Table(_io.read_json(self.spark, **kw))
 
@@ -132,6 +135,7 @@ class Pipeline:
         for names, fn in [
             (("read_csv",), read_csv),
             (("read_parquet",), read_parquet),
+            (("read_orc",), read_orc),
             (("read_json",), read_json),
             (("read_sql",), read_sql),
             (("concat",), pandas_ops.concat),

@@ -126,6 +126,25 @@ def read_parquet(spark: SparkSession, path: str, **options: Any) -> DataFrame:
     return spark.read.options(**options).parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options: Any) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning class as parquet (Spark
+    native, no extra packages)."""
+    return spark.read.options(**options).orc(path)
+
+
+def to_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> str:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+    return path
+
+
 def read_json(spark: SparkSession, path: str, schema: Any = None, **options: Any) -> DataFrame:
     reader = spark.read.options(**options)
     if schema is not None:

@@ -177,3 +177,55 @@ class TestTimeparse:
         rows = {r.id: r.date_column for r in df.collect()}
         assert rows[1] == ts("2024-03-07T00:00:00")
         assert rows[2] == ts("2023-12-25T00:00:00")
+
+
+class TestSamplingChunkingProfile:
+    def test_hash_sample_partition_invariant(self, spark):
+        """The sample's row membership must not depend on partitioning —
+        the property rand(seed)/TABLESAMPLE lack."""
+        from pandas_etl_spark.operators.sampling import hash_sample
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        a = {r.k for r in hash_sample(df, "k", 0.2).collect()}
+        b = {r.k for r in hash_sample(df.repartition(17), "k", 0.2).collect()}
+        assert a == b
+        assert 0.1 < len(a) / 2000 < 0.3
+
+    def test_hash_sample_by_rates(self, spark):
+        from pandas_etl_spark.operators.sampling import hash_sample_by
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 else "de") for i in range(2000)], "k long, lang string"
+        )
+        out = hash_sample_by(df, "k", "lang", {"en": 1.0, "de": 0.0}).collect()
+        assert all(r.lang == "en" for r in out)
+        assert len(out) == 1000
+
+    def test_chunk_documents_reassembles(self, spark):
+        from pandas_etl_spark.functions.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "abcdefghij" * 7), (2, "xy")], "doc_id long, text string"
+        )
+        out = chunk_documents(df, chunk_size=30, overlap=10).collect()
+        by_doc: dict[int, list] = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+        # short doc → one chunk, unchanged
+        assert by_doc[2] == [(0, "xy")]
+        chunks = [t for _, t in sorted(by_doc[1])]
+        # consecutive chunks agree on the 10-char overlap
+        for prev, nxt in zip(chunks, chunks[1:]):
+            assert prev[-10:] == nxt[:10]
+        # stitching non-overlapping parts reassembles the document
+        text = chunks[0] + "".join(c[10:] for c in chunks[1:])
+        assert text == "abcdefghij" * 7
+
+    def test_profile_columns_counts(self, spark):
+        from pandas_etl_spark.operators.profile import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (4, "b")], "k long, v string"
+        )
+        got = {r.col: (r.n_rows, r.n_nulls, r.n_distinct) for r in profile_columns(df).collect()}
+        assert got == {"k": (4, 0, 4), "v": (4, 1, 2)}

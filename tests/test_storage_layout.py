@@ -71,3 +71,29 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     n_all = spark.read.parquet(out).count()
     n_1997 = filtered.count()
     assert 0 < n_1997 < n_all
+
+def test_orc_roundtrip_with_pruning(spark, sf_dir, tmp_path):
+    """ORC sink/scan parity with parquet: partitioned write, partition
+    pruning on read, values preserved."""
+    from pandas_etl_spark.sources.io import read_orc, to_orc
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_orc")
+    to_orc(orders, path, partition_by=["o_orderpriority"])
+
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    one = back.filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition filter reaches the ORC scan (no full-data read)
+    assert "1-URGENT" in plan
+    expected = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert one.count() == expected
+    got = {r.o_orderkey: r.o_totalprice for r in one.limit(100).collect()}
+    chk = {
+        r.o_orderkey: r.o_totalprice
+        for r in orders.filter(F.col("o_orderkey").isin(*got.keys())).collect()
+    }
+    assert got == chk

@@ -374,3 +374,47 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mm.decode_images(d, "payload", "doc_id")
+
+
+@query(
+    "qcut_quartiles",
+    oracle="""
+    WITH cuts AS (
+        SELECT quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.5)  AS p50,
+               quantile_cont(o_totalprice, 0.75) AS p75
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_totalprice <= p25 THEN 0
+                WHEN o_totalprice <= p50 THEN 1
+                WHEN o_totalprice <= p75 THEN 2
+                ELSE 3 END AS quartile
+    FROM orders, cuts
+    """,
+)
+def q_qcut_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.qcut(4) via exact percentile CUTPOINTS + broadcast, not a
+    global-sort ntile: the one-row cutpoint aggregate broadcasts to a
+    narrow CASE per row, so there is no full-table sort/single-reducer
+    stage — the qcut plan that survives 100 TB. (Spark F.percentile and
+    DuckDB quantile_cont interpolate identically.)"""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.75).alias("p75"),
+    )
+    p = F.col("o_totalprice")
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(p <= F.col("p25"), 0)
+            .when(p <= F.col("p50"), 1)
+            .when(p <= F.col("p75"), 2)
+            .otherwise(3)
+            .alias("quartile"),
+        )
+    )

@@ -273,3 +273,31 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table).select(
         F.col("win.start").alias("win_start"), "n", "total_value"
     )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_first
+    FROM (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_id ORDER BY ts, event_type) AS rn
+        FROM events
+    ) WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: stateful dedup whose per-key state
+    EXPIRES once the watermark passes it — the bounded-state production
+    form (plain streaming dropDuplicates keeps every key forever). The
+    whole file drains in one micro-batch here, so no state expires and
+    the batch keep-first oracle is exact; the bounded-state behavior
+    itself is unit-tested in tests/test_streaming.py."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_first"))
+    table = run_stream_to_table(agg, output_mode="complete")
+    return spark.table(table)

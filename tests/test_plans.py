@@ -71,3 +71,42 @@ def test_asof_single_shuffle(spark, sf_dir):
 def test_exact_dedup_semi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_exact")
     assert "LeftSemi" in plan
+
+
+def test_trade_volume_dims_broadcast(spark, sf_dir):
+    """Q7 shape: supplier + both nation lookups broadcast; the fact side
+    never shuffles for a dimension."""
+    plan = plan_of(spark, sf_dir, "trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_hash_is_narrow(spark, sf_dir):
+    """Hash sampling must stay a scan+filter — no Exchange at all."""
+    plan = plan_of(spark, sf_dir, "sample_hash")
+    assert "Exchange" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # column pruning: only the three selected columns leave the scan
+    assert "o_orderdate" not in read_schema and "o_comment" not in read_schema
+
+
+def test_qcut_has_no_global_sort(spark, sf_dir):
+    """qcut via percentile cutpoints: no Sort over the full table, and
+    the one-row cutpoint side is broadcast."""
+    plan = plan_of(spark, sf_dir, "qcut_quartiles")
+    assert "Sort " not in plan and "GlobalSort" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """The profiler computes every counter in ONE pass over the data."""
+    plan = plan_of(spark, sf_dir, "profile_columns")
+    # formatted mode lists each node twice (tree + detail): count tree rows
+    assert plan.count("+- Scan parquet") == 1
+
+
+def test_rolling_time_window_single_shuffle(spark, sf_dir):
+    """One Exchange on user_id feeds both window aggregates."""
+    plan = plan_of(spark, sf_dir, "rolling_time_window")
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(user_id" in plan

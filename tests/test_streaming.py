@@ -68,3 +68,49 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 10:00 window must NOT include the late 100.0 (arrived after
     # watermark passed 11:50)
     assert rows.get(10) == 1.0
+
+
+def test_dedup_within_watermark_drops_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate key arriving within the
+    watermark window is dropped, across micro-batches."""
+    import pandas as pd
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    d1 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:01:00"]),
+            "k": [1, 2],
+            "v": [1.0, 2.0],
+        }
+    )
+    # batch 2: duplicate k=1 (within watermark) + fresh k=3
+    d2 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 10:02:00", "2024-01-01 10:03:00"]),
+            "k": [1, 3],
+            "v": [99.0, 3.0],
+        }
+    )
+    spark.createDataFrame(d1).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema("ts timestamp, k long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    dedup = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(d2).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.k: r.v for r in spark.sql("SELECT * FROM dedup_wm_test").collect()}
+    # k=1 kept from its FIRST arrival (v=1.0, not 99.0); k=3 passes
+    assert rows == {1: 1.0, 2: 2.0, 3: 3.0}

@@ -395,3 +395,97 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample_by(
         d, key="doc_id", strata_col="lang", rates={"en": 0.50, "de": 0.20}, default=0.10
     ).select("lang", "source", "doc_id")
+
+
+@query(
+    "get_dummies_segment",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS seg_AUTOMOBILE,
+           CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END AS seg_BUILDING,
+           CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END AS seg_FURNITURE,
+           CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END AS seg_HOUSEHOLD,
+           CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END AS seg_MACHINERY
+    FROM customer
+    """,
+)
+def q_get_dummies_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.get_dummies (one-hot) with a static category list — schema
+    known at plan time, single narrow projection (pandas_ops.get_dummies;
+    dynamic categories collect only the distinct set first)."""
+    from pandas_etl_spark.pandas_ops import get_dummies
+
+    c = load_table(spark, sf_dir, "customer")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return (
+        get_dummies(c, "c_mktsegment", values=segs, prefix="seg")
+        .df.select("c_custkey", *[f"seg_{s}" for s in segs])
+    )
+
+
+@query(
+    "describe_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col, CAST(count(o_custkey) AS BIGINT) AS n,
+           round(avg(o_custkey), 6) AS mean,
+           round(stddev_samp(o_custkey), 6) AS sd,
+           CAST(min(o_custkey) AS DOUBLE) AS min_v,
+           quantile_cont(o_custkey, 0.25) AS p25,
+           quantile_cont(o_custkey, 0.5)  AS p50,
+           quantile_cont(o_custkey, 0.75) AS p75,
+           CAST(max(o_custkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(o_totalprice) AS BIGINT),
+           round(avg(o_totalprice), 6),
+           round(stddev_samp(o_totalprice), 6),
+           CAST(min(o_totalprice) AS DOUBLE),
+           quantile_cont(o_totalprice, 0.25),
+           quantile_cont(o_totalprice, 0.5),
+           quantile_cont(o_totalprice, 0.75),
+           CAST(max(o_totalprice) AS DOUBLE)
+    FROM orders
+    """,
+)
+def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.describe() (count/mean/std/min/quartiles/max), long shape, one
+    aggregation pass for all columns (Table.describe)."""
+    from pandas_etl_spark.pandas_ops import Table
+
+    return Table(load_table(spark, sf_dir, "orders")).describe(
+        ["o_custkey", "o_totalprice"]
+    ).df
+
+
+@query(
+    "salted_agg_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS total_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.salted_aggregate):
+    events has only a handful of event_type keys — the exact shape where
+    one reducer takes a whole hot key. Phase 1 groups on (key, salt-of-16)
+    so the hot key spreads over 16 reducers; phase 2 merges the 16
+    partials per key. Result identical to the direct groupBy (oracle);
+    the sum is rounded because salting changes the float summation order."""
+    from pandas_etl_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "total_value": (F.sum("value"), F.round(F.sum("total_value"), 6)),
+            "max_value": (F.max("value"), F.max("max_value")),
+        },
+        n=16,
+    )
+    return out.select("event_type", "n", "total_value", "max_value")

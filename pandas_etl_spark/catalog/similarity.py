@@ -122,3 +122,27 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH blocked near-dup pairs (rows-only driver check)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.embedding_neardup_pairs(emb, threshold=0.9, dim=64, bits=6)
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, pos
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, positionwise:
+    posexplode → groupBy(label, pos) avg — plain codegen'd aggregates
+    with map-side partials (the higher-order zip_with fold alternative is
+    interpreted per element and holds whole vectors in each agg buffer).
+    Long (label, pos, centroid) output; re-assemble with array_agg
+    ordered by pos when a vector shape is needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )

@@ -196,3 +196,28 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python; rows ∝ corpus chars / stride."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return tx.chunk_documents(d, chunk_size=200, overlap=50)
+
+
+@query(
+    "heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_DD_TOKENS}) AS word FROM documents),
+    t AS (SELECT count(*) AS n_total FROM toks)
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM toks, t
+    GROUP BY word, t.n_total
+    HAVING count(*) >= ceil(0.005 * t.n_total)
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens at ≥0.5% corpus frequency) with a
+    CANDIDATE-ONLY wide shuffle (operators/frequent.py): local
+    Misra–Gries-style pass emits per-partition survivors, pigeonhole
+    guarantees completeness, then an exact recount over candidates.
+    Same answer as the full groupBy+HAVING (the oracle), without
+    shuffling the whole vocabulary."""
+    from pandas_etl_spark.operators.frequent import frequent_tokens
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(tx.tokens("text")).alias("word"))
+    return frequent_tokens(toks, "word", theta=0.005)

@@ -191,6 +191,50 @@ class Table:
             suffixes=suffixes,
         )
 
+    def describe(self, cols: list[str] | None = None) -> "Table":
+        """pandas df.describe() over numeric columns, one row per column
+        (long shape — stable schema however many columns are profiled).
+        ONE aggregation pass computes every statistic; mean/std rounded
+        to 6 decimals (engine summation-order noise), percentiles exact
+        (Spark percentile ≡ DuckDB quantile_cont interpolation)."""
+        num_cols = (
+            cols
+            if cols is not None
+            else [c for c, t in self._df.dtypes if _is_numeric(t)]
+        )
+        aggs = []
+        for c in num_cols:
+            aggs += [
+                F.count(c).alias(f"__n_{c}"),
+                F.round(F.avg(c), 6).alias(f"__mean_{c}"),
+                F.round(F.stddev_samp(c), 6).alias(f"__sd_{c}"),
+                F.min(c).cast("double").alias(f"__min_{c}"),
+                F.percentile(c, 0.25).alias(f"__p25_{c}"),
+                F.percentile(c, 0.5).alias(f"__p50_{c}"),
+                F.percentile(c, 0.75).alias(f"__p75_{c}"),
+                F.max(c).cast("double").alias(f"__max_{c}"),
+            ]
+        one = self._df.agg(*aggs)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.col(f"__n_{c}").alias("n"),
+                    F.col(f"__mean_{c}").alias("mean"),
+                    F.col(f"__sd_{c}").alias("sd"),
+                    F.col(f"__min_{c}").alias("min_v"),
+                    F.col(f"__p25_{c}").alias("p25"),
+                    F.col(f"__p50_{c}").alias("p50"),
+                    F.col(f"__p75_{c}").alias("p75"),
+                    F.col(f"__max_{c}").alias("max_v"),
+                )
+                for c in num_cols
+            ]
+        )
+        return Table(
+            one.select(F.explode(entries).alias("d")).select("d.*")
+        )
+
     def explode(self, column: str) -> "Table":
         others = [c for c in self._df.columns if c != column]
         return Table(
@@ -403,6 +447,32 @@ def merge(
             cond = c if cond is None else (cond & c)
         return Table(ldf.join(rdf, on=cond, how=spark_how))
     return Table(ldf.crossJoin(rdf))
+
+
+def get_dummies(
+    data: Any,
+    column: str,
+    values: list[str] | None = None,
+    prefix: str | None = None,
+) -> Table:
+    """pd.get_dummies over one categorical column → 0/1 indicator
+    columns.
+
+    ``values`` fixes the category set statically (the scale-correct form:
+    schema is known at plan time, single narrow projection). When omitted
+    the distinct values are collected FIRST — a driver-side action over
+    only the distinct set; fine for genuine categoricals, documented as
+    the price of pandas' dynamic schema."""
+    df = _unwrap(data)
+    if values is None:
+        values = sorted(
+            r[0] for r in df.select(column).distinct().collect() if r[0] is not None
+        )
+    p = prefix if prefix is not None else column
+    cols = [
+        F.when(F.col(column) == v, 1).otherwise(0).alias(f"{p}_{v}") for v in values
+    ]
+    return Table(df.select("*", *cols))
 
 
 def crosstab(index: Any, columns: Any, index_col: str, columns_col: str) -> Table:

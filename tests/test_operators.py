@@ -229,3 +229,33 @@ class TestSamplingChunkingProfile:
         )
         got = {r.col: (r.n_rows, r.n_nulls, r.n_distinct) for r in profile_columns(df).collect()}
         assert got == {"k": (4, 0, 4), "v": (4, 1, 2)}
+
+
+class TestFrequentTokens:
+    def test_matches_exact_groupby(self, spark):
+        from pandas_etl_spark.operators.frequent import frequent_tokens
+
+        # Zipf-ish synthetic: token i appears ~1000/i times, spread so
+        # no partition sees a token's full count
+        rows = [(f"w{i}",) for i in range(1, 60) for _ in range(1000 // i)]
+        toks = spark.createDataFrame(rows, "word string").repartition(16)
+        theta = 0.02
+        got = {r.word: r.n for r in frequent_tokens(toks, "word", theta).collect()}
+        import math
+
+        total = len(rows)
+        thr = math.ceil(theta * total)
+        exact = {
+            r.word: r.n
+            for r in toks.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= thr)
+            .collect()
+        }
+        assert got == exact and len(exact) > 0
+
+    def test_empty_input(self, spark):
+        from pandas_etl_spark.operators.frequent import frequent_tokens
+
+        toks = spark.createDataFrame([], "word string")
+        assert frequent_tokens(toks, "word", 0.01).count() == 0

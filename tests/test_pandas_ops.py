@@ -144,3 +144,30 @@ class TestCombinators:
         assert last == {"a": (3, "y"), "b": (1, None)}
         with pytest.raises(ValueError, match="order_by"):
             t.groupby("k").first()
+
+
+class TestDescribeDummies:
+    def test_get_dummies_dynamic_values(self, spark):
+        from pandas_etl_spark.pandas_ops import get_dummies
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "id int, cat string"
+        )
+        out = get_dummies(df, "cat")
+        assert {"cat_a", "cat_b"} <= set(out.df.columns)
+        rows = {r.id: (r.cat_a, r.cat_b) for r in out.df.collect()}
+        assert rows == {1: (1, 0), 2: (0, 1), 3: (0, 0)}
+
+    def test_describe_matches_pandas(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0, 100.0]})
+        t = Table(spark.createDataFrame(pdf))
+        row = t.describe(["x"]).df.collect()[0]
+        desc = pdf["x"].describe()
+        assert row.n == 5
+        assert abs(row.mean - desc["mean"]) < 1e-6
+        assert abs(row.sd - desc["std"]) < 1e-6
+        assert (row.min_v, row.p25, row.p50, row.p75, row.max_v) == (
+            desc["min"], desc["25%"], desc["50%"], desc["75%"], desc["max"],
+        )

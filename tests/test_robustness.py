@@ -1,0 +1,63 @@
+"""Ingestion robustness: malformed records and schema evolution — the
+failure modes a 100 TB pipeline hits on real data lakes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_corrupt_json_records_quarantined(spark, tmp_path):
+    """PERMISSIVE JSON scan: bad lines land in _corrupt_record instead of
+    failing the job; good rows parse normally."""
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"id": 1, "v": 10.0}\n'
+        "{this is not json}\n"
+        '{"id": 2, "v": 20.0}\n'
+    )
+    from pandas_etl_spark.sources.io import read_json
+
+    df = read_json(
+        spark,
+        str(p),
+        schema="id long, v double, _corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()  # required: corrupt-record queries need the raw line retained
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert {r.id for r in good.collect()} == {1, 2}
+        assert bad.count() == 1
+    finally:
+        df.unpersist()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema read over files written with evolving schemas: old
+    files surface the new column as null."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+    from pandas_etl_spark.sources.io import read_parquet
+
+    df = read_parquet(spark, p, mergeSchema="true")
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_csv_malformed_rows_permissive(spark, tmp_path):
+    """CSV with a short row: PERMISSIVE fills missing fields with null
+    rather than failing."""
+    p = tmp_path / "short.csv"
+    p.write_text("id,a,b\n1,x,y\n2,only_one_field\n3,p,q\n")
+    from pandas_etl_spark.sources.io import read_csv
+
+    df = read_csv(spark, str(p), schema="id long, a string, b string")
+    rows = {r.id: (r.a, r.b) for r in df.collect()}
+    assert rows[1] == ("x", "y")
+    assert rows[2] == ("only_one_field", None)
+    assert rows[3] == ("p", "q")

@@ -418,3 +418,23 @@ def q_qcut_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quartile"),
         )
     )
+
+
+@query("multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (normalized
+    16-bin byte histogram — real computation, the same mapInPandas shape
+    a CLIP/CNN embedder plugs into; functions/multimodal.py). Rows-only
+    driver check (blob feature math has no portable SQL form); exactness
+    is unit-tested against numpy on the driver. Scalar output columns —
+    the histogram is emitted comma-joined."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = mm.extract_byte_features(d)
+    return feats.select(
+        "doc_id",
+        F.array_join(
+            F.transform("features", lambda v: F.round(v, 6).cast("string")), ","
+        ).alias("features_csv"),
+    )

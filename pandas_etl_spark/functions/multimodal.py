@@ -99,6 +99,71 @@ def decode_images(df: DataFrame, payload_col: str = "payload", id_col: str = "do
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
 
 
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_side: int = 256,
+) -> DataFrame:
+    """mapInPandas resize plumbing: decode (stub) → aspect-preserving
+    target dims → re-encoded payload (stub passes bytes through). The
+    schema/batching/partitioning is the real production shape; swap the
+    two stub lines for PIL ``thumbnail``+``save`` when the lib exists."""
+    schema = f"{id_col} long, width int, height int, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = pdf[payload_col].map(decode_image_stub)  # stub decode
+            out_w, out_h = [], []
+            for d in dims:
+                w, h = d["width"], d["height"]
+                if w is None:
+                    out_w.append(None), out_h.append(None)
+                    continue
+                scale = min(1.0, max_side / max(w, h))
+                out_w.append(int(w * scale)), out_h.append(int(h * scale))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": out_w,
+                    "height": out_h,
+                    "payload": pdf[payload_col],  # stub re-encode
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+_N_BINS = 16
+
+
+def extract_byte_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL feature extraction over binary payloads (no media libs
+    needed): a normalized 16-bin byte histogram per blob — numpy over
+    Arrow batches, the same mapInPandas shape a CNN/CLIP embedder would
+    use. Useful as-is for container-level near-dup and corruption
+    screens."""
+    import numpy as np
+
+    schema = f"{id_col} long, features array<double>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for payload in pdf[payload_col]:
+                if payload is None or len(payload) == 0:
+                    feats.append([0.0] * _N_BINS)
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=_N_BINS).astype("float64")
+                feats.append((hist / hist.sum()).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp
     (the decode itself is the stub above). Demonstrates the explode-based

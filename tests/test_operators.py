@@ -259,3 +259,35 @@ class TestFrequentTokens:
 
         toks = spark.createDataFrame([], "word string")
         assert frequent_tokens(toks, "word", 0.01).count() == 0
+
+
+class TestMultimodalPlumbing:
+    def test_resize_dims_aspect_preserving(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8\xff\xe0" + b"x" * 100))],
+            "doc_id long, payload binary",
+        )
+        row = mm.resize_images(df, max_side=64).collect()[0]
+        d = mm.decode_image_stub(bytes(df.collect()[0].payload))
+        scale = min(1.0, 64 / max(d["width"], d["height"]))
+        assert (row.width, row.height) == (
+            int(d["width"] * scale),
+            int(d["height"] * scale),
+        )
+        assert max(row.width, row.height) <= 64
+        assert bytes(row.payload) == bytes(df.collect()[0].payload)
+
+    def test_byte_features_match_numpy(self, spark):
+        import numpy as np
+
+        payload = bytes(range(256)) * 3
+        df = spark.createDataFrame(
+            [(1, bytearray(payload)), (2, None)], "doc_id long, payload binary"
+        )
+        got = {r.doc_id: r.features for r in mm.extract_byte_features(df).collect()}
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16).astype("float64")
+        exp = (hist / hist.sum()).tolist()
+        assert got[1] == exp
+        assert abs(sum(got[1]) - 1.0) < 1e-9
+        assert got[2] == [0.0] * 16

@@ -176,3 +176,91 @@ def test_grouped_max_matches_pandas(spark, data):
     got = {r.k: r.v for r in t.groupby("k").max().df.collect()}
     exp = pdf.groupby("k").v.max().to_dict()
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# round-2 surface vs pandas (few, larger examples — Spark per-example cost)
+# ---------------------------------------------------------------------------
+
+_r2_frames = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-100, 100), st.integers(-100, 100)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestRound2Properties:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=_r2_frames, rrows=_r2_frames)
+    def test_merge_suffixes_match_pandas(self, spark, rows, rrows):
+        """merge with overlapping non-key columns ≡ pd.merge (column set
+        and row multiset) under the default _x/_y suffixes."""
+        from pandas_etl_spark.pandas_ops import Table, merge
+
+        lp = pd.DataFrame(rows, columns=["k", "v", "w"])
+        rp = pd.DataFrame(rrows, columns=["k", "v", "z"])
+        got = merge(
+            Table(spark.createDataFrame(lp)), Table(spark.createDataFrame(rp)), on="k"
+        ).df.toPandas()
+        exp = pd.merge(lp, rp, on="k")
+        assert sorted(got.columns) == sorted(exp.columns)
+        key = sorted(got.columns)
+        got_rows = sorted(map(tuple, got[key].itertuples(index=False)))
+        exp_rows = sorted(map(tuple, exp[key].itertuples(index=False)))
+        assert got_rows == exp_rows
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=_r2_frames)
+    def test_grouped_first_last_match_sorted_pandas(self, spark, rows):
+        """groupby().first/last(order_by='o') ≡ pandas sort_values('o',
+        kind='stable') + groupby().first/last() when (k, o) pairs are
+        unique (ties broken identically by value otherwise)."""
+        pdf = pd.DataFrame(rows, columns=["k", "o", "v"]).drop_duplicates(["k", "o"])
+        from pandas_etl_spark.pandas_ops import Table
+
+        t = Table(spark.createDataFrame(pdf))
+        first = {
+            r.k: (r.o, r.v) for r in t.groupby("k").first(order_by="o").df.collect()
+        }
+        exp = pdf.sort_values(["k", "o"], kind="stable").groupby("k").first()
+        assert first == {k: (row.o, row.v) for k, row in exp.iterrows()}
+        last = {
+            r.k: (r.o, r.v) for r in t.groupby("k").last(order_by="o").df.collect()
+        }
+        expl = pdf.sort_values(["k", "o"], kind="stable").groupby("k").last()
+        assert last == {k: (row.o, row.v) for k, row in expl.iterrows()}
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        text=st.text(
+            st.sampled_from("ab c\ndef"), min_size=0, max_size=400
+        ),
+        chunk=st.integers(5, 60),
+    )
+    def test_chunk_reassembly_property(self, spark, text, chunk):
+        """Chunks always reassemble to the original text for any
+        chunk/overlap combination."""
+        from pandas_etl_spark.functions.text import chunk_documents
+
+        overlap = chunk // 3
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = sorted(
+            (r.chunk_id, r.chunk_text)
+            for r in chunk_documents(df, chunk_size=chunk, overlap=overlap).collect()
+        )
+        chunks = [t for _, t in out]
+        stitched = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert stitched == text

@@ -377,9 +377,9 @@ def simhash_signatures(
     hashed = toks.select("id", F.xxhash64("tok").alias("h"))
     votes = hashed.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.expr(f"((h >> {b}) & 1) = 1"), 1).otherwise(-1)
-            ).alias(f"v{b}")
+            # branch-free ±1 vote: ((bit)*2 - 1) generates less code than
+            # a CASE and the 64-agg compile is the cold-path cost here
+            F.sum(F.expr(f"(((h >> {b}) & 1) * 2 - 1)")).alias(f"v{b}")
             for b in range(64)
         ]
     )

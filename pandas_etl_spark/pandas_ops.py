@@ -235,6 +235,64 @@ class Table:
             one.select(F.explode(entries).alias("d")).select("d.*")
         )
 
+    def melt(
+        self,
+        id_vars: list[str],
+        value_vars: list[str] | None = None,
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "Table":
+        """pd.melt → Spark's native unpivot (wide→long, no shuffle)."""
+        vv = value_vars or [c for c in self._df.columns if c not in id_vars]
+        return Table(self._df.unpivot(id_vars, vv, var_name, value_name))
+
+    def value_counts(self, column: str, ascending: bool = False) -> "Table":
+        """Series.value_counts: (value, count) ordered by count."""
+        out = (
+            self._df.groupBy(column)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(
+                F.col("count").asc() if ascending else F.col("count").desc(),
+                F.col(column).asc(),  # deterministic tie-break
+            )
+        )
+        return Table(out)
+
+    def nunique(self, cols: list[str] | None = None) -> "Table":
+        """Per-column exact distinct counts (1-row frame). Multiple
+        countDistinct in one agg pays the Expand — acceptable for the
+        profiling shape; use approx_count_distinct at 100 TB widths."""
+        cs = cols or self._df.columns
+        return Table(self._df.agg(*[F.countDistinct(c).alias(c) for c in cs]))
+
+    def sample(self, frac: float, key: str | None = None, seed: int = 42) -> "Table":
+        """df.sample: with ``key``, deterministic md5-bucket membership
+        (partition/engine-invariant — operators/sampling.py); without, a
+        plain seeded Bernoulli sample (fast, partitioning-dependent)."""
+        if key is not None:
+            from pandas_etl_spark.operators.sampling import hash_sample
+
+            return Table(hash_sample(self._df, key, frac))
+        return Table(self._df.sample(fraction=frac, seed=seed))
+
+    def pivot_table(
+        self,
+        index: str | list[str],
+        columns: str,
+        values: str,
+        aggfunc: str = "mean",
+        fill_value: Any = None,
+    ) -> "Table":
+        """pd.pivot_table → groupBy(index).pivot(columns).agg. Distinct
+        pivot values are discovered by Spark (two-pass); pass explicit
+        values via .df API when the category set is known."""
+        fn, _ = Grouped._AGG_FNS[aggfunc]
+        idx = [index] if isinstance(index, str) else list(index)
+        out = self._df.groupBy(*idx).pivot(columns).agg(fn(values))
+        if fill_value is not None:
+            out = out.na.fill(fill_value)
+        return Table(out)
+
     def explode(self, column: str) -> "Table":
         others = [c for c in self._df.columns if c != column]
         return Table(

@@ -291,3 +291,44 @@ class TestMultimodalPlumbing:
         assert got[1] == exp
         assert abs(sum(got[1]) - 1.0) < 1e-9
         assert got[2] == [0.0] * 16
+
+
+class TestStockMlLshAgreement:
+    def test_brp_lsh_agrees_with_bruteforce_cosine(self, spark, sf_dir):
+        """Cross-validation against stock pyspark.ml: on L2-normalized
+        vectors, BucketedRandomProjectionLSH (euclidean) nearest
+        neighbors must largely agree with our brute-force cosine top-k —
+        euclidean and cosine orderings coincide on the unit sphere."""
+        from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+        from pyspark.ml.functions import array_to_vector
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("raw")
+        )
+        normed = Normalizer(inputCol="raw", outputCol="vec", p=2.0).transform(emb)
+        model = BucketedRandomProjectionLSH(
+            inputCol="vec", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=7
+        ).fit(normed)
+
+        queries = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") < 3
+        ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        exact = sim.cosine_topk(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), queries, k=3
+        ).collect()
+        exact_by_q: dict[int, set] = {}
+        for r in exact:
+            exact_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+        hits = total = 0
+        for qid, true_nbrs in exact_by_q.items():
+            key = normed.filter(F.col("vec_id") == qid).select("vec").collect()[0].vec
+            # k=5: skip self + slack, then compare against our top-3
+            nbrs = {
+                r.vec_id
+                for r in model.approxNearestNeighbors(normed, key, 5).collect()
+                if r.vec_id != qid
+            }
+            hits += len(true_nbrs & nbrs)
+            total += len(true_nbrs)
+        assert hits / total >= 0.6, f"ml-vs-ours agreement {hits}/{total}"

@@ -171,3 +171,43 @@ class TestDescribeDummies:
         assert (row.min_v, row.p25, row.p50, row.p75, row.max_v) == (
             desc["min"], desc["25%"], desc["50%"], desc["75%"], desc["max"],
         )
+
+
+class TestWideSurface:
+    def test_melt_roundtrip(self, spark):
+        df = spark.createDataFrame([(1, 10.0, 20.0)], "id int, a double, b double")
+        out = Table(df).melt(["id"]).df.orderBy("variable").collect()
+        assert [(r.variable, r.value) for r in out] == [("a", 10.0), ("b", 20.0)]
+
+    def test_value_counts(self, t, pdf):
+        got = [(r.k, r["count"]) for r in t.value_counts("k").df.collect()]
+        exp = pdf.k.value_counts()
+        assert dict(got) == exp.to_dict()
+        assert got[0][1] == exp.max()  # ordered desc
+
+    def test_nunique(self, t, pdf):
+        row = t.nunique(["k", "x"]).df.collect()[0]
+        assert (row.k, row.x) == (pdf.k.nunique(), pdf.x.nunique())
+
+    def test_sample_deterministic_with_key(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+        a = {r.id for r in Table(df).sample(0.3, key="id").df.collect()}
+        b = {r.id for r in Table(df.repartition(7)).sample(0.3, key="id").df.collect()}
+        assert a == b and 0.15 < len(a) / 500 < 0.45
+
+    def test_pivot_table_matches_pandas(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "g": ["a", "a", "b", "b"],
+                "c": ["x", "y", "x", "x"],
+                "v": [1.0, 2.0, 3.0, 5.0],
+            }
+        )
+        got = Table(spark.createDataFrame(pdf)).pivot_table(
+            "g", "c", "v", aggfunc="mean", fill_value=0.0
+        )
+        rows = {r.g: (r.x, r.y) for r in got.df.collect()}
+        exp = pdf.pivot_table(index="g", columns="c", values="v", aggfunc="mean", fill_value=0.0)
+        assert rows == {g: (exp.loc[g, "x"], exp.loc[g, "y"]) for g in ("a", "b")}

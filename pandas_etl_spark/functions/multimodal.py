@@ -164,6 +164,43 @@ def extract_byte_features(
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
 
 
+def read_pointer_payloads(
+    df: DataFrame, pointer_col: str = "blob", out_col: str = "payload"
+) -> DataFrame:
+    """Materialize out-of-row blobs from POINTER columns (path, offset,
+    length) — the 100 TB shape: parquet rows stay small; each task reads
+    only its rows' byte ranges from the blob store (seek+read; for object
+    stores, a ranged GET). mapInPandas keeps the fetch distributed and
+    Arrow-batched; co-locate by path beforehand (repartition on
+    ``blob.path``) to turn random reads into near-sequential ones."""
+    in_cols = [c for c in df.columns]
+    schema_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{schema_fields}, {out_col} binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handles: dict[str, object] = {}
+        try:
+            for pdf in it:
+                payloads = []
+                for ptr in pdf[pointer_col]:
+                    if ptr is None or ptr["path"] is None:
+                        payloads.append(None)
+                        continue
+                    fh = handles.get(ptr["path"])
+                    if fh is None:
+                        fh = handles[ptr["path"]] = open(ptr["path"], "rb")
+                    fh.seek(ptr["offset"])
+                    payloads.append(fh.read(ptr["length"]))
+                out = pdf[in_cols].copy()
+                out[out_col] = payloads
+                yield out
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    return df.mapInPandas(batches, schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp
     (the decode itself is the stub above). Demonstrates the explode-based

@@ -61,3 +61,55 @@ def test_csv_malformed_rows_permissive(spark, tmp_path):
     assert rows[1] == ("x", "y")
     assert rows[2] == ("only_one_field", None)
     assert rows[3] == ("p", "q")
+
+
+def test_cli_end_to_end(tmp_path):
+    """F17 for real: ``python -m pandas_etl_spark --file`` in a fresh
+    process runs a pipeline with --var overrides and writes the sink."""
+    import subprocess
+    import sys
+
+    out_csv = tmp_path / "out.csv"
+    yaml_file = tmp_path / "run.yaml"
+    yaml_file.write_text(
+        f"""
+variables:
+  outPath: WILL_BE_OVERRIDDEN
+steps:
+- pd.read_csv:
+    filepath_or_buffer: ./tests/data/test.csv
+- name: grouped
+  function: ${{ steps['pd.read_csv'].output.groupby }}
+  args:
+    by: AB
+- name: reduced
+  function: ${{ steps['grouped'].output.max }}
+- name: sink
+  function: ${{ steps['reduced'].output.to_csv }}
+  args:
+    path_or_buf: ${{ var.outPath }}
+"""
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pandas_etl_spark",
+            "--file",
+            str(yaml_file),
+            "--var",
+            f"outPath={out_csv}",
+            "--conf",
+            "spark.sql.shuffle.partitions=4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    import glob
+
+    part = glob.glob(str(out_csv) + "/*.csv")
+    assert part, "CSV sink directory missing part file"
+    content = open(part[0]).read()
+    assert content.startswith("AB,") and len(content.splitlines()) > 1

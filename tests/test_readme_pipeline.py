@@ -79,3 +79,48 @@ def test_readme_longhand_pipeline(spark, dated_csv, tmp_path):
     ).df()
     assert list(got.date_column) == list(exp.date_column)
     assert list(got.int_column) == list(exp.int_column)
+
+
+def test_yaml_pipeline_drives_llm_curation(spark, sf_dir, tmp_path):
+    """The YAML engine composes with the LLM-data operators: preFlight
+    imports curate_corpus, steps chain read_parquet → curate → parquet
+    sink — one lazy Catalyst plan until the sink action."""
+    out = tmp_path / "curated.parquet"
+    yaml_text = f"""
+    variables:
+      sfDir: {sf_dir}
+    preFlight:
+      script: |
+        from pandas_etl_spark.functions.curate import curate_corpus
+        from pandas_etl_spark.pandas_ops import Table
+        def curate(table):
+            return Table(curate_corpus(
+                table.df, min_tokens=8, min_quality=0.5,
+                jaccard_threshold=0.85, shingle_k=5, max_df=50,
+            ).select("doc_id", "lang", "source", "n_tokens", "quality"))
+    steps:
+    - name: load
+      function: pd.read_parquet
+      args:
+        path: ${{ var.sfDir }}/documents.parquet
+    - name: curated
+      function: curate
+      args:
+        table: ${{ steps['load'].output }}
+    - name: sink
+      function: ${{ steps['curated'].output.to_parquet }}
+      args:
+        path: {out}
+    """
+    from pandas_etl_spark.pipeline import Pipeline
+
+    Pipeline(yamlData=yaml_text, spark=spark).run()
+    back = spark.read.parquet(str(out))
+    assert back.count() > 0
+    assert set(back.columns) == {"doc_id", "lang", "source", "n_tokens", "quality"}
+    # curation result matches the catalog query exactly
+    from pandas_etl_spark.catalog import QUERIES
+
+    expect = QUERIES["curate_corpus"](spark, sf_dir)
+    assert back.count() == expect.count()
+    assert back.exceptAll(expect).count() == 0

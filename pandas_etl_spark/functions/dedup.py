@@ -139,23 +139,30 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_df is not None:
-        buckets = (
-            sh.groupBy("shingle")
-            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-            .filter(F.size("ids") >= 2)
+        # ONE grouped materialization feeds everything downstream: the
+        # join output is already hash-partitioned by shingle, so this
+        # groupBy adds no exchange; sizes derive from the (bounded)
+        # collected buckets instead of re-scanning the shingle join.
+        buckets = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list("id")).alias("ids")
+        )
+        sizes = (
+            buckets.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
         )
         pair_expr = F.expr(
             "flatten(transform(ids, (x, i) -> "
             "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
         )
         pairs = (
-            buckets.select(F.explode(pair_expr).alias("p"))
+            buckets.filter(F.size("ids") >= 2)
+            .select(F.explode(pair_expr).alias("p"))
             .groupBy("p.id_a", "p.id_b")
             .agg(F.count(F.lit(1)).alias("shared"))
         )
     else:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
         pairs = (
             sh.alias("a")
             .join(sh.alias("b"), "shingle")

@@ -17,12 +17,22 @@ explosion, no per-group Python. This beats pandas-on-Spark's
 skew (AQE splits hot ``by`` keys).
 
 ``direction='forward'`` mirrors with a reversed ordering.
+``direction='nearest'`` unions the right side TWICE (side 0 feeding a
+backward scan, side 2 feeding a forward scan — equal keys stay inclusive
+on both sides), still one shuffle+sort, then picks the closer match per
+row (ties → backward, as pandas). ``tolerance`` nulls out matches
+farther than the given distance (seconds for timestamps, plain units
+for numerics) — applied per direction BEFORE the nearest choice.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+
+def _dist(a: Column, b: Column) -> Column:
+    return a.cast("double") - b.cast("double")
 
 
 def asof_join(
@@ -32,15 +42,19 @@ def asof_join(
     by: str | list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + the nearest right row at-or-before
-    (backward) / at-or-after (forward) its ``on`` value, per ``by`` group.
+    (backward) / at-or-after (forward) / closest either way (nearest) its
+    ``on`` value, per ``by`` group.
 
     Right value columns are suffixed; the matched right ``on`` value is
     exposed as ``{on}{suffix}``.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, by, suffix, tolerance)
     by_keys = [by] if isinstance(by, str) else list(by or [])
 
     rvalue_cols = [c for c in right.columns if c != on and c not in by_keys]
@@ -84,4 +98,101 @@ def asof_join(
             for c in rvalue_cols + [on]
         ],
     )
-    return matched.filter(F.col("__side") == 1).drop("__side")
+    out = matched.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        far = F.abs(_dist(F.col(on), F.col(out_name[on]))) > F.lit(float(tolerance))
+        out = out.select(
+            *[c for c in left.columns],
+            *[
+                F.when(far, F.lit(None)).otherwise(F.col(out_name[c])).alias(out_name[c])
+                for c in rvalue_cols + [on]
+            ],
+        )
+    return out
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str] | None,
+    suffix: str,
+    tolerance: float | None,
+) -> DataFrame:
+    by_keys = [by] if isinstance(by, str) else list(by or [])
+    rvalue_cols = [c for c in right.columns if c != on and c not in by_keys]
+    out_name = {c: (f"{c}{suffix}" if c in left.columns else c) for c in rvalue_cols}
+    out_name[on] = f"{on}{suffix}"
+    scan_cols = rvalue_cols + [on]
+
+    def nulls(prefix: str) -> list[Column]:
+        return [
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{out_name[c]}")
+            for c in scan_cols
+        ]
+
+    def vals(prefix: str) -> list[Column]:
+        return [F.col(c).alias(f"{prefix}{out_name[c]}") for c in scan_cols]
+
+    l = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        *nulls("__b_"),
+        *nulls("__f_"),
+    )
+
+    def right_side(side: int, live: str, dead: str):
+        return right.select(
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+                if c not in by_keys and c != on
+            ],
+            *[F.col(k) for k in by_keys],
+            F.col(on),
+            F.lit(side).alias("__side"),
+            *(vals(live) if side == 0 else nulls(live)),
+            *(nulls(dead) if side == 0 else vals(dead)),
+        )
+
+    # side 0 carries backward-scan values, side 2 forward-scan values;
+    # ordering (on, side) keeps equal keys inclusive for BOTH scans
+    unioned = l.unionByName(right_side(0, "__b_", "__f_")).unionByName(
+        right_side(2, "__b_", "__f_")
+    )
+    base = W.partitionBy(*by_keys).orderBy(F.col(on).asc(), F.col("__side").asc())
+    wb = base.rowsBetween(W.unboundedPreceding, 0)
+    wf = base.rowsBetween(0, W.unboundedFollowing)
+    scanned = unioned.select(
+        *[c for c in left.columns],
+        "__side",
+        *[
+            F.last(f"__b_{out_name[c]}", ignorenulls=True).over(wb).alias(f"__b_{out_name[c]}")
+            for c in scan_cols
+        ],
+        *[
+            F.first(f"__f_{out_name[c]}", ignorenulls=True).over(wf).alias(f"__f_{out_name[c]}")
+            for c in scan_cols
+        ],
+    ).filter(F.col("__side") == 1)
+
+    b_on, f_on = F.col(f"__b_{out_name[on]}"), F.col(f"__f_{out_name[on]}")
+    b_dist = _dist(F.col(on), b_on)
+    f_dist = _dist(f_on, F.col(on))
+    if tolerance is not None:
+        tol = F.lit(float(tolerance))
+        b_ok = b_on.isNotNull() & (b_dist <= tol)
+        f_ok = f_on.isNotNull() & (f_dist <= tol)
+    else:
+        b_ok, f_ok = b_on.isNotNull(), f_on.isNotNull()
+    # pick backward on ties (pandas nearest semantics)
+    use_back = b_ok & (~f_ok | (b_dist <= f_dist))
+    return scanned.select(
+        *[c for c in left.columns],
+        *[
+            F.when(use_back, F.col(f"__b_{out_name[c]}"))
+            .when(f_ok, F.col(f"__f_{out_name[c]}"))
+            .alias(out_name[c])
+            for c in scan_cols
+        ],
+    )

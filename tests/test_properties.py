@@ -264,3 +264,43 @@ class TestRound2Properties:
         chunks = [t for _, t in out]
         stitched = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
         assert stitched == text
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(frames=asof_frames())
+def test_asof_nearest_and_tolerance_match_pandas(spark, frames):
+    """direction='nearest' (ties → backward) and tolerance semantics ≡
+    pd.merge_asof on random frames."""
+    from pandas_etl_spark.operators import asof_join
+
+    lpdf, rpdf = frames
+    if lpdf.empty:
+        return
+    lpdf = lpdf.sort_values(["ts", "k"]).reset_index(drop=True)
+    rpdf = rpdf.sort_values(["ts", "k"]).reset_index(drop=True)
+    l = spark.createDataFrame(lpdf)
+    r = spark.createDataFrame(rpdf)
+
+    for direction, tol in (("nearest", None), ("nearest", 1800.0), ("backward", 1800.0)):
+        exp = pd.merge_asof(
+            lpdf,
+            rpdf,
+            on="ts",
+            by="k",
+            direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        )
+        got = (
+            asof_join(l, r, on="ts", by="k", direction=direction, tolerance=tol)
+            .toPandas()
+            .sort_values(["ts", "k"])
+            .reset_index(drop=True)
+        )
+        exp_pairs = exp[["k", "ts", "lv", "rv"]].sort_values(["ts", "k"]).reset_index(drop=True)
+        got_pairs = got[["k", "ts", "lv", "rv"]].sort_values(["ts", "k"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got_pairs, exp_pairs, check_dtype=False)

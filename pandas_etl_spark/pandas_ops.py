@@ -507,6 +507,49 @@ def merge(
     return Table(ldf.crossJoin(rdf))
 
 
+def cut(
+    data: Any,
+    column: str,
+    bins: list[float],
+    labels: list[str] | None = None,
+    out_col: str | None = None,
+) -> Table:
+    """pd.cut with explicit edges → when-chain (codegen'd, null-safe).
+    Intervals are (lo, hi] like pandas; values outside the outer edges
+    get null. ``labels`` defaults to pandas-style '(lo, hi]' strings."""
+    df = _unwrap(data)
+    if labels is not None and len(labels) != len(bins) - 1:
+        raise ValueError("labels must have len(bins) - 1 entries")
+    names = labels or [f"({bins[i]}, {bins[i + 1]}]" for i in range(len(bins) - 1)]
+    c = F.col(column)
+    expr = None
+    for i, name in enumerate(names):
+        cond = (c > bins[i]) & (c <= bins[i + 1])
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return Table(df.withColumn(out_col or f"{column}_bin", expr))
+
+
+def qcut(
+    data: Any, column: str, q: int, out_col: str | None = None
+) -> Table:
+    """pd.qcut: quantile binning via exact percentile CUTPOINTS broadcast
+    into a CASE — no global sort / single-reducer ntile, so the plan
+    holds at any scale. Bin ids are 0-based like pd.qcut(labels=False)."""
+    df = _unwrap(data)
+    probs = [i / q for i in range(1, q)]
+    cuts = df.agg(
+        *[F.percentile(column, p).alias(f"__q{i}") for i, p in enumerate(probs)]
+    )
+    c = F.col(column)
+    expr = None
+    for i in range(len(probs)):
+        cond = c <= F.col(f"__q{i}")
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    expr = expr.otherwise(len(probs)) if expr is not None else F.lit(0)
+    out = df.crossJoin(F.broadcast(cuts)).withColumn(out_col or f"{column}_qbin", expr)
+    return Table(out.drop(*[f"__q{i}" for i in range(len(probs))]))
+
+
 def get_dummies(
     data: Any,
     column: str,

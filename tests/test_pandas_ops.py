@@ -211,3 +211,23 @@ class TestWideSurface:
         rows = {r.g: (r.x, r.y) for r in got.df.collect()}
         exp = pdf.pivot_table(index="g", columns="c", values="v", aggfunc="mean", fill_value=0.0)
         assert rows == {g: (exp.loc[g, "x"], exp.loc[g, "y"]) for g in ("a", "b")}
+
+
+class TestCutQcut:
+    def test_cut_matches_pandas(self, spark):
+        from pandas_etl_spark.pandas_ops import cut
+
+        pdf = pd.DataFrame({"v": [-5.0, 0.0, 1.0, 5.0, 10.0, 11.0]})
+        t = cut(Table(spark.createDataFrame(pdf)), "v", bins=[0, 5, 10], labels=["lo", "hi"])
+        got = [r.v_bin for r in t.df.orderBy("v").collect()]
+        exp = pd.cut(pdf.v, bins=[0, 5, 10], labels=["lo", "hi"]).astype(object)
+        assert got == [None if pd.isna(x) else x for x in exp.sort_index()]
+
+    def test_qcut_matches_pandas(self, spark):
+        from pandas_etl_spark.pandas_ops import qcut
+
+        pdf = pd.DataFrame({"v": [float(i) for i in range(1, 101)]})
+        t = qcut(Table(spark.createDataFrame(pdf)), "v", q=4)
+        got = {r.v: r.v_qbin for r in t.df.collect()}
+        exp = pd.qcut(pdf.v, q=4, labels=False)
+        assert got == {pdf.v[i]: exp[i] for i in range(len(pdf))}

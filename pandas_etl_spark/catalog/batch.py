@@ -848,7 +848,7 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
-    WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 0
+    WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 10
     """,
 )
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,11 +858,12 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     three columns at the scan, identical rows on every engine (unlike
     TABLESAMPLE / rand(seed), which are engine- and partitioning-
     dependent)."""
+    from pandas_etl_spark.operators.sampling import hash_sample
+
     o = _t(spark, sf_dir, "orders")
-    bucket = F.expr(
-        "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 4), 16, 10) as bigint) % 10"
+    return hash_sample(o, "o_orderkey", 0.1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
     )
-    return o.filter(bucket == 0).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 @query(

@@ -136,9 +136,8 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DD_BPE = (
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
-).replace("'", "''")
+# derived from the one Spark-side pattern so the engines can never drift
+_DD_BPE = tx.BPE_SPLIT_PATTERN.replace("'", "''")
 
 
 @query(

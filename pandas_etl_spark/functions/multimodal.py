@@ -183,8 +183,13 @@ def read_pointer_payloads(
             for pdf in it:
                 payloads = []
                 for ptr in pdf[pointer_col]:
-                    if ptr is None or ptr["path"] is None:
-                        payloads.append(None)
+                    if (
+                        ptr is None
+                        or ptr["path"] is None
+                        or ptr["offset"] is None
+                        or ptr["length"] is None
+                    ):
+                        payloads.append(None)  # malformed pointer ≠ failed job
                         continue
                     fh = handles.get(ptr["path"])
                     if fh is None:

@@ -163,15 +163,18 @@ def chunk_documents(
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     stride = chunk_size - overlap
-    starts = F.expr(
-        f"sequence(1, greatest(length({text_col}) - {overlap}, 1), {stride})"
+    # Column-based expressions (not f-string SQL) so any column name works
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(F.col(text_col)) - overlap, F.lit(1)),
+        F.lit(stride),
     )
     return (
         df.select(F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_id", "start"))
         .select(
             id_col,
             "chunk_id",
-            F.expr(f"substring({text_col}, start, {chunk_size})").alias("chunk_text"),
+            F.col(text_col).substr(F.col("start"), F.lit(chunk_size)).alias("chunk_text"),
         )
     )
 

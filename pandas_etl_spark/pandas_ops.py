@@ -202,6 +202,8 @@ class Table:
             if cols is not None
             else [c for c, t in self._df.dtypes if _is_numeric(t)]
         )
+        if not num_cols:
+            raise ValueError("describe: no numeric columns to profile")
         aggs = []
         for c in num_cols:
             aggs += [
@@ -365,7 +367,10 @@ class Grouped:
         unstable answers across partitions (ADVICE r1, medium). We require
         an explicit ordering column and take, per column, the first/last
         NON-NULL value by that order (pandas skips NaN the same way),
-        deterministically via struct min/max (order ties broken by value)."""
+        deterministically via struct min/max (order ties broken by value).
+        Rows whose ORDER key is null are ignored (documented divergence:
+        pandas sorts NaN keys last, which would make last() prefer them;
+        a null position is not a position)."""
         if order_by is None:
             raise ValueError(
                 f"groupby().{which}() needs order_by=<column>: a distributed "
@@ -377,7 +382,7 @@ class Grouped:
         aggs = [
             agg(
                 F.when(
-                    F.col(c).isNotNull(),
+                    F.col(c).isNotNull() & F.col(order_by).isNotNull(),
                     F.struct(F.col(order_by).alias("o"), F.col(c).alias("v")),
                 )
             )["v"].alias(c)
@@ -452,10 +457,13 @@ def merge(
     making any later reference to them ambiguous)."""
     ldf, rdf = _unwrap(left), _unwrap(right)
     spark_how = _HOW_MAP.get(how, how)  # pass through leftsemi/leftanti
+    if (left_on is None) != (right_on is None):
+        # pandas raises MergeError here; falling through would silently
+        # produce a cartesian product
+        raise ValueError("merge: left_on and right_on must be given together")
     if (
         on is None
         and left_on is None
-        and right_on is None
         and spark_how != "cross"
         and not indicator
     ):
@@ -473,6 +481,14 @@ def merge(
     ]
     if overlap and spark_how not in ("leftsemi", "leftanti", "semi", "anti"):
         sx, sy = suffixes
+        clash = {c + sx for c in overlap} & (set(ldf.columns) - set(overlap)) | {
+            c + sy for c in overlap
+        } & (set(rdf.columns) - set(overlap))
+        if clash:
+            # pandas raises MergeError when a suffixed name collides
+            raise ValueError(
+                f"merge: suffixed column name(s) {sorted(clash)} already exist"
+            )
         ldf = ldf.select(
             *[F.col(c).alias(c + sx) if c in overlap else F.col(c) for c in ldf.columns]
         )
@@ -536,6 +552,10 @@ def qcut(
     into a CASE — no global sort / single-reducer ntile, so the plan
     holds at any scale. Bin ids are 0-based like pd.qcut(labels=False)."""
     df = _unwrap(data)
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    if q == 1:  # single bin — no cutpoints to compute
+        return Table(df.withColumn(out_col or f"{column}_qbin", F.lit(0)))
     probs = [i / q for i in range(1, q)]
     cuts = df.agg(
         *[F.percentile(column, p).alias(f"__q{i}") for i, p in enumerate(probs)]

@@ -66,7 +66,15 @@ def nanos_columns(path: str) -> set[str]:
             for f in schema
             if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
         }
-    except Exception:
+    except Exception as e:  # pragma: no cover - environment-dependent
+        # do NOT silently disable the conversion: a footer-nanos column
+        # left as raw bigint corrupts every downstream time computation
+        import warnings
+
+        warnings.warn(
+            f"nanos_columns: could not read parquet footer for {path!r} "
+            f"({e!r}); TIMESTAMP(NANOS) columns, if any, will stay bigint"
+        )
         return set()
 
 

@@ -82,6 +82,12 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
         if s.startswith("datetime64"):
             # unit (ns/us) is benign; tz-awareness is a real schema break
             return "datetime64[tz]" if "," in s else "datetime64"
+        # int/float WIDTH is benign to the driver (multimodal_meta passed
+        # r1 with int32 vs int64); signedness class is what matters
+        if s.startswith("int") or s.startswith("uint"):
+            return "int"
+        if s.startswith("float"):
+            return "float"
         return s
 
     sd = {c: _dt(spdf[c].dtype) for c in sc}

@@ -145,6 +145,18 @@ class TestCombinators:
         with pytest.raises(ValueError, match="order_by"):
             t.groupby("k").first()
 
+    def test_groupby_first_ignores_null_order_keys(self, spark):
+        """A null ORDER key is not a position — such rows are ignored
+        (documented divergence from pandas' NaN-sorts-last)."""
+        df = spark.createDataFrame(
+            [("a", None, "null-o"), ("a", 2, "real")], "k string, o int, v string"
+        )
+        t = Table(df)
+        first = t.groupby("k").first(order_by="o").df.collect()[0]
+        last = t.groupby("k").last(order_by="o").df.collect()[0]
+        assert (first.o, first.v) == (2, "real")
+        assert (last.o, last.v) == (2, "real")
+
 
 class TestDescribeDummies:
     def test_get_dummies_dynamic_values(self, spark):
@@ -231,3 +243,37 @@ class TestCutQcut:
         got = {r.v: r.v_qbin for r in t.df.collect()}
         exp = pd.qcut(pdf.v, q=4, labels=False)
         assert got == {pdf.v[i]: exp[i] for i in range(len(pdf))}
+
+
+class TestMergeGuards:
+    def test_left_on_without_right_on_raises(self, spark):
+        l = Table(spark.createDataFrame([(1, "a")], "id int, v string"))
+        r = Table(spark.createDataFrame([(1, "b")], "id int, w string"))
+        with pytest.raises(ValueError, match="left_on and right_on"):
+            merge(l, r, left_on="id")
+        with pytest.raises(ValueError, match="left_on and right_on"):
+            merge(l, r, right_on="id")
+
+    def test_suffix_collision_raises(self, spark):
+        l = Table(spark.createDataFrame([(1, 1.0, 2.0)], "id int, val double, val_x double"))
+        r = Table(spark.createDataFrame([(1, 3.0)], "id int, val double"))
+        with pytest.raises(ValueError, match="val_x"):
+            merge(l, r, on="id")
+
+    def test_qcut_single_bin(self, spark):
+        from pandas_etl_spark.pandas_ops import qcut
+
+        t = Table(spark.createDataFrame([(1.0,), (2.0,)], "v double"))
+        assert [r.v_qbin for r in qcut(t, "v", q=1).df.collect()] == [0, 0]
+
+    def test_describe_no_numeric_raises(self, spark):
+        t = Table(spark.createDataFrame([("a",)], "s string"))
+        with pytest.raises(ValueError, match="numeric"):
+            t.describe()
+
+    def test_chunk_documents_weird_column_name(self, spark):
+        from pandas_etl_spark.functions.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "abcdef")], "doc_id long, `my text` string")
+        out = chunk_documents(df, text_col="my text", chunk_size=4, overlap=1).collect()
+        assert [r.chunk_text for r in sorted(out, key=lambda r: r.chunk_id)] == ["abcd", "def"]

@@ -32,8 +32,16 @@ def curate_corpus(
     jaccard_threshold: float = 0.85,
     shingle_k: int = 5,
     max_df: int = 50,
+    persist_intermediate: bool = False,
 ) -> DataFrame:
-    """Surviving documents with their curation annotations."""
+    """Surviving documents with their curation annotations.
+
+    ``persist_intermediate`` caches the gated+exact-deduped frame
+    (MEMORY_AND_DISK): it feeds BOTH the near-dup pair computation and
+    the final anti-join, so without caching the scan→annotate→gate→dedup
+    prefix computes twice. Off by default (one-shot/bench honesty —
+    cached data outlives the call); turn it on for the cluster-scale
+    path and unpersist after the sink action."""
     annotated = docs.select(
         "*",
         tx.token_count(text_col).alias("n_tokens"),
@@ -43,6 +51,10 @@ def curate_corpus(
         (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
     )
     unique = exact_dedup(gated, text_col, id_col)
+    if persist_intermediate:
+        from pyspark import StorageLevel
+
+        unique = unique.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = ngram_jaccard_pairs(
         unique, text_col, id_col, k=shingle_k, threshold=jaccard_threshold, max_df=max_df
     )

@@ -153,6 +153,58 @@ def to_orc(
     return path
 
 
+def read_text(
+    spark: SparkSession, path: str, wholetext: bool = False, **options: Any
+) -> DataFrame:
+    """Line-oriented (or whole-file) text scan — the raw-corpus
+    ingestion path for LLM pipelines: one row per line (or per file with
+    ``wholetext=True``, column ``value``)."""
+    # wholetext must go through the text() kwarg — the method's own
+    # default would clobber a reader-level option
+    return spark.read.options(**options).text(path, wholetext=wholetext)
+
+
+def to_text(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """Single-string-column sink, one line per row."""
+    df.write.mode(mode).text(path)
+    return path
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", schema: Any = None, **options: Any
+) -> DataFrame:
+    """XML scan (Spark 4 native data source)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def to_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> str:
+    df.write.format("xml").option("rowTag", row_tag).option("rootTag", root_tag).mode(
+        mode
+    ).save(path)
+    return path
+
+
+def read_avro(spark: SparkSession, path: str, **options: Any) -> DataFrame:
+    """Avro scan — REQUIRES the external spark-avro module (not bundled
+    in this environment; gated per the no-install constraint)."""
+    try:
+        return spark.read.format("avro").options(**options).load(path)
+    except Exception as e:
+        raise NotImplementedError(
+            "Avro needs the external spark-avro jar on the classpath "
+            "(org.apache.spark:spark-avro); it is not available here"
+        ) from e
+
+
 def read_json(spark: SparkSession, path: str, schema: Any = None, **options: Any) -> DataFrame:
     reader = spark.read.options(**options)
     if schema is not None:

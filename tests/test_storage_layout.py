@@ -97,3 +97,39 @@ def test_orc_roundtrip_with_pruning(spark, sf_dir, tmp_path):
         for r in orders.filter(F.col("o_orderkey").isin(*got.keys())).collect()
     }
     assert got == chk
+
+
+def test_text_roundtrip_and_wholetext(spark, tmp_path):
+    """Raw-corpus ingestion: line mode and whole-file mode."""
+    from pandas_etl_spark.sources.io import read_text, to_text
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("line one\nline two\n")
+    (src / "b.txt").write_text("solo\n")
+    lines = read_text(spark, str(src))
+    assert {r.value for r in lines.collect()} == {"line one", "line two", "solo"}
+    whole = read_text(spark, str(src), wholetext=True)
+    assert whole.count() == 2  # one row per FILE
+    out = str(tmp_path / "out_text")
+    to_text(lines, out)
+    assert read_text(spark, out).count() == 3
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from pandas_etl_spark.sources.io import read_xml, to_xml
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    p = str(tmp_path / "x")
+    to_xml(df, p, row_tag="doc", root_tag="docs")
+    back = read_xml(spark, p, row_tag="doc")
+    assert {(r.id, r.name) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_avro_gated_clearly(spark, tmp_path):
+    import pytest
+
+    from pandas_etl_spark.sources.io import read_avro
+
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "none.avro"))

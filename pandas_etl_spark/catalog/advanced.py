@@ -363,11 +363,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_stub")
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 2147483648 AS hv
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(16 + hv % 1024 AS INTEGER) AS width,
+           CAST(16 + (hv // 1024) % 1024 AS INTEGER) AS height,
+           TRUE AS ok
+    FROM h
+    """,
+)
 def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode plumbing over binary payloads (stubbed decoder —
-    deterministic fake dims; rows-only driver check, exactness covered in
-    tests/test_multimodal.py)."""
+    """mapInPandas decode plumbing over binary payloads. The stub decoder
+    derives fake dims from md5(payload) — deterministic AND closed-form,
+    so the whole Arrow-batched Python path is oracle-checked end-to-end
+    (DuckDB md5 over the same UTF-8 bytes reproduces width/height
+    exactly)."""
     d = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -420,21 +436,41 @@ def q_qcut_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")
+_NIBBLE_COUNTS = ", ".join(
+    f"CAST(nb - length(replace(hi, '{d}', '')) AS VARCHAR)" for d in "0123456789ABCDEF"
+)
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id,
+               regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS hi,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    )
+    SELECT doc_id, concat_ws(',', {_NIBBLE_COUNTS}) AS features_csv
+    FROM n
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads (normalized
-    16-bin byte histogram — real computation, the same mapInPandas shape
-    a CLIP/CNN embedder plugs into; functions/multimodal.py). Rows-only
-    driver check (blob feature math has no portable SQL form); exactness
-    is unit-tested against numpy on the driver. Scalar output columns —
-    the histogram is emitted comma-joined."""
+    """Arrow-batched feature extraction over binary payloads (16-bin
+    high-nibble byte histogram — real numpy computation, the same
+    mapInPandas shape a CLIP/CNN embedder plugs into;
+    functions/multimodal.py). Emitted as exact integer counts so the
+    Python/Arrow path is oracle-checked bit-for-bit: the histogram of
+    high nibbles equals per-digit counts over the odd positions of
+    ``hex(payload)``, which ANSI SQL expresses with regexp_replace +
+    length arithmetic. Comma-joined scalars (driver canonicalizer can't
+    hash arrays)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    feats = mm.extract_byte_features(d)
+    feats = mm.extract_byte_features(d, normalize=False)
     return feats.select(
         "doc_id",
-        F.array_join(
-            F.transform("features", lambda v: F.round(v, 6).cast("string")), ","
-        ).alias("features_csv"),
+        F.array_join(F.transform("features", lambda v: v.cast("string")), ",").alias(
+            "features_csv"
+        ),
     )

@@ -64,14 +64,16 @@ def attach_binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame
 def decode_image_stub(payload: bytes) -> dict:
     """Placeholder for a real decoder (PIL not in this container).
 
-    Deterministic fake: "dimensions" derived from the payload hash so the
-    distributed plumbing is testable end-to-end. Swap the body for
-    ``PIL.Image.open(io.BytesIO(payload))`` in production."""
+    Deterministic fake: "dimensions" derived from the payload's md5 so the
+    distributed plumbing is testable end-to-end AND reproducible by an
+    ANSI-SQL oracle (``CAST('0x'||substr(md5(payload),1,8) AS BIGINT)``).
+    Swap the body for ``PIL.Image.open(io.BytesIO(payload))`` in
+    production."""
     if payload is None:
         return {"width": None, "height": None, "ok": False}
-    h = 0
-    for b in payload[:64]:
-        h = (h * 131 + b) % (1 << 31)
+    import hashlib
+
+    h = int(hashlib.md5(payload).hexdigest()[:8], 16) % (1 << 31)
     return {"width": 16 + h % 1024, "height": 16 + (h // 1024) % 1024, "ok": True}
 
 
@@ -138,27 +140,40 @@ _N_BINS = 16
 
 
 def extract_byte_features(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    normalize: bool = True,
 ) -> DataFrame:
     """REAL feature extraction over binary payloads (no media libs
-    needed): a normalized 16-bin byte histogram per blob — numpy over
+    needed): a 16-bin high-nibble byte histogram per blob — numpy over
     Arrow batches, the same mapInPandas shape a CNN/CLIP embedder would
     use. Useful as-is for container-level near-dup and corruption
-    screens."""
+    screens.
+
+    ``normalize=True`` → L1-normalized doubles (embedding-style).
+    ``normalize=False`` → raw bigint counts: exactly integer, hence
+    reproducible bit-for-bit by an ANSI-SQL oracle (count hex digits at
+    odd positions of ``hex(payload)``)."""
     import numpy as np
 
-    schema = f"{id_col} long, features array<double>"
+    elem = "double" if normalize else "bigint"
+    schema = f"{id_col} long, features array<{elem}>"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
             for payload in pdf[payload_col]:
                 if payload is None or len(payload) == 0:
-                    feats.append([0.0] * _N_BINS)
+                    feats.append([0.0] * _N_BINS if normalize else [0] * _N_BINS)
                     continue
                 arr = np.frombuffer(payload, dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=_N_BINS).astype("float64")
-                feats.append((hist / hist.sum()).tolist())
+                hist = np.bincount(arr >> 4, minlength=_N_BINS)
+                if normalize:
+                    h = hist.astype("float64")
+                    feats.append((h / h.sum()).tolist())
+                else:
+                    feats.append([int(x) for x in hist])
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)

@@ -63,22 +63,34 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
+    # Each query runs twice: run 1 pays one-time Janino codegen compiles
+    # (5-8s/session for the wide generated aggregates — SCALE.md) and is
+    # reported as cold; run 2 is the steady-state number regressions
+    # should be judged on (VERDICT r2 #10: codegen noise masked real
+    # plan changes). Caches (curate's persisted intermediate) are
+    # cleared between runs so the warm run re-executes the full plan
+    # rather than reading run 1's cache.
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        for timings in (cold, warm):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "catalog_headline_total",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "queries_cold": cold,
+                "value_cold": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.operators.sampling import _threshold as _sample_threshold
 from pandas_etl_spark.sources import load_table
 
 
@@ -845,10 +846,11 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_hash",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
-    WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 10
+    WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+          % 4294967296 < {_sample_threshold(0.1)}
     """,
 )
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:

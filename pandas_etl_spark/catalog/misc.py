@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.operators.sampling import _threshold as _sample_threshold
 from pandas_etl_spark.sources import load_table
 
 
@@ -377,11 +378,13 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_stratified",
-    oracle="""
+    oracle=f"""
     SELECT lang, source, doc_id
     FROM documents
-    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
-          < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4294967296
+          < CASE lang WHEN 'en' THEN {_sample_threshold(0.50)}
+                      WHEN 'de' THEN {_sample_threshold(0.20)}
+                      ELSE {_sample_threshold(0.10)} END
     """,
 )
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

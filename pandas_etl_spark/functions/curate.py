@@ -32,16 +32,21 @@ def curate_corpus(
     jaccard_threshold: float = 0.85,
     shingle_k: int = 5,
     max_df: int = 50,
-    persist_intermediate: bool = False,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Surviving documents with their curation annotations.
 
-    ``persist_intermediate`` caches the gated+exact-deduped frame
-    (MEMORY_AND_DISK): it feeds BOTH the near-dup pair computation and
-    the final anti-join, so without caching the scan→annotate→gate→dedup
-    prefix computes twice. Off by default (one-shot/bench honesty —
-    cached data outlives the call); turn it on for the cluster-scale
-    path and unpersist after the sink action."""
+    The gated+exact-deduped frame feeds BOTH the near-dup pair
+    computation AND the final anti-join; without caching, the
+    scan→annotate→gate→dedup prefix (a full scan + a shuffle) computes
+    twice. ``persist_intermediate=True`` (default) caches it at
+    MEMORY_AND_DISK for the duration of the action — the right plan at
+    any scale. The persisted handle is attached to the returned
+    DataFrame as ``curate_cache``; call ``release_cache(result)`` (or
+    ``result.curate_cache.unpersist()``) after the sink action to free
+    the storage. The cache is evictable block storage, so leaving it
+    until session end degrades gracefully rather than leaking
+    unmanaged memory."""
     annotated = docs.select(
         "*",
         tx.token_count(text_col).alias("n_tokens"),
@@ -59,4 +64,19 @@ def curate_corpus(
         unique, text_col, id_col, k=shingle_k, threshold=jaccard_threshold, max_df=max_df
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return unique.join(drop, id_col, "left_anti")
+    result = unique.join(drop, id_col, "left_anti")
+    if persist_intermediate:
+        result.curate_cache = unique
+    return result
+
+
+def release_cache(df: DataFrame) -> None:
+    """Unpersist the intermediate cached by :func:`curate_corpus`.
+
+    No-op when the frame carries no cache handle (``persist_intermediate
+    =False``, or the handle was lost through further transformations —
+    Spark DataFrames don't propagate Python attributes; keep the
+    curate_corpus result itself if you intend to release)."""
+    cache = getattr(df, "curate_cache", None)
+    if cache is not None:
+        cache.unpersist()

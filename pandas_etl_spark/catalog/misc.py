@@ -461,6 +461,39 @@ def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "str_dt_accessors",
+    oracle="""
+    SELECT event_id,
+           upper(event_type)                   AS etype_up,
+           date_trunc('hour', ts)              AS hour_bucket,
+           regexp_extract(props, '(\\d+)', 1)  AS first_num,
+           CAST(isodow(ts) - 1 AS INTEGER)     AS dow
+    FROM events
+    """,
+)
+def q_str_dt_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table ``.str`` / ``.dt`` accessor namespaces (SURVEY §2.8;
+    VERDICT r2 #4): the pandas Series surface the reference reaches via
+    generic dispatch, expressed through ``t["col"].str.*`` /
+    ``t["col"].dt.*`` handles over Catalyst expressions —
+    ``.str.extract`` (regexp capture), ``.dt.floor('H')``
+    (date_trunc), ``.dt.dayofweek`` (pandas Monday=0 convention,
+    translated from Spark's Sunday=1)."""
+    from pandas_etl_spark.pandas_ops import Table
+
+    t = Table(load_table(spark, sf_dir, "events"))
+    return (
+        t.assign(
+            etype_up=t["event_type"].str.upper(),
+            hour_bucket=t["ts"].dt.floor("H"),
+            first_num=t["props"].str.extract(r"(\d+)"),
+            dow=t["ts"].dt.dayofweek,
+        )
+        .df.select("event_id", "etype_up", "hour_bucket", "first_num", "dow")
+    )
+
+
+@query(
     "salted_agg_events",
     oracle="""
     SELECT event_type,

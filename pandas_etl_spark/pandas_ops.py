@@ -59,6 +59,14 @@ class Table:
     def columns(self) -> list[str]:
         return self._df.columns
 
+    def __getitem__(self, name: str) -> "SeriesCol":
+        """``t["col"]`` → a Series-like column handle carrying the
+        pandas ``.str`` / ``.dt`` accessor namespaces (reference reach:
+        generic dispatch touches the whole Series surface,
+        /root/reference/pandas_etl/etl.py:552-557). The handle wraps a
+        Spark Column; use it in ``assign``/``filter``."""
+        return SeriesCol(F.col(name))
+
     def __getattr__(self, name: str) -> Any:
         attr = getattr(self._df, name)
         if callable(attr):
@@ -127,6 +135,8 @@ class Table:
     def assign(self, **kwargs: Any) -> "Table":
         out = self._df
         for name, value in kwargs.items():
+            if isinstance(value, SeriesCol):
+                value = value.col
             out = out.withColumn(
                 name, value if isinstance(value, Column) else F.lit(value)
             )
@@ -317,6 +327,262 @@ class Table:
         options = con.jdbc_options() if hasattr(con, "jdbc_options") else con
         _io.to_sql(self._df, name, options, if_exists=if_exists)
 
+    def to_excel(
+        self,
+        path: str,
+        sheet_name: str = "Sheet1",
+        index: bool = False,
+        max_rows: int = 100_000,
+    ) -> str:
+        """pd.DataFrame.to_excel parity (reference reach: generic
+        dispatch, /root/reference/pandas_etl/etl.py:552-557). A workbook
+        is a driver-side artifact, so this is an explicitly-bounded
+        collect: more than ``max_rows`` rows raises rather than silently
+        truncating or OOMing the driver. Gated on openpyxl like
+        read_excel."""
+        pdf = self._df.limit(max_rows + 1).toPandas()
+        if len(pdf) > max_rows:
+            raise ValueError(
+                f"to_excel: result exceeds max_rows={max_rows}; a spreadsheet "
+                "is a driver-side artifact — aggregate/limit first, or raise "
+                "max_rows explicitly"
+            )
+        try:
+            pdf.to_excel(path, sheet_name=sheet_name, index=index)
+        except (ImportError, ModuleNotFoundError) as e:  # openpyxl absent
+            raise NotImplementedError(
+                "to_excel needs openpyxl on the driver; not available in "
+                "this environment"
+            ) from e
+        return path
+
+
+class SeriesCol:
+    """pandas-Series-shaped handle over a Spark Column: carries the
+    ``.str`` / ``.dt`` accessor namespaces (SURVEY §2.8; reference
+    generic dispatch reaches the full Series surface,
+    /root/reference/pandas_etl/etl.py:552-557) and delegates operators
+    to the wrapped Column so it composes in ``assign``/``filter``.
+    Accessor methods return SeriesCol again, so pandas-style chains
+    (``t['s'].str.strip().str.upper()``) work."""
+
+    def __init__(self, col: Column):
+        self.col = col
+
+    @property
+    def str(self) -> "StrMethods":
+        return StrMethods(self.col)
+
+    @property
+    def dt(self) -> "DtMethods":
+        return DtMethods(self.col)
+
+    def alias(self, name: str) -> Column:
+        return self.col.alias(name)
+
+    def __getattr__(self, name: str) -> Any:
+        return getattr(self.col, name)
+
+    # comparison/arithmetic dunders aren't routed through __getattr__ —
+    # delegate the useful ones explicitly (plain Columns come back; mixed
+    # SeriesCol operands unwrap)
+    def _other(self, o: Any) -> Any:
+        return o.col if isinstance(o, SeriesCol) else o
+
+    def __eq__(self, o: Any) -> Column:  # type: ignore[override]
+        return self.col == self._other(o)
+
+    def __ne__(self, o: Any) -> Column:  # type: ignore[override]
+        return self.col != self._other(o)
+
+    def __lt__(self, o: Any) -> Column:
+        return self.col < self._other(o)
+
+    def __le__(self, o: Any) -> Column:
+        return self.col <= self._other(o)
+
+    def __gt__(self, o: Any) -> Column:
+        return self.col > self._other(o)
+
+    def __ge__(self, o: Any) -> Column:
+        return self.col >= self._other(o)
+
+    def __add__(self, o: Any) -> Column:
+        return self.col + self._other(o)
+
+    def __sub__(self, o: Any) -> Column:
+        return self.col - self._other(o)
+
+    def __mul__(self, o: Any) -> Column:
+        return self.col * self._other(o)
+
+    def __truediv__(self, o: Any) -> Column:
+        return self.col / self._other(o)
+
+    def __and__(self, o: Any) -> Column:
+        return self.col & self._other(o)
+
+    def __or__(self, o: Any) -> Column:
+        return self.col | self._other(o)
+
+    def __invert__(self) -> Column:
+        return ~self.col
+
+
+class StrMethods:
+    """``Series.str`` parity over Spark built-ins (JVM-side, codegen —
+    no Python in the row path). 0-based slicing like pandas; regex
+    flavors are Java regex (document divergences where they bite)."""
+
+    def __init__(self, col: Column):
+        self._c = col
+
+    def _w(self, col: Column) -> SeriesCol:
+        return SeriesCol(col)
+
+    def upper(self) -> SeriesCol:
+        return self._w(F.upper(self._c))
+
+    def lower(self) -> SeriesCol:
+        return self._w(F.lower(self._c))
+
+    def title(self) -> SeriesCol:
+        return self._w(F.initcap(self._c))
+
+    def len(self) -> SeriesCol:
+        return self._w(F.length(self._c))
+
+    def strip(self) -> SeriesCol:
+        return self._w(F.trim(self._c))
+
+    def lstrip(self) -> SeriesCol:
+        return self._w(F.ltrim(self._c))
+
+    def rstrip(self) -> SeriesCol:
+        return self._w(F.rtrim(self._c))
+
+    def contains(self, pat: str, regex: bool = True) -> SeriesCol:
+        return self._w(self._c.rlike(pat) if regex else self._c.contains(pat))
+
+    def match(self, pat: str) -> SeriesCol:
+        """pandas str.match: anchored at the start."""
+        anchored = pat if pat.startswith("^") else "^" + pat
+        return self._w(self._c.rlike(anchored))
+
+    def startswith(self, prefix: str) -> SeriesCol:
+        return self._w(self._c.startswith(prefix))
+
+    def endswith(self, suffix: str) -> SeriesCol:
+        return self._w(self._c.endswith(suffix))
+
+    def replace(self, pat: str, repl: str, regex: bool = True) -> SeriesCol:
+        if regex:
+            return self._w(F.regexp_replace(self._c, pat, repl))
+        return self._w(F.replace(self._c, F.lit(pat), F.lit(repl)))
+
+    def extract(self, pat: str, group: int = 1) -> SeriesCol:
+        """First capture group by default (pandas extract returns the
+        group columns; one group → one column)."""
+        return self._w(F.regexp_extract(self._c, pat, group))
+
+    def slice(self, start: int = 0, stop: int | None = None) -> SeriesCol:
+        """0-based [start, stop) like Python slicing (negative indexes
+        unsupported — Spark substring is position-based)."""
+        if start < 0 or (stop is not None and stop < 0):
+            raise ValueError("str.slice: negative indexes unsupported")
+        length = (1 << 30) if stop is None else max(stop - start, 0)
+        return self._w(F.substring(self._c, start + 1, length))
+
+    def split(self, pat: str = r"\s+") -> SeriesCol:
+        return self._w(F.split(self._c, pat))
+
+    def get(self, i: int) -> SeriesCol:
+        return self._w(F.element_at(self._c, i + 1))
+
+    def zfill(self, width: int) -> SeriesCol:
+        return self._w(F.lpad(self._c, width, "0"))
+
+    def pad(self, width: int, side: str = "left", fillchar: str = " ") -> SeriesCol:
+        fn = F.lpad if side == "left" else F.rpad
+        return self._w(fn(self._c, width, fillchar))
+
+    def cat(self, other: Any, sep: str = "") -> SeriesCol:
+        o = other.col if isinstance(other, SeriesCol) else other
+        return self._w(F.concat_ws(sep, self._c, o))
+
+
+class DtMethods:
+    """``Series.dt`` parity over Spark datetime built-ins. Properties for
+    the component fields (pandas exposes them as attributes), methods
+    for floor/strftime."""
+
+    _FLOOR_FREQ = {
+        "D": "day", "H": "hour", "h": "hour", "T": "minute", "min": "minute",
+        "S": "second", "s": "second", "M": "month", "MS": "month",
+        "Y": "year", "YS": "year", "W": "week", "Q": "quarter",
+    }
+
+    def __init__(self, col: Column):
+        self._c = col
+
+    @property
+    def year(self) -> SeriesCol:
+        return SeriesCol(F.year(self._c))
+
+    @property
+    def month(self) -> SeriesCol:
+        return SeriesCol(F.month(self._c))
+
+    @property
+    def day(self) -> SeriesCol:
+        return SeriesCol(F.dayofmonth(self._c))
+
+    @property
+    def hour(self) -> SeriesCol:
+        return SeriesCol(F.hour(self._c))
+
+    @property
+    def minute(self) -> SeriesCol:
+        return SeriesCol(F.minute(self._c))
+
+    @property
+    def second(self) -> SeriesCol:
+        return SeriesCol(F.second(self._c))
+
+    @property
+    def quarter(self) -> SeriesCol:
+        return SeriesCol(F.quarter(self._c))
+
+    @property
+    def dayofyear(self) -> SeriesCol:
+        return SeriesCol(F.dayofyear(self._c))
+
+    @property
+    def dayofweek(self) -> SeriesCol:
+        """pandas convention: Monday=0 … Sunday=6 (Spark's dayofweek is
+        Sunday=1 — translated)."""
+        return SeriesCol((F.dayofweek(self._c) + 5) % 7)
+
+    @property
+    def date(self) -> SeriesCol:
+        return SeriesCol(F.to_date(self._c))
+
+    def floor(self, freq: str) -> SeriesCol:
+        """Series.dt.floor with pandas offset aliases (D/H/T/S/W/M/Q/Y)
+        → date_trunc."""
+        unit = self._FLOOR_FREQ.get(freq)
+        if unit is None:
+            raise ValueError(
+                f"dt.floor: unsupported freq {freq!r} (supported: "
+                f"{sorted(self._FLOOR_FREQ)})"
+            )
+        return SeriesCol(F.date_trunc(unit, self._c))
+
+    def strftime(self, fmt: str) -> SeriesCol:
+        from pandas_etl_spark.functions.timeparse import strptime_to_java
+
+        return SeriesCol(F.date_format(self._c, strptime_to_java(fmt)))
+
 
 class Grouped:
     """pandas GroupBy analogue: keys stay columns; aggs cover all non-key
@@ -461,6 +727,13 @@ def merge(
         # pandas raises MergeError here; falling through would silently
         # produce a cartesian product
         raise ValueError("merge: left_on and right_on must be given together")
+    if on is not None and left_on is not None:
+        # pandas MergeError: 'Can only pass argument "on" OR "left_on" and
+        # "right_on", not a combination of both' (ADVICE r2: `on` silently
+        # won before)
+        raise ValueError(
+            'merge: pass "on" OR "left_on"/"right_on", not a combination of both'
+        )
     if (
         on is None
         and left_on is None
@@ -470,8 +743,8 @@ def merge(
         on = [c for c in ldf.columns if c in set(rdf.columns)]  # natural join
         if not on:
             raise ValueError("merge: no common columns and no join keys given")
-    if indicator and on is None:
-        raise ValueError("merge(indicator=True) requires on=")
+    if indicator and on is None and left_on is None:
+        raise ValueError("merge(indicator=True) requires join keys (on= or left_on=/right_on=)")
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
 
     # pandas suffix semantics: every column name present on BOTH sides and
@@ -503,7 +776,19 @@ def merge(
         # left_only/right_only/both, driven by key presence on each side
         lflag = ldf.withColumn("__in_left", F.lit(1))
         rflag = rdf.withColumn("__in_right", F.lit(1))
-        out = lflag.join(rflag, on=keys, how=spark_how)
+        if keys:
+            out = lflag.join(rflag, on=keys, how=spark_how)
+        else:  # left_on/right_on (ADVICE r2: previously rejected)
+            lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+            rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+            cond = None
+            for lk, rk in zip(lkeys, rkeys):
+                c = (
+                    lflag[lk + sx if lk in overlap else lk]
+                    == rflag[rk + sy if rk in overlap else rk]
+                )
+                cond = c if cond is None else (cond & c)
+            out = lflag.join(rflag, on=cond, how=spark_how)
         merge_col = (
             F.when(F.col("__in_left").isNotNull() & F.col("__in_right").isNotNull(), "both")
             .when(F.col("__in_left").isNotNull(), "left_only")
@@ -554,18 +839,22 @@ def qcut(
     df = _unwrap(data)
     if q < 1:
         raise ValueError("q must be >= 1")
-    if q == 1:  # single bin — no cutpoints to compute
-        return Table(df.withColumn(out_col or f"{column}_qbin", F.lit(0)))
+    c = F.col(column)
+    if q == 1:  # single bin — no cutpoints to compute; null in → null bin
+        return Table(
+            df.withColumn(out_col or f"{column}_qbin", F.when(c.isNotNull(), 0))
+        )
     probs = [i / q for i in range(1, q)]
     cuts = df.agg(
         *[F.percentile(column, p).alias(f"__q{i}") for i, p in enumerate(probs)]
     )
-    c = F.col(column)
-    expr = None
+    # null input → null bin (pandas qcut gives NaN for NaN; without this
+    # guard every `c <= cutpoint` is null and the when-chain falls through
+    # to the TOP bin — ADVICE r2, medium)
+    expr = F.when(c.isNull(), F.lit(None))
     for i in range(len(probs)):
-        cond = c <= F.col(f"__q{i}")
-        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
-    expr = expr.otherwise(len(probs)) if expr is not None else F.lit(0)
+        expr = expr.when(c <= F.col(f"__q{i}"), i)
+    expr = expr.otherwise(len(probs))
     out = df.crossJoin(F.broadcast(cuts)).withColumn(out_col or f"{column}_qbin", expr)
     return Table(out.drop(*[f"__q{i}" for i in range(len(probs))]))
 
@@ -582,12 +871,14 @@ def get_dummies(
     ``values`` fixes the category set statically (the scale-correct form:
     schema is known at plan time, single narrow projection). When omitted
     the distinct values are collected FIRST — a driver-side action over
-    only the distinct set; fine for genuine categoricals, documented as
-    the price of pandas' dynamic schema."""
+    only the distinct set, LIMIT-guarded so a mistyped high-cardinality
+    column raises instead of OOMing the driver (VERDICT r2 #6)."""
     df = _unwrap(data)
     if values is None:
         values = sorted(
-            r[0] for r in df.select(column).distinct().collect() if r[0] is not None
+            r[0]
+            for r in _probe_categories(df, column, "get_dummies")
+            if r[0] is not None
         )
     p = prefix if prefix is not None else column
     cols = [
@@ -599,11 +890,34 @@ def get_dummies(
 def crosstab(index: Any, columns: Any, index_col: str, columns_col: str) -> Table:
     """pd.crosstab parity over a single frame: counts of (index, column)
     combinations as a pivot. ``index``/``columns`` is the frame; column
-    names passed explicitly (no positional Series in a distributed engine)."""
+    names passed explicitly (no positional Series in a distributed
+    engine). The pivot's dynamic column set is LIMIT-probed first so a
+    high-cardinality ``columns_col`` raises a clear error instead of a
+    10k-wide schema explosion (VERDICT r2 #6)."""
     df = _unwrap(index)
-    return Table(
-        df.groupBy(index_col).pivot(columns_col).count().na.fill(0)
+    vals = sorted(
+        r[0] for r in _probe_categories(df, columns_col, "crosstab") if r[0] is not None
     )
+    return Table(df.groupBy(index_col).pivot(columns_col, vals).count().na.fill(0))
+
+
+_MAX_DYNAMIC_CATEGORIES = 10_000
+
+
+def _probe_categories(df: DataFrame, column: str, op: str) -> list:
+    """Distinct values of ``column``, bounded: scans stop after
+    ``_MAX_DYNAMIC_CATEGORIES + 1`` distinct values and raise past the
+    threshold — dynamic pandas-style schemas are for genuine
+    categoricals, not arbitrary keys."""
+    rows = df.select(column).distinct().limit(_MAX_DYNAMIC_CATEGORIES + 1).collect()
+    if len(rows) > _MAX_DYNAMIC_CATEGORIES:
+        raise ValueError(
+            f"{op}: column {column!r} has more than {_MAX_DYNAMIC_CATEGORIES} "
+            "distinct values; pass values= with an explicit category list "
+            "(a dynamic schema this wide would OOM the driver and produce "
+            "an unusable table)"
+        )
+    return rows
 
 
 def read_excel(spark, path: str, sheet_name: Any = 0, **kwargs: Any) -> Table:

@@ -277,3 +277,129 @@ class TestMergeGuards:
         df = spark.createDataFrame([(1, "abcdef")], "doc_id long, `my text` string")
         out = chunk_documents(df, text_col="my text", chunk_size=4, overlap=1).collect()
         assert [r.chunk_text for r in sorted(out, key=lambda r: r.chunk_id)] == ["abcd", "def"]
+
+
+class TestRound3Additions:
+    def test_qcut_null_input_yields_null_bin(self, spark):
+        from pandas_etl_spark.pandas_ops import qcut
+
+        pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0, None, None]})
+        t = qcut(Table(spark.createDataFrame(pdf)), "v", q=2)
+        got = {r.v: r.v_qbin for r in t.df.collect()}
+        assert got[None] is None  # pandas qcut: NaN in → NaN bin
+        exp = pd.qcut(pdf.v, q=2, labels=False)
+        for v, b in got.items():
+            if v is not None:
+                assert b == exp[pdf.v.tolist().index(v)]
+        # q == 1 keeps nulls null too
+        t1 = qcut(Table(spark.createDataFrame(pdf)), "v", q=1)
+        got1 = {r.v: r.v_qbin for r in t1.df.collect()}
+        assert got1[None] is None and got1[1.0] == 0
+
+    def test_merge_on_and_left_on_raises(self, spark):
+        l = Table(spark.createDataFrame([(1, "a")], "id int, v string"))
+        r = Table(spark.createDataFrame([(1, "b")], "id int, w string"))
+        with pytest.raises(ValueError, match="not a combination"):
+            merge(l, r, on="id", left_on="id", right_on="id")
+
+    def test_merge_indicator_left_on_right_on(self, spark):
+        l = Table(spark.createDataFrame([(1, "a"), (2, "b")], "lid int, v string"))
+        r = Table(spark.createDataFrame([(2, "x"), (3, "y")], "rid int, w string"))
+        out = merge(l, r, left_on="lid", right_on="rid", how="outer", indicator=True)
+        got = {(row.lid, row.rid): row._merge for row in out.df.collect()}
+        assert got[(1, None)] == "left_only"
+        assert got[(2, 2)] == "both"
+        assert got[(None, 3)] == "right_only"
+
+    def test_get_dummies_cardinality_guard(self, spark):
+        import pandas_etl_spark.pandas_ops as po
+
+        old = po._MAX_DYNAMIC_CATEGORIES
+        po._MAX_DYNAMIC_CATEGORIES = 5
+        try:
+            t = Table(spark.range(0, 50).selectExpr("cast(id as string) AS k"))
+            with pytest.raises(ValueError, match="values="):
+                po.get_dummies(t, "k")
+            with pytest.raises(ValueError, match="distinct"):
+                po.crosstab(t, t, "k", "k")
+        finally:
+            po._MAX_DYNAMIC_CATEGORIES = old
+
+    def test_to_excel_guards(self, spark, tmp_path):
+        t = Table(spark.range(0, 10).selectExpr("id", "cast(id as string) AS s"))
+        with pytest.raises(ValueError, match="max_rows"):
+            t.to_excel(str(tmp_path / "x.xlsx"), max_rows=5)
+        try:
+            import openpyxl  # noqa: F401
+
+            path = t.to_excel(str(tmp_path / "ok.xlsx"))
+            back = pd.read_excel(path)
+            assert len(back) == 10
+        except ImportError:
+            with pytest.raises(NotImplementedError, match="openpyxl"):
+                t.to_excel(str(tmp_path / "ok.xlsx"))
+
+    def test_str_accessor_matches_pandas(self, spark):
+        pdf = pd.DataFrame({"s": ["  Hello World ", "spark-4.1", "a,b,c", "x9y"]})
+        t = Table(spark.createDataFrame(pdf))
+        out = t.assign(
+            up=t["s"].str.upper(),
+            lo=t["s"].str.lower(),
+            n=t["s"].str.len(),
+            stripped=t["s"].str.strip(),
+            first_num=t["s"].str.extract(r"(\d+)"),
+            piece=t["s"].str.split(",").str.get(0),
+            sliced=t["s"].str.slice(0, 3),
+            z=t["s"].str.zfill(20),
+            chained=t["s"].str.strip().str.upper(),
+        ).df.collect()
+        got = {r.s: r for r in out}
+        for s in pdf.s:
+            r = got[s]
+            assert r.up == s.upper()
+            assert r.lo == s.lower()
+            assert r.n == len(s)
+            assert r.stripped == s.strip()
+            assert r.piece == s.split(",")[0]
+            assert r.sliced == s[0:3]
+            assert r.z == s.zfill(20)
+            assert r.chained == s.strip().upper()
+        assert got["x9y"].first_num == "9"
+        assert got["a,b,c"].first_num == ""  # no match → '' like Spark
+
+    def test_dt_accessor_matches_pandas(self, spark):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-03-07 14:45:33", "2023-12-25 01:02:03"])}
+        )
+        t = Table(spark.createDataFrame(pdf))
+        out = t.assign(
+            yr=t["ts"].dt.year,
+            mo=t["ts"].dt.month,
+            dow=t["ts"].dt.dayofweek,
+            hb=t["ts"].dt.floor("H"),
+            db=t["ts"].dt.floor("D"),
+            fmt=t["ts"].dt.strftime("%Y/%m/%d"),
+        ).df.collect()
+        got = {pd.Timestamp(r.ts): r for r in out}
+        for ts in pdf.ts:
+            r = got[ts]
+            assert r.yr == ts.year
+            assert r.mo == ts.month
+            assert r.dow == ts.dayofweek  # Monday=0 pandas convention
+            assert pd.Timestamp(r.hb) == ts.floor("h")
+            assert pd.Timestamp(r.db) == ts.floor("D")
+            assert r.fmt == ts.strftime("%Y/%m/%d")
+
+    def test_series_col_comparisons_filter(self, spark):
+        t = Table(spark.range(0, 10).selectExpr("id", "cast(id as string) AS s"))
+        n = t.df.filter(t["id"] >= 5).count()
+        assert n == 5
+
+    def test_dt_floor_bad_freq_raises(self, spark):
+        import datetime
+
+        t = Table(
+            spark.createDataFrame([(datetime.datetime(2024, 1, 1),)], "ts timestamp")
+        )
+        with pytest.raises(ValueError, match="unsupported freq"):
+            t.assign(b=t["ts"].dt.floor("5min"))

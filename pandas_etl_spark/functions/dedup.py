@@ -400,35 +400,51 @@ def simhash_signatures(
     return votes.select("id", sim.alias("sim"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 8,
-) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+def _chunk_layout(n_chunks: int) -> list[tuple[int, int]]:
+    """(offset, width) bit spans splitting 64 bits into n_chunks
+    near-equal chunks."""
+    base, extra = divmod(64, n_chunks)
+    spans, off = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < extra else 0)
+        spans.append((off, w))
+        off += w
+    return spans
 
-    Blocking: split the 64-bit signature into 4 × 16-bit chunks; any pair
-    within Hamming ≤ 3 shares at least one exact chunk (pigeonhole) —
-    join per chunk, then verify the full distance. For larger budgets the
-    chunk count grows; this implementation uses 4 chunks (exact for
-    max_hamming ≤ 3, high-recall heuristic above).
-    """
-    sig = simhash_signatures(df, text_col, id_col)
-    chunks = sig.select(
-        "id",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
-                    )
-                    for i in range(4)
-                ]
+
+def simhash_neighbors(
+    sig: DataFrame, max_hamming: int, n_chunks: int | None = None
+) -> DataFrame:
+    """Pairs (id_a < id_b) of ``(id, sim bigint)`` signatures within
+    Hamming distance ≤ ``max_hamming``.
+
+    Blocking via the pigeonhole bound: with ``max_hamming + 1`` chunks,
+    ≤ max_hamming differing bits can touch at most max_hamming chunks,
+    so every qualifying pair shares at least one EXACT chunk — blocking
+    is exact for any radius (VERDICT r2 #7: the old fixed 4×16-bit split
+    was only exact to radius 3 while the default asked for 8).
+    Join per chunk on (chunk, value), then verify the true distance.
+
+    ``n_chunks`` may be set BELOW max_hamming+1 explicitly, trading
+    recall for coarser (= fewer, larger-valued) chunks — useful when the
+    radius is large and exact chunks would be too narrow to prune;
+    a value that keeps exactness is clamped to ≤ 64."""
+    if n_chunks is None:
+        n_chunks = min(max_hamming + 1, 64)
+    spans = _chunk_layout(n_chunks)
+    chunk_structs = []
+    for i, (off, w) in enumerate(spans):
+        if w >= 64:
+            val = F.col("sim")
+        else:
+            val = F.shiftrightunsigned(F.col("sim"), off).bitwiseAND(
+                F.lit((1 << w) - 1)
             )
-        ).alias("c"),
+        chunk_structs.append(
+            F.struct(F.lit(i).alias("chunk"), val.alias("val"))
+        )
+    chunks = sig.select(
+        "id", "sim", F.explode(F.array(*chunk_structs)).alias("c")
     ).select("id", "sim", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
     cand = (
         chunks.alias("a")
@@ -448,3 +464,17 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming —
+    signature computation (simhash_signatures) + exact pigeonhole
+    blocking (simhash_neighbors)."""
+    sig = simhash_signatures(df, text_col, id_col)
+    return simhash_neighbors(sig, max_hamming, n_chunks)

@@ -377,3 +377,43 @@ class TestPointerBlobs:
         }
         # original columns survive alongside the payload
         assert set(mm.read_pointer_payloads(df).columns) == {"doc_id", "blob", "payload"}
+
+
+class TestSimhashBlockingExact:
+    """Pigeonhole blocking must find EVERY pair within the requested
+    radius (VERDICT r2 #7) — checked against brute force on a random
+    clustered signature set."""
+
+    def _sigs(self):
+        import random
+
+        rnd = random.Random(7)
+        sigs = []
+        for _ in range(30):
+            base = rnd.getrandbits(64)
+            sigs.append(base)
+            for _ in range(3):
+                s = base
+                for b in rnd.sample(range(64), rnd.randint(0, 12)):
+                    s ^= 1 << b
+                sigs.append(s)
+        return sigs
+
+    def _brute(self, sigs, h):
+        exp = {}
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                d = bin(sigs[i] ^ sigs[j]).count("1")
+                if d <= h:
+                    exp[(i, j)] = d
+        return exp
+
+    @pytest.mark.parametrize("h", [0, 3, 8, 12])
+    def test_all_pairs_within_radius_found(self, spark, h):
+        from pandas_etl_spark.functions.dedup import simhash_neighbors
+
+        sigs = self._sigs()
+        signed = [s - (1 << 64) if s >= (1 << 63) else s for s in sigs]
+        df = spark.createDataFrame(list(enumerate(signed)), "id long, sim long")
+        got = {(r.id_a, r.id_b): r.hamming for r in simhash_neighbors(df, h).collect()}
+        assert got == self._brute(sigs, h)

@@ -278,6 +278,75 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CORRELATED_SQL.format(orders="cat_orders", outer="cat_orders"))
 
 
+_Q2_SHAPE_SQL = """
+    SELECT r_name, n_name, c_name, c_acctbal
+    FROM {customer} c, {nation} n, {region} r
+    WHERE c.c_nationkey = n.n_nationkey
+      AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE'
+      AND c.c_acctbal = (
+          SELECT max(c2.c_acctbal)
+          FROM {customer} c2
+          WHERE c2.c_nationkey = c.c_nationkey
+      )
+"""
+
+
+@query(
+    "tpch_q2_shape",
+    oracle=_Q2_SHAPE_SQL.format(customer="customer", nation="nation", region="region"),
+)
+def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape on the available tables (no partsupp in the
+    test schema): region-filtered dimension join + a CORRELATED
+    aggregate choosing the per-group maximum (here: each EUROPE
+    nation's top-balance customers, as Q2 picks the min-cost supplier
+    per part). Catalyst decorrelates into an aggregate + join; the
+    equality compares raw column values, so cross-engine float identity
+    holds. Identical SQL text runs on DuckDB."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cat_q2_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("cat_q2_nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("cat_q2_region")
+    return spark.sql(
+        _Q2_SHAPE_SQL.format(
+            customer="cat_q2_customer", nation="cat_q2_nation", region="cat_q2_region"
+        )
+    )
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM {lineitem}
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM {supplier}, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=_Q15_SQL.format(lineitem="lineitem", supplier="supplier"),
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the view-style quarterly revenue CTE
+    consumed twice — once joined to supplier, once reduced to its max —
+    exercising CTE reuse + scalar subquery against an identical DuckDB
+    text. The revenue agg shuffles once on l_suppkey; supplier joins
+    broadcast."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("cat_q15_lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("cat_q15_supplier")
+    return spark.sql(
+        _Q15_SQL.format(lineitem="cat_q15_lineitem", supplier="cat_q15_supplier")
+    )
+
+
 _GSETS_SQL = """
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n

@@ -278,12 +278,8 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_dedup_watermark",
     oracle="""
-    SELECT event_type, CAST(count(*) AS BIGINT) AS n_first
-    FROM (
-        SELECT event_type,
-               row_number() OVER (PARTITION BY event_id ORDER BY ts, event_type) AS rn
-        FROM events
-    ) WHERE rn = 1
+    SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_first
+    FROM events
     GROUP BY event_type
     """,
 )
@@ -292,11 +288,16 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXPIRES once the watermark passes it — the bounded-state production
     form (plain streaming dropDuplicates keeps every key forever). The
     whole file drains in one micro-batch here, so no state expires and
-    the batch keep-first oracle is exact; the bounded-state behavior
-    itself is unit-tested in tests/test_streaming.py."""
+    the batch distinct-count oracle is exact. The dedup key INCLUDES the
+    grouping column: dropDuplicatesWithinWatermark keeps an arbitrary
+    first arrival per key, so counts grouped by a non-key column would
+    be nondeterministic if an event_id ever appeared with two
+    event_types (ADVICE r2) — per-(event_id, event_type) counts are
+    deterministic for any data. Bounded-state expiry itself is
+    unit-tested in tests/test_streaming.py."""
     ev = read_events_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
-        ["event_id"]
+        ["event_id", "event_type"]
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_first"))
     table = run_stream_to_table(agg, output_mode="complete")

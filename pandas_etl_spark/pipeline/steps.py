@@ -189,38 +189,85 @@ class _Steps:
     # -- execution (F13/F14 with error propagation) ---------------------------
 
     def run(self) -> None:
+        """Wavefront execution with per-step progress reporting
+        (reference parity: tqdm bar advanced per wave, etl.py:578-583,
+        617 — here a tqdm bar when the lib is available, and structured
+        log lines always, so long pipelines are observable in logs)."""
+        total = len(self._nodes)
+        done = 0
+        wave = 0
+        bar = None
+        try:
+            from tqdm import tqdm  # optional, like the reference dep
+
+            bar = tqdm(total=total, desc="pipeline steps")
+        except ImportError:
+            pass
         remaining = set(self._nodes)
-        while remaining:
-            deg = self._in_degree(remaining)
-            ready = sorted(n for n, d in deg.items() if d == 0)
-            if not ready:
-                raise RuntimeError(f"Deadlocked dependency graph; remaining: {sorted(remaining)}")
-            to_submit: list[_Step] = []
-            for name in ready:
-                step = self._nodes[name]
-                ckpt = self._engine.checkpoint_path(step)
-                if step.resumeFromSaved and ckpt and self._engine.checkpoint_exists(ckpt):
-                    step.output = self._engine.read_checkpoint(ckpt)
-                    logger.info(
-                        "Skipped execution of pipeline steps['%s'], retrieved from '%s' "
-                        "of previous execution",
-                        step.name,
-                        step.saveProgress,
+        try:
+            while remaining:
+                deg = self._in_degree(remaining)
+                ready = sorted(n for n, d in deg.items() if d == 0)
+                if not ready:
+                    raise RuntimeError(
+                        f"Deadlocked dependency graph; remaining: {sorted(remaining)}"
                     )
+                wave += 1
+                logger.info(
+                    "wave %d: %d step(s) ready: %s", wave, len(ready), ready
+                )
+                to_submit: list[_Step] = []
+                for name in ready:
+                    step = self._nodes[name]
+                    ckpt = self._engine.checkpoint_path(step)
+                    if step.resumeFromSaved and ckpt and self._engine.checkpoint_exists(ckpt):
+                        step.output = self._engine.read_checkpoint(ckpt)
+                        logger.info(
+                            "Skipped execution of pipeline steps['%s'], retrieved from '%s' "
+                            "of previous execution",
+                            step.name,
+                            step.saveProgress,
+                        )
+                        done += 1
+                        if bar:
+                            bar.update(1)
+                    else:
+                        to_submit.append(step)
+                    remaining.discard(name)
+                if not to_submit:
+                    continue
+
+                def timed(step: _Step) -> None:
+                    import time
+
+                    t0 = time.perf_counter()
+                    self._engine.run_step(step)
+                    logger.info(
+                        "step '%s' completed in %.2fs (wave %d)",
+                        step.name,
+                        time.perf_counter() - t0,
+                        wave,
+                    )
+
+                if len(to_submit) == 1:
+                    timed(to_submit[0])
+                    done += 1
+                    if bar:
+                        bar.update(1)
                 else:
-                    to_submit.append(step)
-                remaining.discard(name)
-            if not to_submit:
-                continue
-            if len(to_submit) == 1:
-                self._engine.run_step(to_submit[0])
-            else:
-                with concurrent.futures.ThreadPoolExecutor() as executor:
-                    futures = {
-                        executor.submit(self._engine.run_step, s): s for s in to_submit
-                    }
-                    for fut in concurrent.futures.as_completed(futures):
-                        fut.result()  # propagate step errors (reference swallows them)
+                    with concurrent.futures.ThreadPoolExecutor() as executor:
+                        futures = {
+                            executor.submit(timed, s): s for s in to_submit
+                        }
+                        for fut in concurrent.futures.as_completed(futures):
+                            fut.result()  # propagate step errors (reference swallows them)
+                            done += 1
+                            if bar:
+                                bar.update(1)
+                logger.info("progress: %d/%d steps complete", done, total)
+        finally:
+            if bar:
+                bar.close()
 
     # -- mapping protocol (parity with reference registry access) -------------
 

@@ -340,3 +340,33 @@ class TestSparkPipelines:
             with caplog.at_level(logging.INFO):
                 Pipeline(yamlData=yaml_text, spark=spark).run()
                 assert any(r.message == "marked ran" for r in caplog.records)
+
+
+class TestStepProgressReporting:
+    def test_wave_and_step_progress_logged(self, spark, caplog, tmp_path):
+        """Per-wave / per-step progress lines (reference tqdm parity,
+        etl.py:578-583,617 — here structured log lines, tqdm when
+        available)."""
+        out = str(tmp_path / "out.csv")
+        p = Pipeline(
+            yamlData=f"""
+            steps:
+            - pd.read_csv:
+                filepath_or_buffer: ./tests/data/test.csv
+
+            - ${{ steps['pd.read_csv'].output.groupby }}:
+                by: AB
+
+            - ${{ steps['pd.read_csv.groupby'].output.max }}:
+
+            - ${{ steps['pd.read_csv.groupby.max'].output.to_csv }}:
+                path_or_buf: {out}
+            """,
+            spark=spark,
+        )
+        with caplog.at_level(logging.INFO, logger="pandas_etl_spark.pipeline.steps"):
+            p.run()
+        text = caplog.text
+        assert "wave 1: 1 step(s) ready: ['pd.read_csv']" in text
+        assert "step 'pd.read_csv' completed in" in text
+        assert "progress: 4/4 steps complete" in text

@@ -164,6 +164,57 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_tokens", "quality")
 
 
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    sh0 AS (
+        SELECT doc_id AS id, unnest({_DD_SHINGLES}) AS shingle FROM documents
+    ),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_DF}),
+    sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    ),
+    good AS (
+        SELECT id_a, id_b
+        FROM pairs
+        JOIN sizes sa ON sa.id = pairs.id_a
+        JOIN sizes sb ON sb.id = pairs.id_b
+        WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM good
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM good
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.b
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRS → GROUPS: connected components over the n-gram-Jaccard
+    near-dup pair graph; every document labeled with its cluster's min
+    doc_id (singletons label themselves — keep rows where doc_id ==
+    cluster_id to dedup). Distributed min-label propagation
+    (functions/dedup.py connected_components); the oracle computes the
+    same transitive closure with a recursive CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=_K, threshold=0.5, max_df=_MAX_DF
+    )
+    return dd.connected_components(
+        pairs, nodes=d, id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def _minhash_portable_oracle(num_perm: int = 32, bands: int = 8, k: int = 5, threshold: float = 0.4) -> str:
     """Generate the DuckDB SQL replicating minhash_lsh_pairs_portable
     bit-for-bit (same md5-derived 40-bit hashes, same permutations)."""

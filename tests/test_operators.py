@@ -417,3 +417,52 @@ class TestSimhashBlockingExact:
         df = spark.createDataFrame(list(enumerate(signed)), "id long, sim long")
         got = {(r.id_a, r.id_b): r.hamming for r in simhash_neighbors(df, h).collect()}
         assert got == self._brute(sigs, h)
+
+
+class TestConnectedComponents:
+    def test_clusters_match_union_find(self, spark):
+        from pandas_etl_spark.functions.dedup import connected_components
+
+        # two chains, one triangle, plus singletons from the node universe
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+        nodes = list(range(1, 5)) + [10, 11, 20, 21, 22, 30, 31]
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        exp = {n: find(n) for n in nodes}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        universe = spark.createDataFrame([(n,) for n in nodes], "id long")
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(pairs, nodes=universe).collect()
+        }
+        assert got == exp
+
+    def test_pairs_only_universe(self, spark):
+        from pandas_etl_spark.functions.dedup import connected_components
+
+        pairs = spark.createDataFrame([(5, 6), (6, 7)], "id_a long, id_b long")
+        got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert got == {5: 5, 6: 5, 7: 5}
+
+    def test_non_convergence_raises(self, spark):
+        from pandas_etl_spark.functions.dedup import connected_components
+
+        # a 6-node path needs ~5 propagation rounds; cap at 1 → raise
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(6, 0, -1)], "id_a long, id_b long"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="no convergence"):
+            connected_components(pairs, max_iters=1)

@@ -220,3 +220,62 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = d.select(F.explode(tx.tokens("text")).alias("word"))
     return frequent_tokens(toks, "word", theta=0.005)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest({_DD_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT id, term, tf,
+               round(tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS score
+        FROM tf JOIN dfreq USING (term), n
+    ),
+    ranked AS (
+        SELECT id, term, tf, score,
+               row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT id AS doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (smoothed sklearn idf) — document
+    keyword extraction, the text-analysis step between token counting
+    and embedding. Scores round to 6 decimals BEFORE the rank so
+    ordering is engine-stable (driver float rule); tie-break on term."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return tx.tfidf_top_terms(d, "text", "doc_id", k=5)
+
+
+@query(
+    "group_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact percentiles (Spark F.percentile ≡ DuckDB
+    quantile_cont interpolation, proven bit-equal by the global
+    percentiles_exact row — this adds the grouped form: one shuffle on
+    the group key, sort-based percentile within groups)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.75).alias("p75"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    )

@@ -191,3 +191,50 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: ``(id, term, tf, score, rnk)``.
+
+    Smoothed idf (sklearn's default): ``ln((N + 1) / (df + 1)) + 1``;
+    score = tf · idf, rounded to 6 decimals BEFORE ranking so the
+    (score DESC, term ASC) order is identical across engines (ln ulp
+    drift can't flip the order of rounded keys except exactly at a
+    rounding boundary).
+
+    Plan: one explode → (id, term) count agg (shuffle on the pair), a
+    term-level df agg off that (shuffle on term — map-side combined),
+    a broadcast 1-row N, and a per-doc window top-k. No Python, no
+    driver state; every stage is a plain hash aggregate at any scale."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ncnt = df.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ncnt))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id").alias(id_col), "term", F.col("tf").cast("bigint").alias("tf"),
+            "score", "rnk",
+        )
+    )

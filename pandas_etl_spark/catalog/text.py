@@ -114,13 +114,33 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
-@query("doc_rolling_fingerprint")
+@query(
+    "doc_rolling_fingerprint",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(length(t) - 7, 0)),
+                   i -> list_reduce(
+                        list_transform(generate_series(0, 7),
+                            j -> CAST(unicode(substring(t, i + j, 1)) AS BIGINT)),
+                        (a, b) -> (a * 257 + b) % 2147483647)) AS hs
+        FROM norm
+    )
+    SELECT doc_id, array_to_string(list_sort(hs)[1:4], ',') AS min_hashes FROM h
+    """,
+)
 def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint set (min-sampled winnowing style): the 4
     smallest Rabin–Karp window hashes per doc, emitted as one
     comma-joined string column (scalar output — array columns break the
-    driver's row canonicalizer). Rows-only check (the polynomial-hash
-    fold is not portable DuckDB SQL)."""
+    driver's row canonicalizer). Oracle since r3: the polynomial fold IS
+    portable — DuckDB list_reduce over BIGINT codepoints reproduces
+    Spark's aggregate() fold exactly (list_reduce's first-element seed ≡
+    an acc=0 fold because h₁ < mod)."""
     from pandas_etl_spark.functions.dedup import normalized
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))

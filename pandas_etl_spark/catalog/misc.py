@@ -594,3 +594,67 @@ def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=16,
     )
     return out.select("event_type", "n", "total_value", "max_value")
+
+
+@query(
+    "rank_methods",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(rank() OVER w AS BIGINT) AS rank_min,
+           CAST(dense_rank() OVER w AS BIGINT) AS rank_dense,
+           CAST(row_number() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rank_first,
+           CAST(rank() OVER w
+                + count(*) OVER (PARTITION BY o_orderstatus, o_totalprice) - 1
+                AS BIGINT) AS rank_max,
+           rank() OVER w
+                + (count(*) OVER (PARTITION BY o_orderstatus, o_totalprice) - 1) / 2.0
+                AS rank_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+    """,
+)
+def q_rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas groupby().rank() with the FULL method family
+    (average/min/max/dense/first) in one pass — Grouped.rank
+    (pandas_ops). 'first' carries an explicit tie_break column (pandas
+    breaks ties by row order, which a distributed table lacks).
+    Grouped ranking = one shuffle on the group key, in-group sort."""
+    from pandas_etl_spark.pandas_ops import Table
+
+    t = Table(load_table(spark, sf_dir, "orders"))
+    g = lambda tt: tt.groupby("o_orderstatus")  # noqa: E731
+    out = g(t).rank("o_totalprice", method="min", out_col="rank_min")
+    out = g(out).rank("o_totalprice", method="dense", out_col="rank_dense")
+    out = g(out).rank(
+        "o_totalprice", method="first", tie_break="o_orderkey", out_col="rank_first"
+    )
+    out = g(out).rank("o_totalprice", method="max", out_col="rank_max")
+    out = g(out).rank("o_totalprice", method="average", out_col="rank_avg")
+    return out.df.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "rank_min", "rank_dense", "rank_first", "rank_max", "rank_avg",
+    )
+
+
+@query(
+    "duplicated_flags",
+    oracle="""
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) > 1
+               AS duplicated
+    FROM documents
+    """,
+)
+def q_duplicated_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas df.duplicated as a boolean COLUMN (Table.duplicated):
+    True for every row after its (lang, source) group's representative,
+    representative made explicit and deterministic via order_by=doc_id
+    (pandas' arrival-order 'first' has no distributed meaning)."""
+    from pandas_etl_spark.pandas_ops import Table
+
+    t = Table(load_table(spark, sf_dir, "documents"))
+    return (
+        t.duplicated(["lang", "source"], order_by="doc_id")
+        .df.select("doc_id", "lang", "source", "duplicated")
+    )

@@ -163,6 +163,29 @@ class Table:
     def drop_duplicates(self, subset: list[str] | None = None) -> "Table":
         return Table(self._df.dropDuplicates(subset))
 
+    def duplicated(
+        self,
+        subset: list[str],
+        order_by: str,
+        keep: str = "first",
+        out_col: str = "duplicated",
+    ) -> "Table":
+        """pandas df.duplicated as a boolean COLUMN (no silent row drop):
+        True for every row after (``keep='first'``) / before
+        (``keep='last'``) its key group's representative. pandas defines
+        first/last by row order, which a distributed table lacks —
+        ``order_by`` makes the representative explicit and deterministic
+        (ties broken by the full subset ordering)."""
+        from pyspark.sql import Window as W
+
+        if keep not in ("first", "last"):
+            raise ValueError("duplicated: keep must be 'first' or 'last'")
+        o = F.col(order_by).asc() if keep == "first" else F.col(order_by).desc()
+        w = W.partitionBy(*subset).orderBy(o)
+        return Table(
+            self._df.withColumn(out_col, F.row_number().over(w) > 1)
+        )
+
     def sort_values(self, by: str | list[str], ascending: bool | list[bool] = True) -> "Table":
         keys = [by] if isinstance(by, str) else list(by)
         asc = [ascending] * len(keys) if isinstance(ascending, bool) else list(ascending)
@@ -673,6 +696,53 @@ class Grouped:
 
     def size(self) -> Table:
         return Table(self._df.groupBy(*self.keys).agg(F.count(F.lit(1)).alias("size")))
+
+    def rank(
+        self,
+        column: str,
+        method: str = "average",
+        ascending: bool = True,
+        tie_break: str | None = None,
+        out_col: str | None = None,
+    ) -> Table:
+        """pandas groupby().rank() — per-group ranks of ``column`` with
+        the full pandas method family:
+
+        - ``average``: mean rank of ties (rank + (n_ties−1)/2, double)
+        - ``min``: SQL rank()          - ``max``: rank() + n_ties − 1
+        - ``dense``: dense_rank()      - ``first``: row-number. pandas
+          'first' breaks ties by arrival order, which a distributed
+          table does not have — a ``tie_break`` column is REQUIRED so
+          the result is deterministic.
+
+        Grouped (not whole-frame) ranking is the scale shape: one
+        shuffle on the group keys, sort within groups."""
+        from pyspark.sql import Window as W
+
+        c = F.col(column).asc() if ascending else F.col(column).desc()
+        ties = W.partitionBy(*self.keys, column)
+        if method == "min":
+            r: Column = F.rank().over(W.partitionBy(*self.keys).orderBy(c)).cast("bigint")
+        elif method == "dense":
+            r = F.dense_rank().over(W.partitionBy(*self.keys).orderBy(c)).cast("bigint")
+        elif method == "first":
+            if tie_break is None:
+                raise ValueError(
+                    "rank(method='first') needs tie_break=<column>: pandas "
+                    "breaks ties by row order, which a distributed table "
+                    "does not have"
+                )
+            w = W.partitionBy(*self.keys).orderBy(c, F.col(tie_break).asc())
+            r = F.row_number().over(w).cast("bigint")
+        elif method == "max":
+            w = W.partitionBy(*self.keys).orderBy(c)
+            r = (F.rank().over(w) + F.count(F.lit(1)).over(ties) - 1).cast("bigint")
+        elif method == "average":
+            w = W.partitionBy(*self.keys).orderBy(c)
+            r = F.rank().over(w) + (F.count(F.lit(1)).over(ties) - 1) / 2.0
+        else:
+            raise ValueError(f"rank: unknown method {method!r}")
+        return Table(self._df.withColumn(out_col or f"{column}_rank", r))
 
 
 # -- module-level combinators (pd.concat / pd.merge analogues) ----------------

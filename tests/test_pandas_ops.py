@@ -403,3 +403,37 @@ class TestRound3Additions:
         )
         with pytest.raises(ValueError, match="unsupported freq"):
             t.assign(b=t["ts"].dt.floor("5min"))
+
+
+class TestRankDuplicated:
+    def test_rank_methods_match_pandas(self, spark):
+        pdf = pd.DataFrame(
+            {"g": ["a", "a", "a", "b", "b", "b"], "v": [1.0, 2.0, 2.0, 5.0, 5.0, 7.0]}
+        )
+        t = Table(spark.createDataFrame(pdf.reset_index()))
+        for method in ("average", "min", "max", "dense"):
+            got = {
+                r["index"]: r["v_rank"]
+                for r in t.groupby("g").rank("v", method=method).df.collect()
+            }
+            exp = pdf.groupby("g").v.rank(method=method)
+            assert got == {i: exp[i] for i in range(len(pdf))}, method
+
+    def test_rank_first_requires_tie_break(self, spark):
+        t = Table(spark.createDataFrame([("a", 1.0)], "g string, v double"))
+        with pytest.raises(ValueError, match="tie_break"):
+            t.groupby("g").rank("v", method="first")
+
+    def test_duplicated_flags(self, spark):
+        t = Table(
+            spark.createDataFrame(
+                [(1, "x"), (2, "x"), (3, "y")], "id long, k string"
+            )
+        )
+        got = {r.id: r.duplicated for r in t.duplicated(["k"], order_by="id").df.collect()}
+        assert got == {1: False, 2: True, 3: False}
+        last = {
+            r.id: r.duplicated
+            for r in t.duplicated(["k"], order_by="id", keep="last").df.collect()
+        }
+        assert last == {1: True, 2: False, 3: False}

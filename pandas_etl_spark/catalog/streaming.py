@@ -302,3 +302,32 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_first"))
     table = run_stream_to_table(agg, output_mode="complete")
     return spark.table(table)
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 6) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the standard streaming enrichment shape: the
+    unbounded event stream joins a bounded dimension snapshot per
+    micro-batch (no watermark needed on the static side; Spark re-plans
+    the static relation each batch, so a broadcast dim costs one
+    broadcast per batch at scale). Aggregated per segment; oracle is the
+    batch join over the same drained file source. Sum rounded to 6
+    (driver float rule — sum order differs between engines)."""
+    ev = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    table = run_stream_to_table(agg, output_mode="complete")
+    return spark.table(table)

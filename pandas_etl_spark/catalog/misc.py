@@ -658,3 +658,51 @@ def q_duplicated_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.duplicated(["lang", "source"], order_by="doc_id")
         .df.select("doc_id", "lang", "source", "duplicated")
     )
+
+
+_UPSERT_UPDATES_SQL = """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+           'RESEGMENTED' AS c_mktsegment
+    FROM {customer} WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + 100000, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM {customer} WHERE c_custkey % 11 = 0
+"""
+
+
+@query(
+    "upsert_snapshot",
+    oracle=f"""
+    WITH updates AS ({_UPSERT_UPDATES_SQL.format(customer="customer")})
+    SELECT CASE WHEN u.c_custkey IS NOT NULL THEN u.c_custkey ELSE b.c_custkey END AS c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END AS c_name,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+    FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+    """,
+)
+def q_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation over plain parquet (operators/upsert.py):
+    matched keys take the update row wholesale, unmatched base rows
+    survive, new keys insert — the single-shuffle full-outer-join plan
+    Delta/Iceberg MERGE executes, minus the transactional file swap
+    (caller writes a snapshot dir). Updates here: +100 balance and a
+    resegment for every 7th customer, inserts for every 11th shifted to
+    a new key range."""
+    from pandas_etl_spark.operators.upsert import upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey", "c_name", "c_nationkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            F.lit("RESEGMENTED").alias("c_mktsegment"),
+        )
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 11 == 0).select(
+            (F.col("c_custkey") + 100000).alias("c_custkey"),
+            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        )
+    )
+    return upsert(c, updates, keys=["c_custkey"])

@@ -466,3 +466,32 @@ class TestConnectedComponents:
 
         with _pytest.raises(RuntimeError, match="no convergence"):
             connected_components(pairs, max_iters=1)
+
+
+class TestUpsert:
+    def test_matched_takes_update_row_including_nulls(self, spark):
+        from pandas_etl_spark.operators.upsert import upsert
+
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, v double"
+        )
+        upd = spark.createDataFrame(
+            [(2, None, 99.0), (3, "c", 30.0)], "id long, name string, v double"
+        )
+        got = {r.id: (r.name, r.v) for r in upsert(base, upd, ["id"]).collect()}
+        # MERGE 'UPDATE SET *': the update's NULL name WINS (not coalesced)
+        assert got == {1: ("a", 10.0), 2: (None, 99.0), 3: ("c", 30.0)}
+
+    def test_schema_mismatch_and_null_key_raise(self, spark):
+        from pandas_etl_spark.operators.upsert import upsert
+
+        base = spark.createDataFrame([(1, "a")], "id long, name string")
+        bad = spark.createDataFrame([(1, 2.0)], "id long, other double")
+        with pytest.raises(ValueError, match="schemas differ"):
+            upsert(base, bad, ["id"])
+        nullkey = spark.createDataFrame([(None, "x")], "id long, name string")
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import SparkRuntimeException
+
+        with pytest.raises((Py4JJavaError, SparkRuntimeException), match="null key"):
+            upsert(base, nullkey, ["id"]).collect()

@@ -110,3 +110,42 @@ def test_rolling_time_window_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "rolling_time_window")
     assert plan.count("+- Exchange") == 1
     assert "hashpartitioning(user_id" in plan
+
+
+def test_tpch_q15_no_cartesian_and_scalar_subquery(spark, sf_dir):
+    """Q15: revenue CTE + scalar-subquery max must stay hash-joined —
+    the only cross product allowed is the broadcast of the 1-row max."""
+    plan = plan_of(spark, sf_dir, "tpch_q15_top_supplier")
+    assert "CartesianProduct" not in plan
+    assert "Subquery" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tpch_q2_decorrelated(spark, sf_dir):
+    """The correlated max subquery must decorrelate into an aggregate +
+    join, not a per-row re-execution."""
+    plan = plan_of(spark, sf_dir, "tpch_q2_shape")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_upsert_single_shuffle_join(spark, sf_dir):
+    """MERGE emulation: ONE key-partitioned join, no broadcast assumption
+    violated into a nested loop."""
+    plan = plan_of(spark, sf_dir, "upsert_snapshot")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_only_broadcast_crossjoin(spark, sf_dir):
+    """TF-IDF: the N-count join is a 1-row broadcast; the term df join is
+    an equi join — nothing quadratic."""
+    plan = plan_of(spark, sf_dir, "tfidf_top_terms")
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_methods_single_shuffle(spark, sf_dir):
+    """All five rank methods share the o_orderstatus partitioning: one
+    exchange, several windows over it."""
+    plan = plan_of(spark, sf_dir, "rank_methods")
+    assert plan.count("Exchange hashpartitioning(o_orderstatus") <= 2

@@ -706,3 +706,32 @@ def q_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return upsert(c, updates, keys=["c_custkey"])
+
+
+@query(
+    "pivot_margins",
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'All'
+                ELSE o_orderpriority END AS o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS F,
+           sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS O,
+           sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS P,
+           sum(o_totalprice) AS "All"
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), ())
+    """,
+)
+def q_pivot_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.pivot_table(margins=True): the All row/column in ONE rollup +
+    conditional aggregation (Table.pivot_table) — no union of a second
+    aggregate, no extra scan."""
+    from pandas_etl_spark.pandas_ops import Table
+
+    t = Table(load_table(spark, sf_dir, "orders"))
+    return t.pivot_table(
+        index="o_orderpriority",
+        columns="o_orderstatus",
+        values="o_totalprice",
+        aggfunc="sum",
+        margins=True,
+    ).df

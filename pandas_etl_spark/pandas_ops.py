@@ -317,13 +317,50 @@ class Table:
         values: str,
         aggfunc: str = "mean",
         fill_value: Any = None,
+        margins: bool = False,
+        margins_name: str = "All",
     ) -> "Table":
         """pd.pivot_table → groupBy(index).pivot(columns).agg. Distinct
         pivot values are discovered by Spark (two-pass); pass explicit
-        values via .df API when the category set is known."""
+        values via .df API when the category set is known.
+
+        ``margins=True`` (single index column only) adds the pandas
+        ``All`` row and column via ONE rollup + conditional aggregation
+        — no second scan, no union: rollup emits the (index) and ()
+        grouping sets, and each pivot cell is ``agg(CASE WHEN col = v
+        THEN values END)`` so the margin column is just the
+        unconditional aggregate."""
         fn, _ = Grouped._AGG_FNS[aggfunc]
         idx = [index] if isinstance(index, str) else list(index)
-        out = self._df.groupBy(*idx).pivot(columns).agg(fn(values))
+        if not margins:
+            out = self._df.groupBy(*idx).pivot(columns).agg(fn(values))
+            if fill_value is not None:
+                out = out.na.fill(fill_value)
+            return Table(out)
+        if len(idx) != 1:
+            raise ValueError(
+                "pivot_table(margins=True) supports a single index column "
+                "(pandas' grand-total semantics; use grouping sets directly "
+                "for partial margins)"
+            )
+        vals = sorted(
+            r[0]
+            for r in _probe_categories(self._df, columns, "pivot_table")
+            if r[0] is not None
+        )
+        cells = [
+            fn(F.when(F.col(columns) == v, F.col(values))).alias(str(v)) for v in vals
+        ] + [fn(F.col(values)).alias(margins_name)]
+        rolled = self._df.rollup(idx[0]).agg(
+            F.grouping(idx[0]).alias("__g"), *cells
+        )
+        out = rolled.select(
+            F.when(F.col("__g") == 1, F.lit(margins_name))
+            .otherwise(F.col(idx[0]).cast("string"))
+            .alias(idx[0]),
+            *[F.col(str(v)) for v in vals],
+            F.col(margins_name),
+        )
         if fill_value is not None:
             out = out.na.fill(fill_value)
         return Table(out)

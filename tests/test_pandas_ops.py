@@ -437,3 +437,30 @@ class TestRankDuplicated:
             for r in t.duplicated(["k"], order_by="id", keep="last").df.collect()
         }
         assert last == {1: True, 2: False, 3: False}
+
+
+class TestPivotMargins:
+    def test_margins_match_pandas(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "g": ["a", "a", "b", "b", "b"],
+                "c": ["x", "y", "x", "x", "y"],
+                "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+        t = Table(spark.createDataFrame(pdf))
+        out = t.pivot_table(
+            index="g", columns="c", values="v", aggfunc="sum", margins=True
+        )
+        got = {r.g: (r.x, r.y, r.All) for r in out.df.collect()}
+        exp = pd.pivot_table(
+            pdf, index="g", columns="c", values="v", aggfunc="sum", margins=True
+        )
+        for g in ("a", "b", "All"):
+            row = exp.loc[g]
+            assert got[g] == (row["x"], row["y"], row["All"]), g
+
+    def test_margins_multi_index_raises(self, spark):
+        t = Table(spark.createDataFrame([("a", "b", "x", 1.0)], "g string, h string, c string, v double"))
+        with pytest.raises(ValueError, match="single index"):
+            t.pivot_table(index=["g", "h"], columns="c", values="v", margins=True)

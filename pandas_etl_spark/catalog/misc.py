@@ -735,3 +735,43 @@ def q_pivot_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggfunc="sum",
         margins=True,
     ).df
+
+
+@query(
+    "quality_checks",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+               CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+               CAST(sum(CASE WHEN NOT coalesce(o_custkey IS NOT NULL, FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+               CAST(sum(CASE WHEN NOT coalesce(o_orderdate >= TIMESTAMP '1990-01-01 00:00:00', FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        FROM orders
+    )
+    SELECT 'positive_price' AS rule, n AS n_rows, v0 AS n_violations, v0 = 0 AS passed FROM agg
+    UNION ALL SELECT 'known_status', n, v1, v1 = 0 FROM agg
+    UNION ALL SELECT 'custkey_present', n, v2, v2 = 0 FROM agg
+    UNION ALL SELECT 'date_in_range', n, v3, v3 = 0 FROM agg
+    """,
+)
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/quality.py): a
+    rule list compiled into ONE conditional-aggregate scan producing a
+    long-form pass/violation report — the ingest gate of a training
+    pipeline. Null-hostile semantics: an expression evaluating to NULL
+    counts as a violation (three-valued logic must not pass unknowns)."""
+    from pandas_etl_spark.operators.quality import check_rules
+
+    return check_rules(
+        load_table(spark, sf_dir, "orders"),
+        [
+            ("positive_price", "o_totalprice > 0"),
+            ("known_status", "o_orderstatus IN ('F','O','P')"),
+            ("custkey_present", "o_custkey IS NOT NULL"),
+            ("date_in_range", "o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'"),
+        ],
+    )

@@ -1,0 +1,44 @@
+"""Declarative data-quality checks — one-scan expectation reports.
+
+A training-data pipeline gates every ingest on expectations (null rates,
+ranges, category membership, referential shape). This operator compiles
+a rule list into ONE aggregation pass (conditional counts — no per-rule
+scans, no Python) and emits a long-form report frame, so the check costs
+a single read at any scale and the report is itself a queryable table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_rules(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """Evaluate ``(rule_name, boolean SQL expr)`` expectations.
+
+    A row VIOLATES a rule when the expression is false OR null (an
+    unknown is not a pass — SQL three-valued logic would otherwise let
+    null-laden columns sail through range checks). Returns one row per
+    rule: ``(rule, n_rows bigint, n_violations bigint, passed boolean)``
+    — computed in a single scan with conditional aggregates, then
+    unpivoted driver-free via an array-of-structs explode (same shape as
+    Table.describe)."""
+    if not rules:
+        raise ValueError("check_rules: at least one rule required")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, expr) in enumerate(rules):
+        violated = ~F.coalesce(F.expr(expr), F.lit(False))
+        aggs.append(F.sum(F.when(violated, 1).otherwise(0)).alias(f"__v{i}"))
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                F.col(f"__v{i}").cast("bigint").alias("n_violations"),
+                (F.col(f"__v{i}") == 0).alias("passed"),
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+    )
+    return one.select(F.explode(entries).alias("r")).select("r.*")

@@ -495,3 +495,27 @@ class TestUpsert:
 
         with pytest.raises((Py4JJavaError, SparkRuntimeException), match="null key"):
             upsert(base, nullkey, ["id"]).collect()
+
+
+class TestQualityChecks:
+    def test_null_counts_as_violation(self, spark):
+        from pandas_etl_spark.operators.quality import check_rules
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, -5.0), (3, None)], "id long, v double"
+        )
+        got = {
+            r.rule: (r.n_rows, r.n_violations, r.passed)
+            for r in check_rules(
+                df, [("v_positive", "v > 0"), ("id_present", "id IS NOT NULL")]
+            ).collect()
+        }
+        # v > 0 is NULL for id=3 → violation (3VL must not pass unknowns)
+        assert got["v_positive"] == (3, 2, False)
+        assert got["id_present"] == (3, 0, True)
+
+    def test_empty_rules_raise(self, spark):
+        from pandas_etl_spark.operators.quality import check_rules
+
+        with pytest.raises(ValueError, match="at least one"):
+            check_rules(spark.range(1), [])

@@ -84,21 +84,22 @@ class Table:
 
     def groupby(
         self,
-        by: "str | list[str] | TimeGrouper",
+        by: "str | list[str] | dict[str, str] | TimeGrouper",
         axis: Any = 0,
         dropna: bool = False,
-    ) -> "Grouped":
-        """``axis="columns"`` (reference README.md:65) has no distributed
-        analogue and is a doc artifact (SURVEY §2.5) — accepted and
-        ignored with a warning. ``dropna=False`` matches Spark's default
-        (null groups kept)."""
+    ) -> "Grouped | ColumnGrouped":
+        """``axis="columns"`` (reference README.md:65) groups COLUMNS by
+        a mapping dict — in Spark that's a pure per-row projection
+        (greatest/least/+/avg over each group's columns), no shuffle at
+        all. ``dropna=False`` matches Spark's default (null groups
+        kept)."""
         if axis in ("columns", 1):
-            import warnings
-
-            warnings.warn(
-                "groupby(axis='columns') has no distributed analogue; grouping rows",
-                stacklevel=2,
-            )
+            if not isinstance(by, dict):
+                raise ValueError(
+                    "groupby(axis='columns') needs a {column: group} mapping "
+                    "dict (pandas mapper functions don't serialize to a plan)"
+                )
+            return ColumnGrouped(self._df, by)
         if isinstance(by, TimeGrouper):
             from pandas_etl_spark.functions.timeparse import grouper_bucket
 
@@ -415,6 +416,54 @@ class Table:
                 "this environment"
             ) from e
         return path
+
+
+class ColumnGrouped:
+    """pandas ``groupby(axis='columns')``: columns grouped by a mapping,
+    reduced ACROSS columns per row. Distributed cost: zero — each output
+    group is one projection expression over its member columns (null-
+    skipping, like pandas: sum treats null as 0 when any member is
+    non-null, max/min ignore nulls via greatest/least semantics)."""
+
+    def __init__(self, df: DataFrame, mapping: dict[str, str]):
+        missing = [c for c in mapping if c not in df.columns]
+        if missing:
+            raise ValueError(f"groupby(axis='columns'): unknown columns {missing}")
+        self._df = df
+        self._groups: dict[str, list[str]] = {}
+        for col, grp in mapping.items():
+            self._groups.setdefault(str(grp), []).append(col)
+
+    def _project(self, combine) -> Table:
+        cols = [
+            combine([F.col(c) for c in members]).alias(grp)
+            for grp, members in sorted(self._groups.items())
+        ]
+        return Table(self._df.select(*cols))
+
+    def sum(self) -> Table:
+        # null-skipping row-wise sum: coalesce each member to 0, but keep
+        # an all-null group null (pandas min_count=0 gives 0.0; we match
+        # the default: all-null sums to 0)
+        return self._project(
+            lambda cs: sum((F.coalesce(c, F.lit(0)) for c in cs), F.lit(0))
+        )
+
+    def max(self) -> Table:
+        return self._project(lambda cs: cs[0] if len(cs) == 1 else F.greatest(*cs))
+
+    def min(self) -> Table:
+        return self._project(lambda cs: cs[0] if len(cs) == 1 else F.least(*cs))
+
+    def mean(self) -> Table:
+        def avg(cs):
+            present = sum(
+                (F.when(c.isNotNull(), 1).otherwise(0) for c in cs), F.lit(0)
+            )
+            total = sum((F.coalesce(c.cast("double"), F.lit(0.0)) for c in cs), F.lit(0.0))
+            return F.when(present > 0, total / present)
+
+        return self._project(avg)
 
 
 class SeriesCol:

@@ -464,3 +464,33 @@ class TestPivotMargins:
         t = Table(spark.createDataFrame([("a", "b", "x", 1.0)], "g string, h string, c string, v double"))
         with pytest.raises(ValueError, match="single index"):
             t.pivot_table(index=["g", "h"], columns="c", values="v", margins=True)
+
+
+class TestGroupbyColumns:
+    def test_axis_columns_matches_pandas(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "a1": [1.0, None, 3.0],
+                "a2": [10.0, 20.0, None],
+                "b1": [100.0, 200.0, 300.0],
+            }
+        )
+        mapping = {"a1": "a", "a2": "a", "b1": "b"}
+        t = Table(spark.createDataFrame(pdf))
+        for fn in ("sum", "max", "min", "mean"):
+            got = [
+                (r.a, r.b)
+                for r in getattr(t.groupby(mapping, axis="columns"), fn)().df.collect()
+            ]
+            exp = getattr(pdf.groupby(mapping, axis=1), fn)()
+            for i, (ga, gb) in enumerate(got):
+                ea, eb = exp.iloc[i]["a"], exp.iloc[i]["b"]
+                assert (ga is None and pd.isna(ea)) or ga == ea, (fn, i)
+                assert (gb is None and pd.isna(eb)) or gb == eb, (fn, i)
+
+    def test_axis_columns_requires_mapping(self, spark):
+        t = Table(spark.createDataFrame([(1.0,)], "x double"))
+        with pytest.raises(ValueError, match="mapping"):
+            t.groupby("x", axis="columns")
+        with pytest.raises(ValueError, match="unknown columns"):
+            t.groupby({"nope": "g"}, axis="columns")

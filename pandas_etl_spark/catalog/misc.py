@@ -775,3 +775,112 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("date_in_range", "o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'"),
         ],
     )
+
+
+@query(
+    "gap_fill",
+    oracle="""
+    WITH sparse AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN value < 50 THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT event_id, user_id, v,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+           first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+    FROM sparse
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ffill/bfill with an EXPLICIT order (Table.ffill/bfill):
+    nulls take the nearest non-null neighbor along (ts, event_id) within
+    each user — the time-series gap-fill primitive. One window frame
+    each; shared user_id partitioning. (Total order via the event_id
+    tie-break keeps both engines identical.)"""
+    from pandas_etl_spark.pandas_ops import Table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("value") < 50, None).otherwise(F.col("value")).alias("v"),
+    )
+    # a composite total-order key: ts then event_id (ts alone has ties)
+    keyed = ev.withColumn(
+        "__ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    t = Table(keyed)
+    filled = (
+        t.assign(v_ffill=F.col("v"), v_bfill=F.col("v"))
+        .ffill(["v_ffill"], order_by="__ord", partition_by=["user_id"])
+        .bfill(["v_bfill"], order_by="__ord", partition_by=["user_id"])
+    )
+    return filled.df.select("event_id", "user_id", "v", "v_ffill", "v_bfill")
+
+
+@query(
+    "str_extractall",
+    oracle="""
+    SELECT doc_id,
+           coalesce(array_to_string(regexp_extract_all(text, '([a-z]{7,})', 1), ','), '')
+               AS long_words
+    FROM documents
+    """,
+)
+def q_str_extractall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.str.extractall (all regex matches, array) — comma-joined scalar
+    output for the driver canonicalizer."""
+    from pandas_etl_spark.pandas_ops import Table
+
+    t = Table(load_table(spark, sf_dir, "documents"))
+    return t.assign(
+        long_words=t["text"].str.extractall(r"([a-z]{7,})").col
+    ).df.select(
+        "doc_id", F.array_join("long_words", ",").alias("long_words")
+    )
+
+
+@query(
+    "frame_compare",
+    oracle="""
+    WITH other AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END
+                   AS c_mktsegment,
+               CASE WHEN c_custkey % 9 = 0 THEN c_acctbal + 1 ELSE c_acctbal END
+                   AS c_acctbal
+        FROM customer
+    )
+    SELECT b.c_custkey, 'c_acctbal' AS col_name,
+           CAST(b.c_acctbal AS VARCHAR) AS self_value,
+           CAST(o.c_acctbal AS VARCHAR) AS other_value
+    FROM customer b JOIN other o USING (c_custkey)
+    WHERE b.c_acctbal IS DISTINCT FROM o.c_acctbal
+    UNION ALL
+    SELECT b.c_custkey, 'c_mktsegment', b.c_mktsegment, o.c_mktsegment
+    FROM customer b JOIN other o USING (c_custkey)
+    WHERE b.c_mktsegment IS DISTINCT FROM o.c_mktsegment
+    """,
+)
+def q_frame_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas df.compare, distributed (Table.compare): long-form report
+    of differing cells between two key-joined snapshots — the
+    regression-diff tool for pipeline outputs. One key join + filtered
+    explode; no per-column scans."""
+    from pandas_etl_spark.pandas_ops import Table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    other = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, "CHANGED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 9 == 0, F.col("c_acctbal") + 1)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    return Table(c).compare(other, keys=["c_custkey"]).df

@@ -155,6 +155,88 @@ class Table:
     def fillna(self, value: Any) -> "Table":
         return Table(self._df.na.fill(value))
 
+    def ffill(
+        self,
+        cols: list[str],
+        order_by: str,
+        partition_by: list[str] | None = None,
+    ) -> "Table":
+        """pandas ffill (forward fill): each null takes the most recent
+        non-null value by ``order_by`` (within ``partition_by`` groups).
+        pandas fills by row order; a distributed table has none, so the
+        ordering is explicit — same contract as groupby().first().
+        One window over the partition keys; no extra shuffle when
+        already partitioned."""
+        from pyspark.sql import Window as W
+
+        w = (
+            W.partitionBy(*(partition_by or []))
+            .orderBy(F.col(order_by).asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        out = self._df
+        for c in cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        return Table(out)
+
+    def bfill(
+        self,
+        cols: list[str],
+        order_by: str,
+        partition_by: list[str] | None = None,
+    ) -> "Table":
+        """pandas bfill: each null takes the NEXT non-null value by
+        ``order_by`` (within ``partition_by``)."""
+        from pyspark.sql import Window as W
+
+        w = (
+            W.partitionBy(*(partition_by or []))
+            .orderBy(F.col(order_by).asc())
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        out = self._df
+        for c in cols:
+            out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
+        return Table(out)
+
+    def compare(
+        self, other: "Table | DataFrame", keys: list[str]
+    ) -> "Table":
+        """pandas df.compare, distributed: long-form report of differing
+        cells between two key-joined frames — ``(keys..., column,
+        self_value, other_value)``, values cast to string for a uniform
+        report schema ``(keys..., col_name, self_value, other_value)``.
+        Keys present in only one frame are excluded (pandas compare
+        requires aligned frames; use merge(indicator=True) for presence
+        diffs). One key-partitioned join + a projection/explode — no
+        per-column scans."""
+        odf = _unwrap(other)
+        shared = [c for c in self._df.columns if c in set(odf.columns) and c not in keys]
+        if not shared:
+            raise ValueError("compare: no shared non-key columns")
+        l = self._df.select(
+            *keys, *[F.col(c).alias(f"__l_{c}") for c in shared]
+        )
+        r = odf.select(*keys, *[F.col(c).alias(f"__r_{c}") for c in shared])
+        joined = l.join(r, keys)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"__l_{c}").cast("string").alias("self_value"),
+                    F.col(f"__r_{c}").cast("string").alias("other_value"),
+                    F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}")).alias("__same"),
+                )
+                for c in shared
+            ]
+        )
+        diffs = F.filter(entries, lambda e: ~e.getField("__same"))
+        return Table(
+            joined.select(*keys, F.explode(diffs).alias("d")).select(
+                *keys, "d.col_name", "d.self_value", "d.other_value"
+            )
+        )
+
     def dropna(self, how: str = "any", subset: list[str] | None = None) -> "Table":
         return Table(self._df.na.drop(how=how, subset=subset))
 
@@ -593,6 +675,11 @@ class StrMethods:
         """First capture group by default (pandas extract returns the
         group columns; one group → one column)."""
         return self._w(F.regexp_extract(self._c, pat, group))
+
+    def extractall(self, pat: str, group: int = 1) -> SeriesCol:
+        """All matches of the capture group, as an array column (pandas
+        extractall's long frame = ``Table.explode`` over this)."""
+        return self._w(F.regexp_extract_all(self._c, F.lit(pat), group))
 
     def slice(self, start: int = 0, stop: int | None = None) -> SeriesCol:
         """0-based [start, stop) like Python slicing (negative indexes

@@ -494,3 +494,28 @@ class TestGroupbyColumns:
             t.groupby("x", axis="columns")
         with pytest.raises(ValueError, match="unknown columns"):
             t.groupby({"nope": "g"}, axis="columns")
+
+
+class TestFillCompare:
+    def test_ffill_bfill_match_pandas(self, spark):
+        pdf = pd.DataFrame(
+            {"i": [1, 2, 3, 4, 5], "v": [None, 10.0, None, None, 40.0]}
+        )
+        t = Table(spark.createDataFrame(pdf))
+        f = {r.i: r.v for r in t.ffill(["v"], order_by="i").df.collect()}
+        b = {r.i: r.v for r in t.bfill(["v"], order_by="i").df.collect()}
+        ef = pdf.set_index("i").v.ffill()
+        eb = pdf.set_index("i").v.bfill()
+        for i in pdf.i:
+            assert (f[i] is None and pd.isna(ef[i])) or f[i] == ef[i]
+            assert (b[i] is None and pd.isna(eb[i])) or b[i] == eb[i]
+
+    def test_compare_reports_differing_cells(self, spark):
+        a = Table(spark.createDataFrame([(1, "x", 1.0), (2, "y", 2.0)], "id long, s string, v double"))
+        b = Table(spark.createDataFrame([(1, "x", 9.0), (2, "z", 2.0), (3, "w", 0.0)], "id long, s string, v double"))
+        got = {
+            (r.id, r.col_name): (r.self_value, r.other_value)
+            for r in a.compare(b, keys=["id"]).df.collect()
+        }
+        # key 3 excluded (aligned-frames semantics); only differing cells
+        assert got == {(1, "v"): ("1.0", "9.0"), (2, "s"): ("y", "z")}

@@ -884,3 +884,19 @@ def q_frame_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c_acctbal"),
     )
     return Table(c).compare(other, keys=["c_custkey"]).df
+
+
+@query("approx_quantiles")
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch) next to its exact
+    twin — the single-pass bounded-memory quantile path for 100 TB
+    (exact percentile sorts each group). Sketch internals are
+    engine-specific → rows-only driver check; the ±accuracy envelope vs
+    exact is asserted in tests/test_misc.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000).alias("approx_p90"),
+        F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
+    )

@@ -104,3 +104,14 @@ def test_unknown_checkpoint_extension_errors(spark, tmp_path):
 
     with pytest.raises(ValueError, match="saveProgress supports"):
         Pipeline(yamlData=yaml_text, spark=spark).run()
+
+
+class TestApproxQuantiles:
+    def test_sketch_within_envelope(self, spark, sf_dir):
+        from pandas_etl_spark.catalog import QUERIES
+
+        for r in QUERIES["approx_quantiles"](spark, sf_dir).collect():
+            # GK accuracy=1000 → rank error ≤ n/1000; on this data the
+            # value error stays well inside 5% relative
+            assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * abs(r.exact_p50)
+            assert abs(r.approx_p90 - r.exact_p90) <= 0.05 * abs(r.exact_p90)

@@ -114,3 +114,52 @@ def test_dedup_within_watermark_drops_duplicates(spark, tmp_path):
     rows = {r.k: r.v for r in spark.sql("SELECT * FROM dedup_wm_test").collect()}
     # k=1 kept from its FIRST arrival (v=1.0, not 99.0); k=3 passes
     assert rows == {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_foreachbatch_idempotent_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch — the production sink pattern Spark lacks built-in
+    connectors for: each micro-batch lands as a parquet partition keyed
+    by batch_id, so replays of the same batch OVERWRITE (idempotent)
+    rather than duplicate. Replaying the batch function must not change
+    the result."""
+    from pandas_etl_spark.streaming import read_events_stream
+
+    out = str(tmp_path / "sink")
+    captured = []
+
+    def sink(batch_df, batch_id):
+        captured.append((batch_id, batch_df))
+        (
+            batch_df.withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out)
+        )
+
+    ev = read_events_stream(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        ev.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    first = {r.event_type: r.n for r in spark.read.parquet(out).collect()}
+    # replay the LAST batch verbatim — dynamic partition overwrite makes it a no-op
+    bid, bdf = captured[-1]
+    sink(bdf, bid)
+    again = {r.event_type: r.n for r in spark.read.parquet(out).collect()}
+    assert first == again
+    exp = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert first == exp

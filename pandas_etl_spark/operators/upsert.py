@@ -24,7 +24,10 @@ def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     One shuffle on the keys (both sides hash-partition); no broadcast
     assumption — updates may be any size. Key columns must be non-null
     (enforced: a null key would silently demote an update to an
-    insert)."""
+    insert). Like SQL MERGE, ``updates`` must be key-unique — duplicate
+    update keys fan the join out to one output row per duplicate
+    (Delta raises 'multiple source rows matched' here; dedup updates
+    first with ``exact_dedup``/``drop_duplicates`` when in doubt)."""
     if set(base.columns) != set(updates.columns):
         raise ValueError(
             "upsert: base and updates schemas differ: "

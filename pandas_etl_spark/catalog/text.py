@@ -299,3 +299,31 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.75).alias("p75"),
         F.percentile("l_extendedprice", 0.99).alias("p99"),
     )
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, doc_id, CAST({_DD_NTOK} AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM toks
+    )
+    SELECT lang, doc_id, n_tokens,
+           CAST(floor(cb / 2048) AS BIGINT) AS bin_id,
+           CAST(cb % 2048 AS BIGINT) AS bin_offset
+    FROM cum
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (GPT training layout):
+    docs laid end-to-end per language, cut into 2048-token bins —
+    running-sum window per partition, no global sort
+    (functions/text.pack_sequences)."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.pack_sequences(d, "text", "doc_id", capacity=2048, partition_by="lang")

@@ -238,3 +238,47 @@ def tfidf_top_terms(
             "score", "rnk",
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 2048,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the GPT-style training
+    layout): documents are laid end-to-end in ``id_col`` order and cut
+    into fixed ``capacity``-token context bins; each doc is assigned the
+    bin its first token falls in, with its offset inside that bin.
+
+    ``partition_by`` keeps the running sum distributed: packing runs
+    independently inside each partition value (bin key = (partition,
+    bin_id)) — the global-order variant is a single-reducer window and
+    exists only for small corpora (partition_by=None raises unless the
+    caller passes allow_global semantics via a partition column).
+    Output: (id, n_tokens, bin_id, bin_offset [, partition])."""
+    from pyspark.sql import Window as W
+
+    if partition_by is None:
+        raise ValueError(
+            "pack_sequences needs partition_by=<column>: a global running "
+            "sum is a single-reducer sort — partition the corpus (e.g. by "
+            "source or a hash prefix) and pack within partitions"
+        )
+    w = (
+        W.partitionBy(partition_by)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    toks = df.select(
+        partition_by, F.col(id_col), token_count(text_col).alias("n_tokens")
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        partition_by,
+        id_col,
+        "n_tokens",
+        F.floor(cum_before / capacity).cast("bigint").alias("bin_id"),
+        (cum_before % capacity).cast("bigint").alias("bin_offset"),
+    )

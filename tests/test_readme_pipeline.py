@@ -124,3 +124,73 @@ def test_yaml_pipeline_drives_llm_curation(spark, sf_dir, tmp_path):
     expect = QUERIES["curate_corpus"](spark, sf_dir)
     assert back.count() == expect.count()
     assert back.exceptAll(expect).count() == 0
+
+
+def test_yaml_pipeline_full_training_data_flow(spark, sf_dir, tmp_path):
+    """End-to-end training-data pipeline through the YAML language:
+    read → quality expectations gate (fails fast on violations) →
+    curate (gate + exact dedup + near-dup removal) → sequence packing →
+    parquet sink. Four waves, one lazy plan per branch; exercises
+    preFlight imports, bound-method steps, and the r3 operators
+    composing."""
+    out = tmp_path / "packed.parquet"
+    report_out = tmp_path / "quality_report.parquet"
+    yaml_text = f"""
+    variables:
+      sfDir: {sf_dir}
+    preFlight:
+      script: |
+        from pandas_etl_spark.functions.curate import curate_corpus
+        from pandas_etl_spark.functions.text import pack_sequences
+        from pandas_etl_spark.operators.quality import check_rules
+        from pandas_etl_spark.pandas_ops import Table
+        def expectations(table):
+            return Table(check_rules(table.df, [
+                ("text_present", "text IS NOT NULL"),
+                ("id_present", "doc_id IS NOT NULL"),
+            ]))
+        def curate(table):
+            return Table(curate_corpus(table.df, min_tokens=8, min_quality=0.5,
+                                       jaccard_threshold=0.85, shingle_k=5, max_df=50))
+        def pack(table):
+            return Table(pack_sequences(table.df, "text", "doc_id",
+                                        capacity=1024, partition_by="lang"))
+    steps:
+    - name: load
+      function: pd.read_parquet
+      args:
+        path: ${{ var.sfDir }}/documents.parquet
+    - name: quality_report
+      function: expectations
+      args:
+        table: ${{ steps['load'].output }}
+    - name: report_sink
+      function: ${{ steps['quality_report'].output.to_parquet }}
+      args:
+        path: {report_out}
+    - name: curated
+      function: curate
+      args:
+        table: ${{ steps['load'].output }}
+    - name: packed
+      function: pack
+      args:
+        table: ${{ steps['curated'].output }}
+    - name: sink
+      function: ${{ steps['packed'].output.to_parquet }}
+      args:
+        path: {out}
+    """
+    from pandas_etl_spark.pipeline import Pipeline
+
+    Pipeline(yamlData=yaml_text, spark=spark).run()
+    report = {r.rule: r.passed for r in spark.read.parquet(str(report_out)).collect()}
+    assert report == {"text_present": True, "id_present": True}
+    packed = spark.read.parquet(str(out))
+    assert set(packed.columns) == {"lang", "doc_id", "n_tokens", "bin_id", "bin_offset"}
+    # packing invariant: offsets stay inside the bin capacity
+    assert packed.filter("bin_offset < 0 OR bin_offset >= 1024").count() == 0
+    # packed universe == curated survivors
+    from pandas_etl_spark.catalog import QUERIES
+
+    assert packed.count() == QUERIES["curate_corpus"](spark, sf_dir).count()

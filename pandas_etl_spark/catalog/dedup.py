@@ -299,3 +299,54 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     check (xxhash64-based)."""
     d = load_table(spark, sf_dir, "documents")
     return dd.simhash_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "contrastive_triplets",
+    oracle=f"""
+    WITH sh0 AS (
+        SELECT doc_id AS id, unnest({_DD_SHINGLES}) AS shingle FROM documents
+    ),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_DF}),
+    sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    prs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    ),
+    good AS (
+        SELECT id_a, id_b FROM prs
+        JOIN sizes sa ON sa.id = prs.id_a
+        JOIN sizes sb ON sb.id = prs.id_b
+        WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+    ),
+    anchors AS (
+        SELECT id_a AS anchor_id, id_b AS positive_id,
+               CAST('0x' || substring(md5(CAST(id_a AS VARCHAR)), 1, 8) AS BIGINT) % 64
+                   AS bucket
+        FROM good
+    ),
+    docs AS (
+        SELECT doc_id AS cand_id,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64
+                   AS bucket
+        FROM documents
+    )
+    SELECT anchor_id, positive_id, min(cand_id) AS negative_id
+    FROM anchors JOIN docs USING (bucket)
+    WHERE cand_id <> anchor_id AND cand_id <> positive_id
+    GROUP BY anchor_id, positive_id
+    """,
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive training:
+    positives from the n-gram near-dup pair graph, negatives by
+    DETERMINISTIC md5-bucket join (no RNG — reproducible across engines
+    and partitionings; no cross join — one bounded bucket equi-join).
+    functions/dedup.contrastive_triplets."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=_K, threshold=0.5, max_df=_MAX_DF
+    )
+    return dd.contrastive_triplets(d, pairs, "text", "doc_id", n_buckets=64)

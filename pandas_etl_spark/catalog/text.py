@@ -327,3 +327,26 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/text.pack_sequences)."""
     d = load_table(spark, sf_dir, "documents")
     return tx.pack_sequences(d, "text", "doc_id", capacity=2048, partition_by="lang")
+
+
+@query(
+    "vocab_topk",
+    oracle=f"""
+    WITH counts AS (
+        SELECT word AS token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_DD_TOKENS}) AS word FROM documents)
+        GROUP BY word
+    ),
+    topk AS (SELECT * FROM counts ORDER BY n DESC, token LIMIT 200)
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
+               AS token_id
+    FROM topk
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary build (functions/text.build_vocab): top-200
+    tokens with deterministic contiguous ids — distributed count +
+    TakeOrdered top-k; the row_number runs over only the k survivors."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return tx.build_vocab(d, "text", "doc_id", size=200)

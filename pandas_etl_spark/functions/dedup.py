@@ -557,3 +557,41 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(anchor_id, positive_id, negative_id) triplets for contrastive
+    training: positives come from a near-dup ``pairs`` frame (id_a <
+    id_b); negatives are pseudo-random but DETERMINISTIC — each anchor
+    is joined to the corpus bucket ``md5(anchor_id) % n_buckets`` (each
+    doc lives in bucket ``md5(doc_id) % n_buckets``) and takes the
+    lowest-id member that is neither anchor nor positive.
+
+    No RNG (reproducible across runs/partitionings/engines), no cross
+    join: one bounded bucket equi-join (corpus/n_buckets rows per
+    anchor) + a min aggregate. Anchors whose bucket holds only
+    themselves/their positive drop out (null-free output)."""
+    bucket = lambda c: F.expr(  # noqa: E731
+        f"cast(conv(substring(md5(cast({c} as string)), 1, 8), 16, 10) as bigint) % {n_buckets}"
+    )
+    anchors = pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("positive_id")
+    ).withColumn("bucket", bucket("anchor_id"))
+    docs = df.select(F.col(id_col).alias("cand_id")).withColumn(
+        "bucket", bucket("cand_id")
+    )
+    return (
+        anchors.join(docs, "bucket")
+        .filter(
+            (F.col("cand_id") != F.col("anchor_id"))
+            & (F.col("cand_id") != F.col("positive_id"))
+        )
+        .groupBy("anchor_id", "positive_id")
+        .agg(F.min("cand_id").alias("negative_id"))
+    )

@@ -282,3 +282,32 @@ def pack_sequences(
         F.floor(cum_before / capacity).cast("bigint").alias("bin_id"),
         (cum_before % capacity).cast("bigint").alias("bin_offset"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Tokenizer-style vocabulary: the ``size`` most frequent tokens with
+    stable contiguous ids — ``(token, n bigint, token_id bigint)``, ids
+    assigned by (count DESC, token ASC) so the mapping is deterministic
+    across runs/engines.
+
+    Plan: distributed count (one shuffle) → distributed top-k
+    (TakeOrdered, no global sort) → row_number over the k-row result
+    (single partition of k rows — bounded by ``size``, not the corpus)."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(size)
+    )
+    w = W.orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn("token_id", (F.row_number().over(w) - 1).cast("bigint"))

@@ -130,8 +130,17 @@ def _apply_parse_dates(
     return df
 
 
-def read_parquet(spark: SparkSession, path: str, **options: Any) -> DataFrame:
-    return spark.read.options(**options).parquet(path)
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    **options: Any,
+) -> DataFrame:
+    """``columns`` mirrors pd.read_parquet(columns=...) — expressed as a
+    select so Catalyst prunes the scan to exactly those columns
+    (ReadSchema shows the narrow list)."""
+    df = spark.read.options(**options).parquet(path)
+    return df.select(*columns) if columns else df
 
 
 def read_orc(spark: SparkSession, path: str, **options: Any) -> DataFrame:

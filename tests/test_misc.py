@@ -115,3 +115,41 @@ class TestApproxQuantiles:
             # value error stays well inside 5% relative
             assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * abs(r.exact_p50)
             assert abs(r.approx_p90 - r.exact_p90) <= 0.05 * abs(r.exact_p90)
+
+
+class TestReadParquetColumns:
+    def test_columns_prune_scan(self, spark, sf_dir):
+        from pandas_etl_spark.sources import read_parquet
+
+        df = read_parquet(spark, f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+        assert df.columns == ["o_orderkey", "o_totalprice"]
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "o_custkey" not in read_schema  # pruned at the scan
+
+
+class TestVocabTriplets:
+    def test_vocab_ids_deterministic_and_contiguous(self, spark):
+        from pandas_etl_spark.functions.text import build_vocab
+
+        df = spark.createDataFrame(
+            [(1, "a b b c c c"), (2, "c d d b")], "doc_id long, text string"
+        )
+        rows = {r.token: (r.n, r.token_id) for r in build_vocab(df, size=3).collect()}
+        # c:4 b:3 d:2 a:1 → top-3 with ids by (n desc, token)
+        assert rows == {"c": (4, 0), "b": (3, 1), "d": (2, 2)}
+
+    def test_triplets_negative_is_neither_anchor_nor_positive(self, spark):
+        from pandas_etl_spark.functions.dedup import contrastive_triplets
+
+        docs = spark.createDataFrame([(i, f"doc {i}") for i in range(20)], "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+        out = contrastive_triplets(docs, pairs, n_buckets=2).collect()
+        assert len(out) == 2
+        for r in out:
+            assert r.negative_id not in (r.anchor_id, r.positive_id)
+        # deterministic: same result on a different partitioning
+        again = contrastive_triplets(docs.repartition(7), pairs, n_buckets=2).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -504,7 +504,11 @@ def connected_components(
     aggregate; labels persist round-over-round and the previous round
     unpersists. Convergence is detected with a LIMIT 1 probe, not a
     full count. Raises if ``max_iters`` rounds don't converge rather
-    than returning a half-propagated labeling.
+    than returning a half-propagated labeling. The converged label
+    frame remains persisted (it backs the returned plan) — the handle
+    is attached as ``curate_cache`` on the result, releasable with
+    ``functions.curate.release_cache``; evictable block storage either
+    way.
 
     ``nodes`` (optional) widens the universe beyond ids appearing in
     pairs — singletons label themselves."""
@@ -550,7 +554,12 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
-                return labels.select("id", F.col("label").alias("cluster_id"))
+                result = labels.select("id", F.col("label").alias("cluster_id"))
+                # the converged label frame stays persisted (it backs the
+                # returned plan); expose the handle so callers can free it
+                # after their action — same contract as curate_corpus
+                result.curate_cache = labels
+                return result
         raise RuntimeError(
             f"connected_components: no convergence after {max_iters} rounds — "
             "the pair graph has a longer path than expected; raise max_iters"

@@ -1,0 +1,342 @@
+"""Corpus-curation catalog queries: repetition gating, benchmark
+decontamination, PII redaction, mixture rebalancing, dataset splits,
+temporal islands/SCD2, and numeric outlier gates.
+
+These extend the LLM-training-data surface (SURVEY §2 extensions)
+beyond dedup/similarity: the filters a Gopher/C4-style curation
+pipeline applies between ingest and tokenization. Oracle SQL mirrors
+the exact expression order (IEEE doubles, explicit DOUBLE casts — DuckDB
+numeric literals default to DECIMAL) so value-hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.functions.dedup import ngram_decontaminate
+from pandas_etl_spark.functions.text import (
+    pii_match_count,
+    redact_pii,
+    repetition_stats,
+)
+from pandas_etl_spark.operators.intervals import merge_intervals, scd2_history
+from pandas_etl_spark.operators.quality import zscore_outliers
+from pandas_etl_spark.operators.sampling import (
+    _MODULUS,
+    _bucket,
+    _threshold,
+    dataset_split,
+    mixture_sample,
+)
+from pandas_etl_spark.sources import load_table
+from pandas_etl_spark.sources.io import ensure_parallelism
+
+# DuckDB mirror of functions.text.tokens()
+_DD_TOK = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+
+
+def _dd_grams(n: int) -> str:
+    """DuckDB mirror of functions.text.word_ngrams — 1-based ``t[i]``
+    matches Spark's ``element_at``; the short-doc CASE guard matches the
+    Spark-side guard (Spark's sequence(1, 0) is DESCENDING, DuckDB's
+    generate_series(1, 0) is empty — both sides must special-case)."""
+    parts = ", ' ', ".join(f"t[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(t) < {n} THEN [] "
+        f"ELSE list_transform(generate_series(1, len(t) - {n - 1}), "
+        f"i -> concat({parts})) END"
+    )
+
+
+_DD_BUCKET = (
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    f" % {_MODULUS}"
+)
+
+
+@query(
+    "repetition_filter",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_DD_TOK} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               {_dd_grams(2)} AS g2, {_dd_grams(3)} AS g3
+        FROM tok
+    ), pr AS (
+        SELECT doc_id, n_tokens,
+               len(g2) AS n2, len(list_distinct(g2)) AS d2,
+               len(g3) AS n3, len(list_distinct(g3)) AS d3
+        FROM grams
+    ), top AS (
+        SELECT doc_id, max(c) AS max_word_count FROM (
+            SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+            GROUP BY doc_id, w
+        ) GROUP BY doc_id
+    )
+    SELECT pr.doc_id,
+           CAST(n_tokens AS BIGINT)                       AS n_tokens,
+           CAST(max_word_count AS BIGINT)                 AS max_word_count,
+           CAST(max_word_count AS DOUBLE) / greatest(n_tokens, 1) AS top_word_frac,
+           CAST(n2 - d2 AS DOUBLE) / greatest(n2, 1)      AS dup_2gram_frac,
+           CAST(n3 - d3 AS DOUBLE) / greatest(n3, 1)      AS dup_3gram_frac,
+           (CAST(max_word_count AS DOUBLE) / greatest(n_tokens, 1) > CAST(0.20 AS DOUBLE)
+            OR CAST(n2 - d2 AS DOUBLE) / greatest(n2, 1) > CAST(0.30 AS DOUBLE))
+                                                          AS repetitive
+    FROM pr JOIN top ON pr.doc_id = top.doc_id
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (duplicate-n-gram / top-word
+    fractions) — see functions/text.py:repetition_stats for the
+    per-row-array + single-(id,token)-shuffle plan shape."""
+    return repetition_stats(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+
+
+_EVAL_FRAC = 0.05
+_EVAL_THR = _threshold(_EVAL_FRAC)
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_DD_TOK} AS t FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) AS gh
+        FROM (
+            SELECT doc_id, unnest(list_distinct({_dd_grams(5)})) AS gram
+            FROM tok
+        )
+    ), b AS (
+        SELECT doc_id, {_DD_BUCKET} AS bucket FROM documents
+    ), eg AS (
+        SELECT DISTINCT gh FROM g JOIN b USING (doc_id)
+        WHERE bucket < {_EVAL_THR}
+    ), hits AS (
+        SELECT doc_id, count(*) AS n FROM g JOIN b USING (doc_id)
+        WHERE bucket >= {_EVAL_THR} AND gh IN (SELECT gh FROM eg)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_ngrams,
+           coalesce(h.n, 0) > 0             AS contaminated
+    FROM documents d
+    JOIN b USING (doc_id)
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE b.bucket >= {_EVAL_THR}
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval split = deterministic 5% md5
+    sample; flag every training doc sharing a distinct word 5-gram with
+    it. Join key is a 60-bit md5-prefix int (id-only wide shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket("doc_id", _MODULUS)
+    return ngram_decontaminate(
+        docs.filter(b >= _EVAL_THR), docs.filter(b < _EVAL_THR), n=5
+    )
+
+
+@query(
+    "pii_redact",
+    oracle=r"""
+    SELECT event_id,
+           props,
+           regexp_replace(
+               regexp_replace(props,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[REDACTED]', 'g'),
+               '[0-9]+', '[REDACTED]', 'g')  AS redacted,
+           CAST(len(regexp_extract_all(props,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_pii
+    FROM events
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (email + number families) over the event
+    payloads — chained codegen'd regexp_replace, no Python. Patterns are
+    restricted to the java.util.regex ∩ RE2 construct subset."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    return ev.select(
+        "event_id",
+        "props",
+        redact_pii("props").alias("redacted"),
+        pii_match_count("props").alias("n_pii"),
+    )
+
+
+_MIX_TARGETS = {"de": 0.2, "en": 0.25, "es": 0.2, "fr": 0.2, "zh": 0.15}
+_DD_MIX_W = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{s}' THEN CAST({w} AS DOUBLE)" for s, w in sorted(_MIX_TARGETS.items())
+    )
+    + " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_stratum,
+               sum(count(*)) OVER () AS n_total
+        FROM documents GROUP BY lang
+    ), th AS (
+        SELECT lang,
+               CAST(floor(least(CAST(1.0 AS DOUBLE),
+                   {_DD_MIX_W} * CAST(n_total AS BIGINT) / CAST(n_stratum AS BIGINT))
+                   * CAST({_MODULUS} AS DOUBLE)) AS BIGINT) AS thresh
+        FROM counts
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN th USING (lang)
+    WHERE {_DD_BUCKET} < thresh
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing toward Pile-style target weights:
+    per-stratum deterministic keep fraction min(1, w·N/n) — tiny counts
+    frame broadcast back, narrow md5-bucket filter (membership stable
+    under repartitioning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, "doc_id", "lang", _MIX_TARGETS).select(
+        "doc_id", "lang"
+    )
+
+
+_T1 = _threshold(0.8)
+_T2 = _threshold(0.8 + 0.1)
+
+
+@query(
+    "dataset_split",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN {_DD_BUCKET} < {_T1} THEN 'train'
+                WHEN {_DD_BUCKET} < {_T2} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by content hash of doc_id — stable
+    across runs/partitionings/appends (unlike randomSplit), which is the
+    property eval-set decontamination depends on."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_split(docs, "doc_id").select("doc_id", "lang", "n_chars", "split")
+
+
+@query(
+    "merge_intervals",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+        FROM events
+    ), m AS (
+        SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM iv
+    ), f AS (
+        SELECT *, CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END AS ni
+        FROM m
+    ), g AS (
+        SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM f
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           min(s) AS island_start, max(e) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM g GROUP BY user_id, island
+    """,
+)
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity islands: each event spans [ts, ts+5min];
+    overlapping/touching spans merge (gaps-and-islands via running-max
+    window — one shuffle, O(1) state per row)."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    return merge_intervals(ev, "user_id", "s", "e", "event_id")
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ), r AS (
+        SELECT *, sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        FROM w1
+    ), h AS (
+        SELECT user_id, version, min(event_type) AS event_type,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM r GROUP BY user_id, version
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+               AS is_current
+    FROM h
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from the event log: consecutive
+    equal event_type runs per user collapse to validity ranges
+    (valid_to = next run's valid_from; NULL = current)."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    return scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+
+
+@query(
+    "outlier_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, count(*) AS n, sum(value) AS sm,
+               sum(value * value) AS ss
+        FROM events GROUP BY event_type
+    ), st AS (
+        SELECT event_type,
+               sm / CAST(n AS DOUBLE) AS mean,
+               sqrt((ss - sm * sm / CAST(n AS DOUBLE))
+                    / nullif(CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE),
+                             CAST(0.0 AS DOUBLE))) AS sd
+        FROM s
+    )
+    SELECT event_id, e.event_type, value,
+           round((value - mean) / nullif(sd, CAST(0.0 AS DOUBLE)), 6) AS z,
+           coalesce(abs(round((value - mean) / nullif(sd, CAST(0.0 AS DOUBLE)), 6))
+                    > CAST(3.0 AS DOUBLE), false) AS is_outlier
+    FROM events e JOIN st USING (event_type)
+    """,
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly gate. Explicit sum/sumsq variance
+    (NOT var_samp — Welford merge-order ulp drift, see
+    operators/quality.py:zscore_outliers); z rounded before
+    thresholding so the flag can't flip on ulp noise. No
+    ensure_parallelism: float sums are order-sensitive and the
+    single-split scan keeps Spark's summation order equal to DuckDB's."""
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_outliers(
+        ev, "value", group_cols=["event_type"], id_cols=["event_id"]
+    )

@@ -604,3 +604,52 @@ def contrastive_triplets(
         .groupBy("anchor_id", "positive_id")
         .agg(F.min("cand_id").alias("negative_id"))
     )
+
+
+def ngram_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the number of distinct
+    word ``n``-grams it shares with the eval corpus (the standard
+    contamination test — GPT-3 appendix C / PaLM use 8-13-gram overlap;
+    this corpus' docs are ~20-100 tokens so 5 is the analogous scale).
+
+    Returns ``(id, n_shared_ngrams bigint, contaminated boolean)`` for
+    every training row.
+
+    Scale shape: both sides reduce to distinct (id, gram-hash) pairs
+    BEFORE the contamination join, and the join key is a 60-bit
+    md5-prefix int, not the gram string — the wide shuffle carries two
+    ints per row. The eval side is collapsed to a distinct hash set; at
+    typical eval/train ratios it broadcasts. One groupBy on id, one
+    left join back to ids — no full-text movement anywhere."""
+    from pandas_etl_spark.functions.text import tokens, word_ngrams
+
+    def gram_hashes(frame: DataFrame) -> DataFrame:
+        toks = frame.select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+        return toks.select(
+            "id",
+            F.explode(F.array_distinct(word_ngrams("t", n))).alias("g"),
+        ).select(
+            "id",
+            F.expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)").alias("gh"),
+        )
+
+    eval_grams = gram_hashes(ensure_parallelism(eval_df)).select("gh").distinct()
+    hits = (
+        gram_hashes(ensure_parallelism(train_df))
+        .join(eval_grams, "gh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .withColumnRenamed("id", id_col)
+    )
+    shared = F.coalesce(F.col("n_shared_ngrams"), F.lit(0)).cast("bigint")
+    return train_df.join(hits, id_col, "left").select(
+        F.col(id_col),
+        shared.alias("n_shared_ngrams"),
+        (shared > 0).alias("contaminated"),
+    )

@@ -311,3 +311,95 @@ def build_vocab(
     )
     w = W.orderBy(F.desc("n"), F.asc("token"))
     return counts.withColumn("token_id", (F.row_number().over(w) - 1).cast("bigint"))
+
+
+def word_ngrams(tokens_col: str, n: int) -> Column:
+    """Space-joined word n-grams from an ALREADY-MATERIALIZED token-array
+    column (see rolling_hashes note on lambda inlining). 1-based
+    ``element_at`` so a DuckDB oracle using ``t[i]`` (1-based) mirrors the
+    expression verbatim. Short docs guarded explicitly: Spark's
+    ``sequence(1, 0)`` is DESCENDING ``[1, 0]`` (DuckDB's is empty) — an
+    unguarded expression diverges on docs with < n tokens."""
+    parts = " , ' ', ".join(f"element_at({tokens_col}, i + {j})" for j in range(n))
+    return F.expr(
+        f"if(size({tokens_col}) < {n}, array(), "
+        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
+        f"i -> concat({parts})))"
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 use
+    duplicate-line and top-n-gram fractions; this corpus is single-line,
+    so the n-gram family carries the signal):
+
+    - ``top_word_frac``: count of the most frequent token / n_tokens
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: 1 - distinct/total n-grams
+    - ``repetitive``: gate at top_word_frac > 0.20 or dup_2gram_frac > 0.30
+
+    Plan shape: the n-gram stats are PER-ROW array ops (size /
+    array_distinct) — cost bounded by each doc's own length, no shuffle.
+    Only the top-word count shuffles, and it shuffles (id, token) pairs
+    once. At 100 TB that is one wide exchange keyed by (doc, token) with
+    map-side partial counts; nothing global."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    grams = toks.select(
+        id_col,
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(word_ngrams("t", 2)).cast("bigint").alias("n2"),
+        F.size(F.array_distinct(word_ngrams("t", 2))).cast("bigint").alias("d2"),
+        F.size(word_ngrams("t", 3)).cast("bigint").alias("n3"),
+        F.size(F.array_distinct(word_ngrams("t", 3))).cast("bigint").alias("d3"),
+    )
+    top = (
+        toks.select(id_col, F.explode("t").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").cast("bigint").alias("max_word_count"))
+    )
+    out = grams.join(top, id_col)
+    top_frac = F.col("max_word_count").cast("double") / F.greatest(
+        F.col("n_tokens"), F.lit(1)
+    )
+    dup2 = (F.col("n2") - F.col("d2")).cast("double") / F.greatest(F.col("n2"), F.lit(1))
+    dup3 = (F.col("n3") - F.col("d3")).cast("double") / F.greatest(F.col("n3"), F.lit(1))
+    return out.select(
+        id_col,
+        "n_tokens",
+        "max_word_count",
+        top_frac.alias("top_word_frac"),
+        dup2.alias("dup_2gram_frac"),
+        dup3.alias("dup_3gram_frac"),
+        ((top_frac > 0.20) | (dup2 > 0.30)).alias("repetitive"),
+    )
+
+
+# PII patterns restricted to the construct subset java.util.regex and RE2
+# agree on (no lookaround, no backreferences).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "number": r"[0-9]+",
+}
+
+
+def redact_pii(col: str | Column, kinds: tuple[str, ...] = ("email", "number"),
+               replacement: str = "[REDACTED]") -> Column:
+    """Chained regexp_replace over the named PII pattern families —
+    narrow projection, codegen'd, fully pushdown-transparent."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], replacement)
+    return c
+
+
+def pii_match_count(col: str | Column, kinds: tuple[str, ...] = ("email", "number")) -> Column:
+    """Number of PII matches that redact_pii would replace (counted on
+    the ORIGINAL text, pattern by pattern)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.lit(0)
+    for kind in kinds:
+        n = n + F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), 0))
+    return n.cast("bigint")

@@ -42,3 +42,47 @@ def check_rules(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
         ]
     )
     return one.select(F.explode(entries).alias("r")).select("r.*")
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_cols: list[str],
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flags — the numeric-column anomaly gate
+    of an ingest pipeline.
+
+    The group variance is computed from explicit sum/sum-of-squares
+    partials, NOT ``var_samp``: Spark's Welford merge order drifts ~1 ulp
+    from a sequential engine even on identical input order, while plain
+    sums are bit-equal at matched partitioning (driver-contract finding,
+    round 2) — and at scale sum/sumsq is the same single map-side-partial
+    shuffle. z is rounded to 6 decimals BEFORE thresholding so the flag
+    can't flip across engines on ulp noise.
+
+    Returns id/group/value columns + ``z`` (null when the group is
+    degenerate: n < 2 or zero variance) + ``is_outlier``.
+    """
+    v = F.col(value_col)
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+    )
+    joined = df.join(F.broadcast(stats), group_cols)
+    n = F.col("__n").cast("double")
+    mean = F.col("__s") / n
+    var = (F.col("__ss") - F.col("__s") * F.col("__s") / n) / F.nullif(
+        n - F.lit(1.0), F.lit(0.0)
+    )
+    sd = F.sqrt(var)
+    z = F.round((v - mean) / F.nullif(sd, F.lit(0.0)), 6)
+    return joined.select(
+        *id_cols,
+        *group_cols,
+        value_col,
+        z.alias("z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_outlier"),
+    )

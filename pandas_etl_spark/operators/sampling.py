@@ -13,7 +13,7 @@ pushdown around them, linear scan cost at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -57,3 +57,69 @@ def hash_sample_by(
             .otherwise(rate)
         )
     return df.filter(_bucket(key, _MODULUS) < rate)
+
+
+def dataset_split(
+    df: DataFrame,
+    key: str,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    names: tuple[str, str, str] = ("train", "val", "test"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash of
+    ``key``: the md5 bucket space is cut at ``fractions[0]`` and
+    ``fractions[0] + fractions[1]``; the remainder is the third split.
+    A row's split NEVER changes under repartitioning, appends, or
+    re-runs (unlike randomSplit), so the eval set is stable across
+    pipeline versions — the property decontamination and honest evals
+    depend on. Narrow projection: no shuffle, pushdown-transparent."""
+    t1 = _threshold(fractions[0])
+    t2 = _threshold(fractions[0] + fractions[1])
+    b = _bucket(key, _MODULUS)
+    return df.withColumn(
+        "split",
+        F.when(b < t1, names[0]).when(b < t2, names[1]).otherwise(names[2]),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    target_weights: dict[str, float],
+) -> DataFrame:
+    """Rebalance a corpus toward target mixture weights by deterministic
+    down-sampling (the domain/language-mixture step of training-data
+    curation, cf. Pile/ROOTS mixture tables). For stratum ``s``::
+
+        keep_frac(s) = min(1.0, w_s * N_total / N_s)
+
+    i.e. the largest sample preserving the target PROPORTIONS without
+    up-sampling. Strata absent from ``target_weights`` are dropped.
+
+    Plan: one tiny groupBy(strata) count (broadcast back), then a narrow
+    md5-bucket filter — membership is stable across runs/partitionings.
+    The counts frame is |strata| rows; the broadcast join adds no wide
+    shuffle at any corpus size."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n_stratum"))
+    counts = counts.withColumn(
+        "__n_total", F.sum("__n_stratum").over(Window.partitionBy())
+    )
+    # default weight 0.0, NOT null: least() skips nulls in both engines,
+    # so a null weight would KEEP unlisted strata instead of dropping them
+    w = F.lit(0.0)
+    for stratum, weight in sorted(target_weights.items()):
+        w = F.when(F.col(strata_col) == stratum, F.lit(float(weight))).otherwise(w)
+    # keep expression order identical to the documented formula so a SQL
+    # oracle computing `least(1.0, w * n_total / n_stratum)` is bit-equal
+    keep_frac = F.least(
+        F.lit(1.0), w * F.col("__n_total") / F.col("__n_stratum")
+    )
+    thresh = F.floor(keep_frac * F.lit(float(_MODULUS))).cast("bigint")
+    enriched = df.join(
+        F.broadcast(counts.withColumn("__thresh", thresh).select(strata_col, "__thresh")),
+        strata_col,
+    )
+    return (
+        enriched.filter(_bucket(key, _MODULUS) < F.col("__thresh"))
+        .drop("__thresh")
+    )

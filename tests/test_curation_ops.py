@@ -1,0 +1,189 @@
+"""Unit tests for the curation operators (repetition gate, PII redaction,
+decontamination, splits/mixture, intervals/SCD2, z-score gate) — edge
+cases the DuckDB oracle suite doesn't reach (degenerate groups, hand-built
+frames, determinism under repartitioning)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.functions.dedup import ngram_decontaminate
+from pandas_etl_spark.functions.text import (
+    pii_match_count,
+    redact_pii,
+    repetition_stats,
+)
+from pandas_etl_spark.operators.intervals import merge_intervals, scd2_history
+from pandas_etl_spark.operators.quality import zscore_outliers
+from pandas_etl_spark.operators.sampling import dataset_split, mixture_sample
+
+
+def _ts(m: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+class TestRepetitionStats:
+    def test_repetitive_vs_clean(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam spam"),
+                (2, "one two three four five six seven"),
+                (3, "solo"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert rows[1]["top_word_frac"] == 1.0
+        assert rows[1]["dup_2gram_frac"] == 0.75  # 4 bigrams, 1 distinct
+        assert rows[1]["repetitive"]
+        assert not rows[2]["repetitive"]
+        assert rows[2]["dup_2gram_frac"] == 0.0
+        # single-token doc: no n-grams, fractions 0, no div-by-zero
+        assert rows[3]["n_tokens"] == 1
+        assert rows[3]["dup_2gram_frac"] == 0.0
+        assert rows[3]["top_word_frac"] == 1.0
+
+
+class TestPiiRedact:
+    def test_email_and_numbers(self, spark):
+        df = spark.createDataFrame(
+            [(1, "contact jane.doe+x@example.co.uk or call 555 1234")],
+            ["id", "text"],
+        )
+        r = df.select(
+            redact_pii("text").alias("red"),
+            pii_match_count("text").alias("n"),
+        ).first()
+        assert "@" not in r["red"]
+        assert "555" not in r["red"]
+        assert r["red"].count("[REDACTED]") == 3
+        assert r["n"] == 3
+
+    def test_no_pii_passthrough(self, spark):
+        df = spark.createDataFrame([(1, "nothing here")], ["id", "text"])
+        r = df.select(redact_pii("text").alias("red"), pii_match_count("text").alias("n")).first()
+        assert r["red"] == "nothing here"
+        assert r["n"] == 0
+
+
+class TestDecontaminate:
+    def test_overlap_flags(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "a b c d e f g"),        # shares 5-grams with eval doc
+                (2, "p q r s t u v"),        # disjoint
+            ],
+            ["doc_id", "text"],
+        )
+        ev = spark.createDataFrame([(10, "a b c d e f")], ["doc_id", "text"])
+        rows = {r["doc_id"]: r for r in ngram_decontaminate(train, ev).collect()}
+        # eval doc has 5-grams {a..e, b..f}; train doc 1 contains both
+        assert rows[1]["contaminated"] and rows[1]["n_shared_ngrams"] == 2
+        assert not rows[2]["contaminated"] and rows[2]["n_shared_ngrams"] == 0
+
+    def test_short_docs_no_grams(self, spark):
+        train = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        ev = spark.createDataFrame([(10, "a b")], ["doc_id", "text"])
+        r = ngram_decontaminate(train, ev).first()
+        assert not r["contaminated"]
+
+
+class TestSplits:
+    def test_split_stable_under_repartition(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = dataset_split(docs, "doc_id").select("doc_id", "split")
+        b = dataset_split(docs.repartition(13), "doc_id").select("doc_id", "split")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        counts = dict(a.groupBy("split").count().collect())
+        n = sum(counts.values())
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] / n > 0.7  # ~0.8 with hash noise
+
+    def test_mixture_respects_targets(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        targets = {"en": 0.25, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.15}
+        kept = mixture_sample(docs, "doc_id", "lang", targets)
+        orig = dict(docs.groupBy("lang").count().collect())
+        new = dict(kept.groupBy("lang").count().collect())
+        # never up-samples, never exceeds the stratum
+        for lang, n in new.items():
+            assert n <= orig[lang]
+        # over-represented stratum (en ≈ 39% observed) is cut hard
+        assert new["en"] < orig["en"]
+        # under-represented strata keep everything (w·N/n ≥ 1)
+        assert new["de"] == orig["de"]
+
+    def test_mixture_drops_unlisted_strata(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b") for i in range(100)], ["id", "s"]
+        )
+        kept = mixture_sample(df, "id", "s", {"a": 1.0})
+        assert kept.filter(F.col("s") == "b").count() == 0
+        assert kept.count() == 50
+
+
+class TestIntervals:
+    def test_merge_touching_and_gap(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, 1, _ts(0), _ts(10)),
+                (1, 2, _ts(10), _ts(20)),   # touches -> merges
+                (1, 3, _ts(5), _ts(8)),     # contained
+                (1, 4, _ts(30), _ts(40)),   # gap -> new island
+                (2, 5, _ts(0), _ts(1)),
+            ],
+            ["k", "i", "s", "e"],
+        )
+        out = {
+            (r["k"], r["island"]): r
+            for r in merge_intervals(df, "k", "s", "e", "i").collect()
+        }
+        assert len(out) == 3
+        one = out[(1, 1)]
+        assert one["island_start"] == _ts(0) and one["island_end"] == _ts(20)
+        assert one["n_intervals"] == 3
+        assert out[(1, 2)]["island_start"] == _ts(30)
+        assert out[(2, 1)]["n_intervals"] == 1
+
+    def test_scd2_runs_and_validity(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, 1, _ts(0), "A"),
+                (1, 2, _ts(1), "A"),
+                (1, 3, _ts(2), "B"),
+                (1, 4, _ts(3), "A"),
+            ],
+            ["k", "i", "ts", "attr"],
+        )
+        hist = scd2_history(df, "k", "attr", "ts", "i").orderBy("version").collect()
+        assert [r["attr"] for r in hist] == ["A", "B", "A"]
+        assert [r["n_events"] for r in hist] == [2, 1, 1]
+        assert hist[0]["valid_from"] == _ts(0)
+        assert hist[0]["valid_to"] == _ts(2) == hist[1]["valid_from"]
+        assert hist[2]["valid_to"] is None and hist[2]["is_current"]
+        assert not hist[0]["is_current"]
+
+
+class TestZscore:
+    def test_degenerate_groups_null_z(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("g1", 1, 1.0), ("g1", 2, 1.0), ("g1", 3, 1.0),  # zero variance
+                ("g2", 4, 5.0),                                   # n = 1
+                ("g3", 5, 0.0), ("g3", 6, 10.0),
+            ],
+            ["g", "id", "v"],
+        )
+        rows = {r["id"]: r for r in zscore_outliers(df, "v", ["g"], ["id"]).collect()}
+        for i in (1, 2, 3, 4):
+            assert rows[i]["z"] is None and not rows[i]["is_outlier"]
+        assert rows[5]["z"] is not None and abs(rows[5]["z"] + 0.707107) < 1e-6
+
+    def test_flags_outlier(self, spark):
+        data = [("g", i, 0.0) for i in range(1, 40)] + [("g", 99, 100.0)]
+        df = spark.createDataFrame(data, ["g", "id", "v"])
+        rows = {r["id"]: r for r in zscore_outliers(df, "v", ["g"], ["id"]).collect()}
+        assert rows[99]["is_outlier"]
+        assert not rows[1]["is_outlier"]

@@ -22,7 +22,7 @@ from pandas_etl_spark.functions.text import (
     repetition_stats,
 )
 from pandas_etl_spark.operators.intervals import merge_intervals, scd2_history
-from pandas_etl_spark.operators.quality import zscore_outliers
+from pandas_etl_spark.operators.quality import winsorize, zscore_outliers
 from pandas_etl_spark.operators.sampling import (
     _MODULUS,
     _bucket,
@@ -340,3 +340,93 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(
         ev, "value", group_cols=["event_type"], id_cols=["event_id"]
     )
+
+
+@query(
+    "multi_resolution_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts)  AS day_bucket,
+           date_trunc('hour', ts) AS hour_bucket,
+           CAST(grouping(date_trunc('hour', ts)) AS BIGINT) AS is_day_level,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                            (date_trunc('day', ts)))
+    """,
+)
+def q_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly AND daily
+    aggregates of the event stream in ONE scan via GROUPING SETS (the
+    continuous-aggregate shape TimescaleDB maintains incrementally).
+    Catalyst's Expand produces both grains from a single pass — no
+    second scan, one shuffle keyed by the expanded grouping."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("cat_mrr_events")
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts)  AS day_bucket,
+               date_trunc('hour', ts) AS hour_bucket,
+               CAST(grouping(date_trunc('hour', ts)) AS BIGINT) AS is_day_level,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 6) AS total_value
+        FROM cat_mrr_events
+        GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                                (date_trunc('day', ts)))
+        """
+    )
+
+
+@query(
+    "winsorize_values",
+    oracle="""
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           least(greatest(value, lo), hi) AS clipped,
+           (value < lo OR value > hi)     AS was_clipped
+    FROM events e JOIN cuts USING (event_type)
+    """,
+)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percentile clipping (see operators/quality.py:winsorize
+    — cutpoint agg + broadcast + narrow clip; F.percentile ≡
+    quantile_cont bit-exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    return winsorize(ev, "value", group_cols=["event_type"], id_cols=["event_id"])
+
+
+# reuse catalog.text's proven-bit-exact quality-score SQL fragments
+from pandas_etl_spark.catalog.text import _DD_NTOK, _DD_PUNCT, _dd_hits  # noqa: E402
+
+_DD_QUALITY = (
+    f"0.4 * least(CAST({_DD_NTOK} AS DOUBLE) / 20.0, 1.0)"
+    f" + 0.3 * (1.0 - least(({_DD_PUNCT}) * 5, 1.0))"
+    f" + 0.3 * least((CAST({_dd_hits('en')} AS DOUBLE) / greatest({_DD_NTOK}, 1)) * 10, 1.0)"
+)
+
+
+@query(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, {_DD_QUALITY} AS quality FROM documents)
+    SELECT doc_id, quality FROM q
+    WHERE {_DD_BUCKET}
+          < CAST(floor(quality * CAST({_MODULUS} AS DOUBLE)) AS BIGINT)
+    """,
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality score: a doc survives with
+    probability equal to its quality (deterministic md5-bucket coin —
+    stable across runs). The soft-filter curation step between a hard
+    quality gate and keeping everything. Narrow filter over the scored
+    projection — no shuffle."""
+    from pandas_etl_spark.functions.text import quality_score
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    thresh = F.floor(F.col("quality") * F.lit(float(_MODULUS))).cast("bigint")
+    return scored.filter(_bucket("doc_id", _MODULUS) < thresh)

@@ -900,3 +900,105 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.9, 1000).alias("approx_p90"),
         F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
     )
+
+
+@query(
+    "tpch_q12_late_shipments",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shape on the available columns (no shipmode/receipt
+    dates in the test schema): order-lineitem join + conditional counts
+    of late shipments (> 90 days after order date) per priority. The
+    join shuffles once on the order key with AQE free to pick
+    broadcast; the agg is all-integer (no float-order concerns)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(late).cast("bigint").alias("late_count"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT round(CAST(100.0 AS DOUBLE)
+               * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE CAST(0.0 AS DOUBLE) END)
+               / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    """,
+)
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): date-windowed lineitem scan with
+    the filter pushed to parquet, part dimension broadcast, single
+    conditional-sum ratio. Rounded to 6 decimals (ratio ~1e1 — well
+    above join-order ulp noise)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo) / F.sum(rev), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1  AND 15
+           AND l_quantity >= 1  AND l_quantity <= 21)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (disjunctive predicates): three OR'd brand/size/quantity
+    bands across the join — the optimizer-stress shape where predicate
+    factoring matters. Part broadcasts; Catalyst pushes the common
+    l_quantity bounds into the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#3") & s.between(1, 15) & (q >= 1) & (q <= 21))
+        | ((b == "Brand#12") & s.between(10, 30) & (q >= 10) & (q <= 30))
+        | ((b == "Brand#23") & s.between(20, 50) & (q >= 20) & (q <= 40))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            "revenue"
+        ),
+    )

@@ -86,3 +86,38 @@ def zscore_outliers(
         z.alias("z"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_outlier"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's
+    [lower, upper] exact percentiles — the standard numeric-feature
+    taming step before training.
+
+    Exact percentiles, two-stage: one groupBy computes the cutpoints
+    (map-side partial sort per group), the tiny cutpoint frame
+    broadcasts back, and the clip is a narrow projection. No window
+    sort over the full data. Spark ``F.percentile`` interpolates
+    identically to DuckDB's ``quantile_cont`` (proven bit-exact, round
+    1), so clipped values compare raw cross-engine."""
+    cuts = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, lower).alias("__lo"),
+        F.percentile(value_col, upper).alias("__hi"),
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(cuts), group_cols)
+        .select(
+            *id_cols,
+            *group_cols,
+            value_col,
+            F.least(F.greatest(v, F.col("__lo")), F.col("__hi")).alias("clipped"),
+            ((v < F.col("__lo")) | (v > F.col("__hi"))).alias("was_clipped"),
+        )
+    )

@@ -187,3 +187,19 @@ class TestZscore:
         rows = {r["id"]: r for r in zscore_outliers(df, "v", ["g"], ["id"]).collect()}
         assert rows[99]["is_outlier"]
         assert not rows[1]["is_outlier"]
+
+
+class TestWinsorize:
+    def test_clip_bounds(self, spark):
+        from pandas_etl_spark.operators.quality import winsorize
+
+        data = [("g", i, float(i)) for i in range(1, 101)]
+        df = spark.createDataFrame(data, ["g", "id", "v"])
+        rows = {
+            r["id"]: r
+            for r in winsorize(df, "v", ["g"], ["id"], 0.05, 0.95).collect()
+        }
+        # p05 of 1..100 (interpolated) = 5.95, p95 = 95.05
+        assert rows[1]["clipped"] == 5.95 and rows[1]["was_clipped"]
+        assert rows[100]["clipped"] == 95.05 and rows[100]["was_clipped"]
+        assert rows[50]["clipped"] == 50.0 and not rows[50]["was_clipped"]

@@ -149,3 +149,28 @@ def test_rank_methods_single_shuffle(spark, sf_dir):
     exchange, several windows over it."""
     plan = plan_of(spark, sf_dir, "rank_methods")
     assert plan.count("Exchange hashpartitioning(o_orderstatus") <= 2
+
+
+def test_tpch_q14_q19_broadcast_and_pushdown(spark, sf_dir):
+    q14 = plan_of(spark, sf_dir, "tpch_q14_promo_revenue")
+    assert "BroadcastHashJoin" in q14 and "SortMergeJoin" not in q14
+    # the date window reached the lineitem parquet scan
+    assert "GreaterThanOrEqual(l_shipdate" in q14
+    q19 = plan_of(spark, sf_dir, "tpch_q19_disjunctive")
+    assert "BroadcastHashJoin" in q19 and "CartesianProduct" not in q19
+
+
+def test_winsorize_broadcasts_cutpoints(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "winsorize_values")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_decontaminate_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_sample_broadcasts_counts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "mixture_sample")
+    assert "BroadcastHashJoin" in plan

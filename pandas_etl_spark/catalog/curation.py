@@ -430,3 +430,57 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select("doc_id", quality_score("text").alias("quality"))
     thresh = F.floor(F.col("quality") * F.lit(float(_MODULUS))).cast("bigint")
     return scored.filter(_bucket("doc_id", _MODULUS) < thresh)
+
+
+_TOKEN_BUDGET = 20_000
+
+
+@query(
+    "token_budget_select",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, {_DD_QUALITY} AS quality,
+               CAST(len({_DD_TOK}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, quality, n_tokens,
+               sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection: take documents in descending
+    quality order until the token budget fills (a doc is admitted if the
+    budget wasn't exhausted BEFORE it — so the selection always overruns
+    by at most one doc and is deterministic via the (quality, doc_id)
+    total order).
+
+    Scale note: a bare ``Window.orderBy`` cumsum would move the whole
+    corpus into ONE partition; this uses the distributed prefix-sum in
+    operators/prefix.py (range-repartition → parallel per-partition
+    cumsum → broadcast per-partition offsets). The scan projects only
+    (doc_id, quality, n_tokens); text never leaves the first
+    projection."""
+    from pandas_etl_spark.functions.text import quality_score, token_count
+    from pandas_etl_spark.operators.prefix import global_running_sum
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+    )
+    ranked = global_running_sum(
+        scored,
+        [F.desc("quality"), F.asc("doc_id")],
+        "n_tokens",
+        "cum_tokens",
+    ).withColumn("cum_tokens", F.col("cum_tokens").cast("bigint"))
+    return ranked.select("doc_id", "quality", "n_tokens", "cum_tokens").filter(
+        F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET
+    )

@@ -331,3 +331,41 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = run_stream_to_table(agg, output_mode="complete")
     return spark.table(table)
+
+
+@query(
+    "stream_quality_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(floor((0.4 * least(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS DOUBLE) / 20.0, 1.0)
+             + 0.3 * (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * 5, 1.0))
+             + 0.3 * least((CAST(len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> ''), t -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for', 'with'], t))) AS DOUBLE)
+                            / greatest(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')), 1)) * 10, 1.0)) * 10) AS BIGINT)
+               AS q_decile,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest curation gate: the documents table replayed as a
+    file stream, quality-scored in-flight (all Catalyst expressions —
+    the same codegen'd projection a batch gate uses), aggregated into a
+    per-language quality-decile histogram (complete mode; all-integer
+    counts so micro-batch merge order can't drift floats). This is the
+    monitoring surface of a streaming curation pipeline — the decile
+    histogram is what you'd alert on when an upstream crawler change
+    shifts the quality distribution."""
+    from pandas_etl_spark.functions.text import quality_score
+    from pandas_etl_spark.streaming import read_table_stream, run_stream_to_table
+
+    stream = read_table_stream(spark, sf_dir, "documents")
+    hist = (
+        stream.select(
+            "lang", F.floor(quality_score("text") * 10).cast("bigint").alias("q_decile")
+        )
+        .groupBy("lang", "q_decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    table = run_stream_to_table(hist, output_mode="complete")
+    return spark.table(table)

@@ -13,22 +13,27 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events parquet as a file stream (schema from the batch footer —
-    streaming readers require an explicit schema)."""
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Any test table's parquet as a file stream (schema from the batch
+    footer — streaming readers require an explicit schema; file-stream
+    sources require a DIRECTORY, so glob-filter to the one file)."""
     from pandas_etl_spark.sources.io import nanos_columns, normalize_nanos_ts
 
-    path = f"{sf_dir}/events.parquet"
+    path = f"{sf_dir}/{name}.parquet"
     batch = spark.read.parquet(path)
-    # file-stream sources require a directory; glob-filter to the events file
     stream = (
         spark.readStream.schema(batch.schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{name}.parquet")
         .load(sf_dir)
     )
     # nanos columns confirmed from the batch footer (same file)
     return normalize_nanos_ts(stream, nanos_columns(path))
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events parquet as a file stream."""
+    return read_table_stream(spark, sf_dir, "events")
 
 
 def run_stream_to_table(

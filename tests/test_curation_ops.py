@@ -203,3 +203,28 @@ class TestWinsorize:
         assert rows[1]["clipped"] == 5.95 and rows[1]["was_clipped"]
         assert rows[100]["clipped"] == 95.05 and rows[100]["was_clipped"]
         assert rows[50]["clipped"] == 50.0 and not rows[50]["was_clipped"]
+
+
+class TestGlobalRunningSum:
+    def test_matches_single_partition_window(self, spark):
+        from pyspark.sql import Window as W
+
+        from pandas_etl_spark.operators.prefix import global_running_sum
+
+        df = spark.createDataFrame(
+            [(i, float((i * 37) % 100), (i % 7) + 1) for i in range(500)],
+            ["id", "score", "tokens"],
+        ).repartition(11)
+        order = [F.desc("score"), F.asc("id")]
+        got = global_running_sum(df, order, "tokens", "cum", num_partitions=8)
+        w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+        want = df.withColumn("cum", F.sum("tokens").over(w))
+        assert got.select("id", "cum").exceptAll(want.select("id", "cum")).count() == 0
+        assert want.select("id", "cum").exceptAll(got.select("id", "cum")).count() == 0
+
+    def test_empty_input(self, spark):
+        from pandas_etl_spark.operators.prefix import global_running_sum
+
+        df = spark.createDataFrame([], "id INT, v INT")
+        out = global_running_sum(df, [F.asc("id")], "v", "cum")
+        assert out.count() == 0 and "cum" in out.columns

@@ -484,3 +484,31 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", "quality", "n_tokens", "cum_tokens").filter(
         F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET
     )
+
+
+@query(
+    "group_share_transform",
+    oracle="""
+    SELECT event_id, event_type, value,
+           round(value / sum(value) OVER (PARTITION BY event_type), 6)
+               AS value_share
+    FROM events
+    """,
+)
+def q_group_share_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas groupby().transform() shape: each row annotated with its
+    share of the group total — an unordered window over the group key
+    (one shuffle, no sort, row count preserved). Rounded above window-
+    vs-sequential float-summation ulp drift."""
+    from pandas_etl_spark.pandas_ops import Table
+
+    ev = load_table(spark, sf_dir, "events")
+    t = Table(ev.select("event_id", "event_type", "value")).groupby(
+        "event_type"
+    ).transform("sum", "value", out_col="__total")
+    return t.df.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") / F.col("__total"), 6).alias("value_share"),
+    )

@@ -237,6 +237,33 @@ class Table:
             )
         )
 
+    def clip(
+        self,
+        lower: float | None = None,
+        upper: float | None = None,
+        subset: list[str] | None = None,
+    ) -> "Table":
+        """pandas DataFrame.clip with scalar bounds: numeric columns (or
+        ``subset``) clamped into [lower, upper]; nulls stay null
+        (greatest/least propagate non-null bounds but a null value stays
+        null). Narrow projection — no shuffle."""
+        if lower is None and upper is None:
+            return self
+        cols = subset or [c for c, t in self._df.dtypes if _is_numeric(t)]
+        out = self._df
+        for c in cols:
+            e = F.col(c)
+            if lower is not None:
+                e = F.when(F.col(c).isNull(), None).otherwise(
+                    F.greatest(e, F.lit(lower))
+                )
+            if upper is not None:
+                e = F.when(F.col(c).isNull(), None).otherwise(
+                    F.least(e, F.lit(upper))
+                )
+            out = out.withColumn(c, e.cast(dict(self._df.dtypes)[c]))
+        return Table(out)
+
     def dropna(self, how: str = "any", subset: list[str] | None = None) -> "Table":
         return Table(self._df.na.drop(how=how, subset=subset))
 
@@ -869,6 +896,48 @@ class Grouped:
 
     def size(self) -> Table:
         return Table(self._df.groupBy(*self.keys).agg(F.count(F.lit(1)).alias("size")))
+
+    def transform(self, fn_name: str, column: str, out_col: str | None = None) -> Table:
+        """pandas groupby().transform(): the group aggregate broadcast
+        back onto every row (row count preserved). Implemented as an
+        unordered window over the group keys — ONE shuffle, no sort
+        (whole-partition frame), no join, no driver state; the same
+        shape at any group cardinality."""
+        from pyspark.sql import Window as W
+
+        if fn_name in ("first", "last"):
+            raise ValueError(
+                f"transform '{fn_name}' is order-defined; use "
+                f"groupby(...).{fn_name}(order_by=...) instead"
+            )
+        fn, _ = self._AGG_FNS[fn_name]
+        r = fn(F.col(column)).over(W.partitionBy(*self.keys))
+        return Table(self._df.withColumn(out_col or f"{column}_{fn_name}", r))
+
+    def idxmax(self, column: str, id_col: str, out_col: str | None = None) -> Table:
+        """pandas groupby().idxmax() analogue: there is no index, so the
+        caller names the identifier column; ties on the value pick the
+        SMALLEST id (pandas keeps the first occurrence — arrival order,
+        which a distributed table replaces with the id order).
+        One shuffle + per-group sort, row_number()=1 filter."""
+        return self._idx_extreme(column, id_col, out_col, largest=True)
+
+    def idxmin(self, column: str, id_col: str, out_col: str | None = None) -> Table:
+        return self._idx_extreme(column, id_col, out_col, largest=False)
+
+    def _idx_extreme(
+        self, column: str, id_col: str, out_col: str | None, largest: bool
+    ) -> Table:
+        from pyspark.sql import Window as W
+
+        v = F.col(column).desc() if largest else F.col(column).asc()
+        w = W.partitionBy(*self.keys).orderBy(v, F.col(id_col).asc())
+        name = out_col or f"{column}_idx{'max' if largest else 'min'}"
+        return Table(
+            self._df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*self.keys, F.col(id_col).alias(name))
+        )
 
     def rank(
         self,

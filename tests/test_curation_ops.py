@@ -228,3 +228,45 @@ class TestGlobalRunningSum:
         df = spark.createDataFrame([], "id INT, v INT")
         out = global_running_sum(df, [F.asc("id")], "v", "cum")
         assert out.count() == 0 and "cum" in out.columns
+
+
+class TestGroupedExtensions:
+    def test_transform_preserves_rows(self, spark):
+        from pandas_etl_spark.pandas_ops import Table
+
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 30.0), ("b", 3, 5.0)], ["g", "id", "v"]
+        )
+        out = Table(df).groupby("g").transform("mean", "v").df
+        rows = {r["id"]: r["v_mean"] for r in out.collect()}
+        assert rows == {1: 20.0, 2: 20.0, 3: 5.0}
+
+    def test_idxmax_ties_pick_smallest_id(self, spark):
+        from pandas_etl_spark.pandas_ops import Table
+
+        df = spark.createDataFrame(
+            [("a", 2, 9.0), ("a", 1, 9.0), ("a", 3, 1.0), ("b", 7, 0.0)],
+            ["g", "id", "v"],
+        )
+        got = {
+            r["g"]: r["v_idxmax"]
+            for r in Table(df).groupby("g").idxmax("v", "id").df.collect()
+        }
+        assert got == {"a": 1, "b": 7}
+        low = {
+            r["g"]: r["v_idxmin"]
+            for r in Table(df).groupby("g").idxmin("v", "id").df.collect()
+        }
+        assert low == {"a": 3, "b": 7}
+
+    def test_clip_bounds_and_nulls(self, spark):
+        from pandas_etl_spark.pandas_ops import Table
+
+        df = spark.createDataFrame(
+            [(1, -5.0, "x"), (2, 50.0, "y"), (3, None, "z")], ["id", "v", "s"]
+        )
+        out = {r["id"]: r["v"] for r in Table(df).clip(0.0, 10.0, subset=["v"]).df.collect()}
+        assert out == {1: 0.0, 2: 10.0, 3: None}
+        # string column untouched even without subset
+        out2 = Table(df).clip(lower=0.0).df
+        assert dict(out2.dtypes)["s"] == "string"

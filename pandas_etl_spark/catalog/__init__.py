@@ -20,3 +20,4 @@ from pandas_etl_spark.catalog import misc  # noqa: E402,F401
 from pandas_etl_spark.catalog import similarity  # noqa: E402,F401
 from pandas_etl_spark.catalog import streaming  # noqa: E402,F401
 from pandas_etl_spark.catalog import curation  # noqa: E402,F401
+from pandas_etl_spark.catalog import analytics  # noqa: E402,F401

@@ -1,0 +1,195 @@
+"""Event-analytics catalog queries: cohort retention, funnels, A/B
+cohort comparison — the product-analytics shapes every event pipeline
+grows (and the reference's pandas users build with
+groupby/pivot/merge chains).
+
+All three share one scale profile: a single shuffle keyed on user_id
+for the per-user reduction, then tiny aggregates. Floats are either
+absent (pure counts) or variance-from-sums with rounding above ulp
+drift (driver-contract rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.operators.sampling import _MODULUS
+from pandas_etl_spark.sources import load_table
+from pandas_etl_spark.sources.io import ensure_parallelism
+
+_WEEK_S = 7 * 24 * 3600
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+    WITH f AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST(floor((extract(epoch FROM activity_week)
+                       - extract(epoch FROM cohort_week)) / {_WEEK_S}) AS BIGINT)
+               AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen
+    week, counted in every later week they were active. Two aggregates
+    on the SAME user_id partitioning (first-seen + distinct activity
+    weeks) then a join that co-locates on user_id — one wide shuffle
+    total, all-integer output."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    off = F.floor(
+        (
+            F.unix_timestamp("activity_week") - F.unix_timestamp("cohort_week")
+        )
+        / _WEEK_S
+    ).cast("bigint")
+    return (
+        active.join(first, "user_id")
+        .select("cohort_week", off.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "funnel_counts",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                          AND t_purchase >= t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+    FROM u
+    """,
+)
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per-user earliest
+    timestamp per stage via conditional mins (ONE aggregate — no
+    per-stage scans or self-joins), then strict stage-order counts.
+    Null comparisons drop users who skipped a stage (SQL three-valued
+    logic, identical both engines)."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+
+    def stage_min(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    u = ev.groupBy("user_id").agg(
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") >= F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") >= F.col("t_click"))
+    as_int = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return u.agg(
+        as_int(reached_view).alias("n_view"),
+        as_int(reached_click).alias("n_view_click"),
+        as_int(reached_purchase).alias("n_view_click_purchase"),
+    )
+
+
+@query(
+    "ab_test_zscores",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_type, value,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % {_MODULUS} % 2 AS cohort
+        FROM events
+    ), s AS (
+        SELECT event_type, cohort, count(*) AS n, sum(value) AS sm,
+               sum(value * value) AS ss
+        FROM tagged GROUP BY event_type, cohort
+    ), st AS (
+        SELECT event_type, cohort, n,
+               sm / CAST(n AS DOUBLE) AS mean,
+               (ss - sm * sm / CAST(n AS DOUBLE))
+                   / nullif(CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE),
+                            CAST(0.0 AS DOUBLE)) AS var
+        FROM s
+    )
+    SELECT a.event_type,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.mean - b.mean, 6) AS mean_diff,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE)), 6)
+               AS z
+    FROM st a JOIN st b ON a.event_type = b.event_type
+    WHERE a.cohort = 0 AND b.cohort = 1
+    """,
+)
+def q_ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B cohort comparison: users deterministically hash-split into
+    two cohorts (md5 bucket parity — the assignment every engine and
+    every re-run reproduces), per-event-type Welch z-score on the value
+    mean. Variance from sum/sumsq partials (one shuffle, no Welford
+    merge drift); z rounded above ulp noise. No ensure_parallelism —
+    single-split scan keeps float-sum order equal to the oracle's."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        F.expr(
+            f"cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"
+            f" % {_MODULUS} % 2"
+        )
+    ).alias("cohort")
+    tagged = ev.select("event_type", "value", cohort)
+    v = F.col("value")
+    s = tagged.groupBy("event_type", "cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sm"),
+        F.sum(v * v).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    st = s.select(
+        "event_type",
+        "cohort",
+        "n",
+        (F.col("sm") / n).alias("mean"),
+        (
+            (F.col("ss") - F.col("sm") * F.col("sm") / n)
+            / F.nullif(n - F.lit(1.0), F.lit(0.0))
+        ).alias("var"),
+    )
+    a = st.filter(F.col("cohort") == 0).alias("a")
+    b = st.filter(F.col("cohort") == 1).alias("b")
+    return a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").cast("bigint").alias("n_a"),
+        F.col("b.n").cast("bigint").alias("n_b"),
+        F.round(F.col("a.mean") - F.col("b.mean"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(
+                F.col("a.var") / F.col("a.n").cast("double")
+                + F.col("b.var") / F.col("b.n").cast("double")
+            ),
+            6,
+        ).alias("z"),
+    )

@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 
 from pandas_etl_spark.catalog.registry import query
 from pandas_etl_spark.functions import dedup as dd
+from pandas_etl_spark.functions.dedup import fuzzy_pairs
 from pandas_etl_spark.sources import load_table
+from pandas_etl_spark.sources.io import ensure_parallelism
 
 _DD_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -350,3 +352,34 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", k=_K, threshold=0.5, max_df=_MAX_DF
     )
     return dd.contrastive_triplets(d, pairs, "text", "doc_id", n_buckets=64)
+
+
+@query(
+    "fuzzy_match_pairs",
+    oracle="""
+    WITH side AS (
+        SELECT p_partkey AS id, p_name AS t,
+               t[-1] AS blk
+        FROM (SELECT p_partkey, p_name,
+                     string_split(p_name, ' ') AS t FROM part)
+    )
+    SELECT a.id AS id_l, b.id AS id_r,
+           a.t AS text_l, b.t AS text_r,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM side a JOIN side b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.t, b.t) <= 4
+    """,
+)
+def q_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage on part names: block on the head noun (last
+    token), verify with Levenshtein ≤ 4 — see
+    functions/dedup.py:fuzzy_pairs for the blocking-bounds-candidates
+    scale argument. Both engines index split arrays with -1 = last."""
+    p = ensure_parallelism(load_table(spark, sf_dir, "part"))
+    return fuzzy_pairs(
+        p,
+        "p_name",
+        "p_partkey",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_dist=4,
+    )

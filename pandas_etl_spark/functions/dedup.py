@@ -653,3 +653,40 @@ def ngram_decontaminate(
         shared.alias("n_shared_ngrams"),
         (shared > 0).alias("contaminated"),
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: Column | str,
+    max_dist: int = 4,
+) -> DataFrame:
+    """Blocked fuzzy matching: candidate pairs share a blocking key
+    (cheap, high-recall — e.g. a token, a phonetic code, an LSH bucket),
+    then exact Levenshtein ≤ ``max_dist`` verifies. The record-linkage
+    primitive: all-pairs edit distance is O(n²) and unshardable, but
+    within-block pairs are the classic linkage plan (Fellegi-Sunter
+    blocking) — candidate volume is Σ|block|², bounded by the blocking
+    key's selectivity, and each block's pairs generate on one node after
+    a single hash shuffle on the key.
+
+    Returns ``(id_l, id_r, text_l, text_r, dist)`` with ``id_l < id_r``
+    (each unordered pair once, deterministically)."""
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    side = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t"), b.alias("blk")
+    )
+    left = side.select(
+        F.col("id").alias("id_l"), F.col("t").alias("text_l"), "blk"
+    )
+    right = side.select(
+        F.col("id").alias("id_r"), F.col("t").alias("text_r"), "blk"
+    )
+    return (
+        left.join(right, "blk")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .withColumn("dist", F.levenshtein("text_l", "text_r").cast("bigint"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_l", "id_r", "text_l", "text_r", "dist")
+    )

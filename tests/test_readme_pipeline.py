@@ -194,3 +194,46 @@ def test_yaml_pipeline_full_training_data_flow(spark, sf_dir, tmp_path):
     from pandas_etl_spark.catalog import QUERIES
 
     assert packed.count() == QUERIES["curate_corpus"](spark, sf_dir).count()
+
+
+def test_yaml_pipeline_drives_curation_gates(spark, sf_dir, tmp_path):
+    """The round-3 curation gates compose through the YAML language:
+    read → repetition gate (Gopher-style) → deterministic split →
+    parquet sink, all one lazy plan per branch."""
+    out = tmp_path / "gated_split.parquet"
+    yaml_text = f"""
+    variables:
+      sfDir: {sf_dir}
+    preFlight:
+      script: |
+        from pandas_etl_spark.functions.text import repetition_stats
+        from pandas_etl_spark.operators.sampling import dataset_split
+        from pandas_etl_spark.pandas_ops import Table
+        def gate_and_split(table):
+            keep = repetition_stats(table.df).filter("NOT repetitive")
+            gated = table.df.join(keep.select("doc_id"), "doc_id", "left_semi")
+            return Table(dataset_split(gated, "doc_id")
+                         .select("doc_id", "lang", "split"))
+    steps:
+    - name: load
+      function: pd.read_parquet
+      args:
+        path: ${{ var.sfDir }}/documents.parquet
+    - name: gated
+      function: gate_and_split
+      args:
+        table: ${{ steps['load'].output }}
+    - name: sink
+      function: ${{ steps['gated'].output.to_parquet }}
+      args:
+        path: {out}
+    """
+    from pandas_etl_spark.pipeline import Pipeline
+
+    Pipeline(yamlData=yaml_text, spark=spark).run()
+    back = spark.read.parquet(str(out))
+    assert back.count() > 0
+    assert set(back.columns) == {"doc_id", "lang", "split"}
+    assert {r["split"] for r in back.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }

@@ -70,31 +70,40 @@ def main() -> None:
     # plan changes). Caches (curate's persisted intermediate) are
     # cleared between runs so the warm run re-executes the full plan
     # rather than reading run 1's cache.
-    warm: dict[str, float] = {}
-    cold: dict[str, float] = {}
+    # Per-query try/except: one broken query degrades to a null entry in
+    # the report instead of zeroing the whole artifact (r3 shipped NO
+    # bench numbers because a single AnalysisException killed the run).
+    warm: dict[str, float | None] = {}
+    cold: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         for timings in (cold, warm):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            spark.catalog.clearCache()
+            try:
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:
+                timings[name] = None
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            finally:
+                spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_headline_total",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "queries_cold": cold,
-                "value_cold": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    report = {
+        "metric": "catalog_headline_total",
+        "value": round(sum(v for v in warm.values() if v is not None), 3),
+        "unit": "sec",
+        "queries": warm,
+        "queries_cold": cold,
+        "value_cold": round(sum(v for v in cold.values() if v is not None), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        report["errors"] = errors
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

@@ -12,7 +12,12 @@ ORACLES: dict[str, str] = {}
 # Runtime-settable SQL confs every catalog query depends on. The driver
 # may hand us a session it built itself (without our session factory) —
 # force these before building any plan:
-# - nanosAsLong: events.parquet is TIMESTAMP(NANOS) (unreadable otherwise)
+# - nanosAsLong: on Spark 4.0 makes TIMESTAMP(NANOS) parquet readable as
+#   bigint. On 4.1+ the conf is ACCEPTED but ineffective (nanos read
+#   natively as TIMESTAMP_NTZ) — so conf-set success proves nothing
+#   about the loaded dtype; ``sources.io.normalize_nanos_ts`` handles
+#   all three representations and a subprocess smoke test asserts the
+#   vanilla-session path end-to-end (VERDICT r3 / ADVICE r3).
 # - UTC: DuckDB oracle timestamps are UTC-naive
 # - ANSI off: pandas-parity semantics + wraparound hash arithmetic
 _REQUIRED_CONFS = {

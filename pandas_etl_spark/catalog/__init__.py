@@ -21,6 +21,7 @@ from pandas_etl_spark.catalog import similarity  # noqa: E402,F401
 from pandas_etl_spark.catalog import streaming  # noqa: E402,F401
 from pandas_etl_spark.catalog import curation  # noqa: E402,F401
 from pandas_etl_spark.catalog import analytics  # noqa: E402,F401
+from pandas_etl_spark.catalog import tpch  # noqa: E402,F401
 
 # Registry priority ordering (VERDICT r3 #4). External harnesses that
 # check a fixed-size prefix of the registry (the driver verifies the

@@ -174,3 +174,30 @@ def test_decontaminate_no_cartesian(spark, sf_dir):
 def test_mixture_sample_broadcasts_counts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "mixture_sample")
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q8_single_fact_shuffle(spark, sf_dir):
+    """Q8's seven-way join: every dimension broadcasts; the only
+    sort-merge/shuffled join permitted is lineitem⋈orders."""
+    plan = plan_of(spark, sf_dir, "tpch_q8_market_share")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    non_broadcast = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert non_broadcast <= 1, plan
+
+
+def test_tpch_q21_decorrelated_no_cartesian(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must run as the order-level
+    aggregate + join, never a correlated per-row re-execution or a
+    cross product."""
+    plan = plan_of(spark, sf_dir, "tpch_q21_waiting_supplier")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_tpch_q4_semi_join(spark, sf_dir):
+    """Q4's EXISTS compiles to a semi join (no row multiplication +
+    dedup), with the order-window filter pushed to the orders scan."""
+    plan = plan_of(spark, sf_dir, "tpch_q4_priority_check")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan

@@ -350,3 +350,44 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-k; the row_number runs over only the k survivors."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return tx.build_vocab(d, "text", "doc_id", size=200)
+
+
+@query(
+    "udtf_ngram_topk",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    g AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(words[i:i+2], ' ') AS ngram
+        FROM w, LATERAL unnest(generate_series(1, greatest(len(words) - 2, 0))) AS t(i)
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS n
+    FROM g
+    GROUP BY ngram
+    ORDER BY n DESC, ngram
+    LIMIT 30
+    """,
+)
+def q_udtf_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.8: the reference's 'UDF returns a table'
+    shape): word 3-grams exploded per document by a LATERAL
+    ``word_ngrams`` UDTF (Arrow-batched), counted, top-30 with a
+    deterministic (n DESC, ngram) tie-break. API-parity entry — the
+    Catalyst-native n-gram path (functions/text.py) is the hot path;
+    the UDTF is the escape hatch for genuinely imperative per-row
+    expansion."""
+    from pandas_etl_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    view = "docs_udtf_ngrams"
+    d.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT g.ngram, CAST(count(*) AS BIGINT) AS n
+        FROM {view}, LATERAL word_ngrams(text, 3) g
+        GROUP BY g.ngram
+        ORDER BY n DESC, g.ngram
+        LIMIT 30
+        """
+    )

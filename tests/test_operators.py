@@ -567,3 +567,64 @@ class TestQualityChecks:
 
         with pytest.raises(ValueError, match="at least one"):
             check_rules(spark.range(1), [])
+
+
+class TestUdtf:
+    def test_word_ngrams_matches_catalyst_expression(self, spark):
+        """The Python UDTF (slow path, API parity) and a pure-Catalyst
+        sequence/transform n-gram expansion must produce identical rows."""
+        from pyspark.sql import functions as F
+
+        from pandas_etl_spark.functions.udtf import register_udtfs
+
+        register_udtfs(spark)
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "x y"), (3, "solo"), (4, None), (5, "p  q")],
+            "id long, text string",
+        )
+        df.createOrReplaceTempView("udtf_parity_docs")
+        got = {
+            (r.id, r.pos, r.ngram)
+            for r in spark.sql(
+                "SELECT id, g.pos, g.ngram FROM udtf_parity_docs, "
+                "LATERAL word_ngrams(text, 2) g"
+            ).collect()
+        }
+        words = F.split("text", " ", -1)
+        # sequence(1, 0) DESCENDS in Spark — gate short docs to an empty
+        # array instead of relying on an empty range
+        idx = F.when(
+            F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        catalyst = (
+            df.select(
+                "id",
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda i: F.struct(
+                            i.alias("pos"),
+                            F.concat_ws(
+                                " ",
+                                F.element_at(words, i),
+                                F.element_at(words, i + 1),
+                            ).alias("ngram"),
+                        ),
+                    )
+                ).alias("g"),
+            )
+            .select("id", "g.pos", "g.ngram")
+        )
+        exp = {(r.id, r.pos, r.ngram) for r in catalyst.collect()}
+        assert got == exp and (1, 1, "a b") in got
+        # doubled space → empty token preserved on both paths
+        assert (5, 1, "p ") in got
+
+    def test_udtf_null_and_short_inputs(self, spark):
+        # the @udtf decorator wraps the class — unit-test the handler class
+        from pandas_etl_spark.functions.udtf import WordNgrams
+
+        impl = WordNgrams.func()
+        assert list(impl.eval("a b", 3)) == []
+        assert list(impl.eval(None, 2)) == []
+        assert list(impl.eval("a b c", 0)) == []

@@ -36,6 +36,7 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_groups",
     "dedup_clusters",
+    "dedup_multi_signal",
     "minhash_lsh_pairs_checked",
     "ngram_jaccard_pairs",
     "simhash_pairs",

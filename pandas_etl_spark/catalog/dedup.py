@@ -383,3 +383,88 @@ def q_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split(F.col("p_name"), " "), -1),
         max_dist=4,
     )
+
+
+@query(
+    "dedup_multi_signal",
+    oracle=f"""
+    WITH RECURSIVE
+    sh0 AS (
+        SELECT doc_id AS id, unnest({_DD_SHINGLES}) AS shingle FROM documents
+    ),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_DF}),
+    sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    cand AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    ),
+    jacc AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN sizes sa ON sa.id = cand.id_a
+        JOIN sizes sb ON sb.id = cand.id_b
+        WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+    ),
+    fp AS (SELECT doc_id AS id, md5({_DD_NORM}) AS fp FROM documents),
+    keepers AS (SELECT fp, min(id) AS keeper FROM fp GROUP BY fp),
+    exact_e AS (
+        SELECT k.keeper AS id_a, fp.id AS id_b
+        FROM fp JOIN keepers k USING (fp)
+        WHERE fp.id <> k.keeper
+    ),
+    alle AS (SELECT id_a, id_b FROM jacc UNION SELECT id_a, id_b FROM exact_e),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM alle
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM alle
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    csize AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM labels GROUP BY cluster_id)
+    SELECT l.id AS doc_id, l.cluster_id, c.cluster_size,
+           l.id = l.cluster_id AS is_keeper
+    FROM labels l JOIN csize c USING (cluster_id)
+    """,
+)
+def q_dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup capstone: EXACT duplicate evidence (same
+    normalized-content md5 → star edges to the group min) UNIONS with
+    NEAR-dup evidence (n-gram Jaccard ≥ 0.5 pairs), and one connected-
+    components pass (O(log n) star contraction) produces transitive
+    clusters across BOTH signals — a doc exactly equal to A and 90%%-
+    similar to B pulls all three together, which neither signal alone
+    finds. Output: every doc with its cluster, cluster size, and the
+    deterministic min-id keeper flag. Scale: both evidence streams are
+    id-only pair frames; the union adds no shuffle (CC re-shuffles
+    per round on id anyway); the oracle reproduces the closure with a
+    recursive CTE."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    hashed = d.select("doc_id", dd.fingerprint("text").alias("fp"))
+    gmin = hashed.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    exact_edges = (
+        hashed.join(gmin, "fp")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("keeper").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    jacc = dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=_K, threshold=0.5, max_df=_MAX_DF
+    ).select("id_a", "id_b")
+    labeled = dd.connected_components(
+        exact_edges.union(jacc), nodes=d, id_col="doc_id"
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
+    )

@@ -163,3 +163,36 @@ def test_foreachbatch_idempotent_parquet_sink(spark, sf_dir, tmp_path):
         .collect()
     }
     assert first == exp
+
+
+def test_transform_with_state_batch_parity(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas (typed ValueState processor):
+    drained single-batch output must equal the batch groupBy. Self-skips
+    where the protobuf package is absent (sandbox limitation — the
+    streaming runner's state protocol needs it; applyInPandasWithState
+    covers arbitrary state unconditionally)."""
+    import pytest as _pytest
+
+    from pandas_etl_spark.streaming.tws import tws_available, user_stats_tws
+
+    if not tws_available():
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            user_stats_tws(spark, sf_dir)
+        _pytest.skip("protobuf not installed — transformWithState gated")
+
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.sources import load_table
+
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in user_stats_tws(spark, sf_dir).collect()
+    }
+    exp = {
+        r.user_id: (r.n, round(r.t, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == exp

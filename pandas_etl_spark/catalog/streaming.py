@@ -369,3 +369,53 @@ def q_stream_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = run_stream_to_table(hist, output_mode="complete")
     return spark.table(table)
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR extract(epoch FROM ts) - extract(epoch FROM lag(ts) OVER w) > {_GAP_S}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                                  AS session_start,
+           CAST(count(*) AS BIGINT)                 AS n_events,
+           sum(value)                               AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION windows on an actual STREAM (session_window_agg covers the
+    batch-frame form): gap-merged per-user sessions with per-key session
+    state and a watermark — the production pattern for unbounded
+    clickstreams. COMPLETE output mode so the final trigger reports every
+    session including the still-open tail: in append mode sessions whose
+    close postdates the final watermark (the last 2h of a drained file)
+    are held back as unfinalized — correct streaming semantics, but not
+    comparable to a whole-input batch oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", f"{_GAP_S} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    table = run_stream_to_table(agg, output_mode="complete")
+    return spark.table(table).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        "total_value",
+    )

@@ -40,6 +40,7 @@ _PRIORITY = [
     "minhash_lsh_pairs_checked",
     "ngram_jaccard_pairs",
     "simhash_pairs",
+    "simhash_checked",
     "ann_cosine_topk",
     "embedding_neardup_exact",
     "embedding_centroids",

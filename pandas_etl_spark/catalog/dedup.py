@@ -468,3 +468,48 @@ def q_dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def _simhash_portable_oracle(bits: int = 60) -> str:
+    """DuckDB SQL replicating simhash_signatures_portable bit-for-bit:
+    same md5-prefix token hash, same ±1 votes, same sign rule."""
+    hexdigits = (bits + 3) // 4
+    votes = ",\n               ".join(
+        f"sum(((h // {1 << b}) % 2) * 2 - 1) AS v{b}" for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(list_filter(string_split({_DD_NORM}, ' '), t -> t <> ''))
+                   AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT id,
+               CAST('0x' || substring(md5(tok), 1, {hexdigits}) AS BIGINT) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT id, {votes}
+        FROM hashed GROUP BY id
+    )
+    SELECT id AS doc_id, CAST({sig} AS BIGINT) AS sim FROM votes
+    """
+
+
+@query("simhash_checked", oracle=_simhash_portable_oracle(60))
+def q_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact oracle check of the SimHash signature computation
+    (portable md5-token-hash variant, 60 bits — every intermediate exact
+    in int64 on any ANSI engine). The production simhash_pairs keeps
+    xxhash64 (engine-native, no DuckDB equivalent → rows-only there);
+    THIS query proves the vote/sign pipeline itself, and the
+    radius-blocking layer on top is hash-agnostic (property-tested
+    exhaustively in tests/test_operators.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash_signatures_portable(d, "text", "doc_id", bits=60).select(
+        F.col("id").alias("doc_id"), "sim"
+    )

@@ -400,6 +400,44 @@ def simhash_signatures(
     return votes.select("id", sim.alias("sim"))
 
 
+def simhash_signatures_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """(id, sim bigint) portable SimHash over md5-derived token hashes —
+    the ANSI-SQL-reproducible twin of :func:`simhash_signatures` (which
+    stays the production path on engine-native xxhash64). Token hash =
+    the md5 hex prefix as a ``bits``-wide integer (≤60 bits so every
+    intermediate is exact in int64 on any engine); per-bit ±1 votes,
+    sign → bit, identical plan shape (explode → one groupBy(id) carrying
+    ``bits`` codegen'd sum aggregates)."""
+    assert 1 <= bits <= 60  # 15 hex digits
+    toks = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), normalized(text_col).alias("_norm"))
+    ).select(
+        "id",
+        F.explode(F.expr("filter(split(_norm, ' '), t -> t <> '')")).alias("tok"),
+    )
+    hashed = toks.select(
+        "id",
+        F.expr(
+            f"cast(conv(substring(md5(tok), 1, {(bits + 3) // 4}), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(F.expr(f"(((h >> {b}) & 1) * 2 - 1)")).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.expr(f"shiftleft(1L, {b})")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = bit if sim is None else sim + bit
+    return votes.select("id", sim.alias("sim"))
+
+
 def _chunk_layout(n_chunks: int) -> list[tuple[int, int]]:
     """(offset, width) bit spans splitting 64 bits into n_chunks
     near-equal chunks."""

@@ -125,6 +125,17 @@ class Pipeline:
             pdf = pd.DataFrame(data=data, columns=columns, **kw)
             return Table(self.spark.createDataFrame(pdf))
 
+        def sql(query: str, views: dict | None = None):
+            # Spark-first escape hatch the reference cannot offer: run ANSI
+            # SQL over step outputs. ``views`` binds step outputs (Table or
+            # DataFrame) to temp-view names referenced by the query; the
+            # result is a Table like any other step output, so downstream
+            # steps/checkpoints compose unchanged.
+            for name, t in (views or {}).items():
+                df = t.df if isinstance(t, Table) else t
+                df.createOrReplaceTempView(name)
+            return Table(self.spark.sql(query))
+
         def _conn_kw(kw: dict) -> dict:
             con = kw.get("con")
             if con is not None and hasattr(con, "jdbc_options"):
@@ -146,6 +157,7 @@ class Pipeline:
             for n in names:
                 for prefix in ("pd.", "pandas.", ""):
                     reg[prefix + n] = fn
+        reg["sql"] = reg["spark.sql"] = sql
         return reg
 
     def _resolve_function(self, function: str | Any):

@@ -399,3 +399,43 @@ class TestAccessorsViaYaml:
         got = duckdb.sql(f"SELECT AB, ab_up, ab_len FROM '{out}/*.csv'").df()
         assert (got["ab_up"] == got["AB"].str.upper()).all()
         assert (got["ab_len"] == got["AB"].str.len()).all()
+
+
+def test_sql_step_over_step_outputs(spark):
+    """The spark.sql step: ANSI SQL over bound step-output views, result
+    flowing on as a normal Table (a Spark-first surface the pandas
+    reference lacks)."""
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.pipeline import Pipeline
+
+    p = Pipeline(
+        yamlData="""
+        steps:
+        - name: load
+          function: pd.read_csv
+          args:
+            filepath_or_buffer: ./tests/data/test.csv
+        - name: report
+          function: spark.sql
+          args:
+            query: |
+              SELECT AB, count(*) AS n, max(CD) AS max_cd
+              FROM src GROUP BY AB
+            views: { src: "${ steps['load'].output }" }
+        """,
+        spark=spark,
+    )
+    p.run()
+    out = p.steps["report"].output
+    rows = {r.AB: (r.n, r.max_cd) for r in out.df.collect()}
+    assert len(rows) >= 2 and all(n >= 1 for n, _ in rows.values())
+    # parity with the DataFrame-side computation on the same step output
+    src = p.steps["load"].output.df
+    exp = {
+        r.AB: (r.n, r.max_cd)
+        for r in src.groupBy("AB")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("CD").alias("max_cd"))
+        .collect()
+    }
+    assert rows == exp

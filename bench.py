@@ -42,6 +42,18 @@ HEADLINE = [
     "curate_corpus",
 ]
 
+# Round-4+ additions: timed and reported separately (queries_extended) so
+# the headline total stays comparable with earlier rounds.
+EXTENDED = [
+    "dedup_multi_signal",
+    "simhash_checked",
+    "dedup_clusters",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_supplier",
+    "udtf_ngram_topk",
+    "stream_session_window",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,6 +115,22 @@ def main() -> None:
                 spark.catalog.clearCache()
         warm[name] = min(samples) if samples else None
 
+    # Extended section: round-4+ additions timed once (post-warmup JVM)
+    # and reported OUTSIDE the headline metric so `value` stays
+    # comparable round-over-round on the fixed HEADLINE list.
+    extended: dict[str, float | None] = {}
+    for name in EXTENDED:
+        try:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            extended[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            extended[name] = None
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        finally:
+            spark.catalog.clearCache()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     report = {
         "metric": "catalog_headline_total",
@@ -112,6 +140,7 @@ def main() -> None:
         "queries_cold": cold,
         "value_cold": round(sum(v for v in cold.values() if v is not None), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries_extended": extended,
     }
     if errors:
         report["errors"] = errors

@@ -391,3 +391,36 @@ def q_udtf_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 30
         """
     )
+
+
+@query(
+    "unigram_logprob_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    vocab AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 1000),
+    totals AS (SELECT sum(n) AS N_total FROM counts)
+    SELECT id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(CAST(coalesce(v.n, 0) + 1 AS DOUBLE)
+                        / CAST(N_total + 1000 + 1 AS DOUBLE))), 6) AS avg_logprob
+    FROM toks LEFT JOIN vocab v USING (tok), totals
+    GROUP BY id
+    """,
+)
+def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style curation signal: per-doc average log-probability
+    under an add-one-smoothed corpus unigram LM (top-1000 vocab,
+    OOV floor). Low scorers are boilerplate/noise candidates — the
+    distributional complement to the heuristic quality_score. One token
+    shuffle + distributed top-V + broadcast joins (functions/text.py
+    unigram_logprob)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return tx.unigram_logprob(d, "text", "doc_id", vocab_size=1000).select(
+        F.col("id").alias("doc_id"), "n_tokens", "avg_logprob"
+    )

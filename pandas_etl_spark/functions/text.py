@@ -403,3 +403,45 @@ def pii_match_count(col: str | Column, kinds: tuple[str, ...] = ("email", "numbe
     for kind in kinds:
         n = n + F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), 0))
     return n.cast("bigint")
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document average unigram log-probability — the classic
+    perplexity-style quality filter for training corpora (documents far
+    below the corpus-typical score are boilerplate/noise candidates).
+
+    Model: add-one-smoothed unigram LM over the corpus's own top-
+    ``vocab_size`` tokens (deterministic (count DESC, token) tie-break);
+    out-of-vocabulary tokens take the floor probability 1/(N + V + 1)
+    where N = total corpus token count, V = vocab_size.
+
+    Plan: one token count (shuffle on token), distributed top-V
+    (TakeOrdered), vocab BROADCAST back onto the exploded tokens (no
+    second big shuffle), one groupBy(id) average. Output:
+    (id, n_tokens, avg_logprob rounded to 6)."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = counts.orderBy(F.desc("n"), F.asc("tok")).limit(vocab_size)
+    totals = counts.agg(
+        F.sum("n").alias("N_total"), F.lit(vocab_size).alias("V")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .join(F.broadcast(totals))
+        .select(
+            "id",
+            F.log(
+                (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
+                / (F.col("N_total") + F.col("V") + 1).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )

@@ -512,3 +512,81 @@ def q_group_share_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(F.col("value") / F.col("__total"), 6).alias("value_share"),
     )
+
+
+_LS_T1 = _threshold(0.9)  # 90/10 train/eval — eval stays usable at sf0.001
+
+
+@query(
+    "leakage_safe_split",
+    oracle=None,  # set below: needs catalog.dedup's shingle SQL
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/eval split: near-duplicate documents must land
+    on the SAME side, or eval leaks train content (the standard failure
+    mode hash-splitting individual doc_ids cannot prevent). Plan:
+    n-gram-Jaccard pair graph → star-contraction connected components →
+    md5 hash-bucket the CLUSTER id, so every member of a near-dup
+    cluster moves together and the split stays deterministic across
+    runs/appends. Singletons hash on their own id (cluster_id = id)."""
+    from pandas_etl_spark.catalog import dedup as cdd
+    from pandas_etl_spark.functions import dedup as fdd
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    pairs = fdd.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=cdd._K, threshold=0.5, max_df=cdd._MAX_DF
+    )
+    labels = fdd.connected_components(pairs, nodes=d, id_col="doc_id")
+    b = _bucket("cluster_id", _MODULUS)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.when(b < _LS_T1, "train").otherwise("eval").alias("split"),
+    )
+
+
+def _leakage_safe_split_oracle() -> str:
+    from pandas_etl_spark.catalog import dedup as cdd
+
+    return f"""
+    WITH RECURSIVE
+    sh0 AS (
+        SELECT doc_id AS id, unnest({cdd._DD_SHINGLES}) AS shingle FROM documents
+    ),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {cdd._MAX_DF}),
+    sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    cand AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    ),
+    good AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN sizes sa ON sa.id = cand.id_a
+        JOIN sizes sb ON sb.id = cand.id_b
+        WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM good
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM good
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_id,
+           CASE WHEN CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % {_MODULUS} < {_LS_T1}
+                THEN 'train' ELSE 'eval' END AS split
+    FROM labels
+    """
+
+
+from pandas_etl_spark.catalog.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["leakage_safe_split"] = _leakage_safe_split_oracle()

@@ -349,6 +349,31 @@ def to_parquet(
     return path
 
 
+def to_parquet_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Layout-optimized parquet write (z-order-lite): global range
+    partitioning on ``sort_cols`` + sort within each partition, so every
+    output file (and row group) covers a NARROW, nearly-disjoint value
+    range. Parquet min/max stats then let readers skip whole row groups
+    on ``sort_cols`` predicates — at 100 TB the difference between a
+    range query touching a handful of files vs the entire table.
+    ``repartitionByRange`` samples the sort key to build balanced range
+    bounds (one extra pass, worth it for a write-once/read-many table)."""
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return path
+
+
 _IF_EXISTS_TO_MODE = {"fail": "errorifexists", "replace": "overwrite", "append": "append"}
 
 

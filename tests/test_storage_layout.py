@@ -133,3 +133,37 @@ def test_avro_gated_clearly(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="spark-avro"):
         read_avro(spark, str(tmp_path / "none.avro"))
+
+
+def test_sorted_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """to_parquet_sorted: range-partitioned + sorted output must yield
+    per-file [min,max] spans on the sort key that are pairwise
+    non-overlapping — the physical property that makes parquet min/max
+    stats selective (row-group/file skipping on range predicates)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pandas_etl_spark.sources.io import to_parquet_sorted
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    out = str(tmp_path / "sorted")
+    to_parquet_sorted(ev, out, ["event_id"], n_files=8)
+
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("event_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    assert len(spans) >= 4  # actually fanned out into multiple files
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo, f"overlapping file ranges: {spans}"
+    # round-trip intact
+    assert spark.read.parquet(out).count() == ev.count()

@@ -513,3 +513,70 @@ def q_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_signatures_portable(d, "text", "doc_id", bits=60).select(
         F.col("id").alias("doc_id"), "sim"
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 4294967296 AS bucket
+        FROM documents
+    ),
+    newdocs AS (SELECT d.* FROM documents d JOIN b USING (doc_id)
+                WHERE bucket < 429496730),
+    corpus  AS (SELECT d.* FROM documents d JOIN b USING (doc_id)
+                WHERE bucket >= 429496730),
+    new_fp  AS (SELECT doc_id AS id, md5({_DD_NORM}) AS fp FROM newdocs),
+    corp_fp AS (SELECT DISTINCT md5({_DD_NORM}) AS fp FROM corpus),
+    exact   AS (SELECT id FROM new_fp JOIN corp_fp USING (fp)),
+    sh_new0 AS (SELECT doc_id AS id, unnest({_DD_SHINGLES}) AS shingle FROM newdocs),
+    sh_cor0 AS (SELECT doc_id AS id, unnest({_DD_SHINGLES}) AS shingle FROM corpus),
+    stop    AS (SELECT shingle FROM sh_cor0 GROUP BY shingle
+                HAVING count(*) > {_MAX_DF}),
+    sh_new  AS (SELECT * FROM sh_new0 WHERE shingle NOT IN (SELECT shingle FROM stop)),
+    sh_cor  AS (SELECT * FROM sh_cor0 WHERE shingle NOT IN (SELECT shingle FROM stop)),
+    n_new   AS (SELECT id, count(*) AS n_a FROM sh_new GROUP BY id),
+    n_cor   AS (SELECT id, count(*) AS n_b FROM sh_cor GROUP BY id),
+    shared  AS (
+        SELECT a.id AS id_a, c.id AS id_b, count(*) AS shared
+        FROM sh_new a JOIN sh_cor c USING (shingle)
+        GROUP BY 1, 2
+    ),
+    near    AS (
+        SELECT id_a AS id, min(id_b) AS near_dup_of
+        FROM shared
+        JOIN n_new ON n_new.id = shared.id_a
+        JOIN n_cor ON n_cor.id = shared.id_b
+        WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5
+        GROUP BY id_a
+    )
+    SELECT nd.doc_id,
+           e.id IS NOT NULL AS exact_dup,
+           near.near_dup_of,
+           CASE WHEN e.id IS NOT NULL THEN 'exact'
+                WHEN near.near_dup_of IS NOT NULL THEN 'near'
+                ELSE 'novel' END AS status
+    FROM newdocs nd
+    LEFT JOIN exact e ON e.id = nd.doc_id
+    LEFT JOIN near   ON near.id = nd.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (functions/dedup.incremental_dedup):
+    a deterministic 10% md5 bucket plays the 'new batch', the other 90%
+    the existing corpus; each new doc is classified exact / near
+    (Jaccard ≥ 0.5 vs corpus, min matching corpus id) / novel. The
+    corpus-side aggregates are the write-once index a production
+    pipeline amortizes across daily batches."""
+    from pandas_etl_spark.operators.sampling import _MODULUS, _bucket, _threshold
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    b = _bucket("doc_id", _MODULUS)
+    thr = _threshold(0.1)
+    new_docs = docs.filter(b < thr)
+    corpus = docs.filter(b >= thr)
+    return dd.incremental_dedup(
+        new_docs, corpus, "text", "doc_id", k=_K, threshold=0.5, max_df=_MAX_DF
+    )

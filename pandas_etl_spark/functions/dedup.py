@@ -817,3 +817,86 @@ def fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_l", "id_r", "text_l", "text_r", "dist")
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Incremental ingestion dedup: classify each NEW document against an
+    EXISTING corpus without re-clustering the corpus — the shape a
+    100 TB pipeline actually runs daily (the corpus-side shingle index
+    and fingerprints are write-once; only the small new batch is fresh
+    work each run).
+
+    Signals, in precedence order:
+    - ``exact``: normalized-content md5 present in the corpus;
+    - ``near``: char-k-gram Jaccard ≥ ``threshold`` against some corpus
+      doc (``near_dup_of`` = the smallest matching corpus id);
+    - ``novel``: neither.
+
+    Stop-shingles (corpus document frequency > ``max_df``) are dropped
+    from BOTH sides before the inverted-index join — same skew/size
+    control as :func:`ngram_jaccard_pairs`, and the denominator counts
+    each doc's corpus-rare shingles so the statistic matches the
+    self-join variant. Shingles absent from the corpus are rare by
+    definition (df = 0): they stay in the denominator but never join.
+
+    Shuffles: corpus fingerprint/shingle aggregation (amortizable via a
+    precomputed index), one inverted-index join keyed on shingle, one
+    (new_id, corpus_id) count. New-batch side is small → its per-doc
+    frames broadcast."""
+    new_fp = new_df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+    corp_fp = corpus_df.select(fingerprint(text_col).alias("fp")).distinct()
+    exact = (
+        new_fp.join(corp_fp, "fp", "left_semi").select("id").withColumn("exact", F.lit(True))
+    )
+
+    sh_new = char_shingles(new_df, text_col, id_col, k)
+    sh_corp = char_shingles(corpus_df, text_col, id_col, k)
+    stop = (
+        sh_corp.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    sh_new_r = sh_new.join(F.broadcast(stop), "shingle", "left_anti")
+    sh_corp_r = sh_corp.join(F.broadcast(stop), "shingle", "left_anti")
+    n_new = sh_new_r.groupBy("id").agg(F.count(F.lit(1)).alias("n_a"))
+    n_corp = sh_corp_r.groupBy("id").agg(F.count(F.lit(1)).alias("n_b"))
+    shared = (
+        sh_new_r.select(F.col("id").alias("id_a"), "shingle")
+        .join(sh_corp_r.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    near = (
+        shared.join(n_new.select(F.col("id").alias("id_a"), "n_a"), "id_a")
+        .join(n_corp.select(F.col("id").alias("id_b"), "n_b"), "id_b")
+        .filter(
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            >= threshold
+        )
+        .groupBy(F.col("id_a").alias("id"))
+        .agg(F.min("id_b").alias("near_dup_of"))
+    )
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(exact, "id", "left")
+        .join(near, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("exact"), F.lit(False)).alias("exact_dup"),
+            "near_dup_of",
+            F.when(F.coalesce(F.col("exact"), F.lit(False)), "exact")
+            .when(F.col("near_dup_of").isNotNull(), "near")
+            .otherwise("novel")
+            .alias("status"),
+        )
+    )

@@ -58,8 +58,9 @@ _PRIORITY = [
     "tfidf_top_terms",
     "vocab_topk",
     "sequence_packing",
-    "doc_fingerprint",
-    "chunk_documents",
+    "dedup_incremental",
+    "leakage_safe_split",
+    "unigram_logprob_score",
     "sessionize",
     "session_window_agg",
     "multimodal_meta",

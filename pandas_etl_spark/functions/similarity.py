@@ -231,6 +231,8 @@ def _kmeans_centroids(
             for r in sample.orderBy(id_col).limit(k).collect()
         ]
         centroids = [[float(x) for x in v] for v in init]
+        if not centroids:  # empty corpus — no cells to fit
+            return []
         for _ in range(iters):
             # cell computed ONCE per row, then dimensions explode
             assigned = sample.withColumn(
@@ -286,6 +288,14 @@ def ann_ivf_topk(
     init by lowest ids)."""
     corpus = ensure_parallelism(emb)
     centroids = _kmeans_centroids(corpus, n_cells, kmeans_iters, id_col, vec_col)
+    if not centroids:
+        # empty corpus: no cells exist — return an empty result with the
+        # declared schema (F.array() of zero distance exprs is untyped
+        # and breaks analysis otherwise)
+        return queries.sparkSession.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, cosine_sim double, rank bigint",
+        )
     assigned = corpus.withColumn("cell", _nearest_centroid(F.col(vec_col), centroids))
 
     # nprobe nearest cells per query: sort (dist, cell) structs, slice

@@ -148,3 +148,32 @@ print("OK", n)
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "OK" in proc.stdout
+
+
+def test_every_catalog_query_survives_empty_tables(spark, tmp_path):
+    """Empty-partition robustness sweep: all registered queries must
+    build and execute over EMPTY copies of every table (a daily reality
+    at scale — an empty ingestion day or filtered-out partition must not
+    crash the pipeline). Catches untyped empty-array literals,
+    divide-by-zero on empty reductions, and empty-collect guards."""
+    from pandas_etl_spark.catalog import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for t in tables:
+        (
+            spark.read.parquet(f"{src}/{t}.parquet")
+            .limit(0)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / f"{t}.parquet"))
+        )
+    failures = []
+    for name, fn in QUERIES.items():
+        try:
+            assert fn(spark, str(tmp_path)).count() >= 0
+        except Exception as e:  # noqa: BLE001 - collecting the sweep
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:150]}")
+    assert not failures, "\n".join(failures)

@@ -201,3 +201,22 @@ def test_tpch_q4_semi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q4_priority_check")
     assert "LeftSemi" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    """The top-V vocabulary and the 1-row totals must broadcast back onto
+    the exploded tokens — a second full shuffle of the token stream
+    would double the heaviest stage."""
+    plan = plan_of(spark, sf_dir, "unigram_logprob_score")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_broadcasts_stop_shingles(spark, sf_dir):
+    """The corpus stop-shingle set (≤ corpus-distinct shingles with
+    df > cap — small by construction) must broadcast into both anti
+    joins; the only big shuffles are the shingle-keyed joins."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental")
+    assert "BroadcastExchange" in plan
+    assert plan.count("LeftAnti") >= 2
+    assert "CartesianProduct" not in plan

@@ -22,8 +22,12 @@ _DEFAULTS: dict[str, str] = {
     # overflow/bad cast); also required for wraparound hash arithmetic in
     # the MinHash/SimHash operators.
     "spark.sql.ansi.enabled": "false",
-    # driver-generated events.parquet stores TIMESTAMP(NANOS); Spark has
-    # no nanos type — read as long, converted in sources.load_table.
+    # driver-generated events.parquet stores TIMESTAMP(NANOS). On Spark
+    # 4.0 this conf surfaces it as bigint nanos; on 4.1+ it is ACCEPTED
+    # BUT IGNORED (native read as TIMESTAMP_NTZ). Kept for 4.0 compat —
+    # sources.normalize_nanos_ts handles all three representations, and
+    # a subprocess smoke test asserts the loaded dtype (never trust
+    # conf-set success across Spark upgrades; VERDICT r3).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -41,6 +41,7 @@ _PRIORITY = [
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "simhash_checked",
+    "simhash_pairs_checked",
     "ann_cosine_topk",
     "embedding_neardup_exact",
     "embedding_centroids",

@@ -40,11 +40,9 @@ _PRIORITY = [
     "minhash_lsh_pairs_checked",
     "ngram_jaccard_pairs",
     "simhash_pairs",
-    "simhash_checked",
     "simhash_pairs_checked",
     "ann_cosine_topk",
     "embedding_neardup_exact",
-    "embedding_centroids",
     "curate_corpus",
     "decontaminate",
     "pii_redact",

@@ -46,3 +46,26 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert {(r.o_orderpriority, r["count"]) for r in got.collect()} == {
         (r.o_orderpriority, r["count"]) for r in exp.collect()
     }
+
+
+def test_ngram_jaccard_hot_shingle_skew(spark):
+    """Skew stress: every doc shares a hot boilerplate phrase (its
+    shingles hit every document). The df-cap must (a) drop those
+    stop-shingles so the bucketed plan stays bounded, and (b) still
+    find the genuinely near-duplicate pair while never pairing docs
+    that only share boilerplate."""
+    from pandas_etl_spark.functions.dedup import ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    rows = [(i, f"{boiler} unique document body number {i} with words {i*7}") for i in range(200)]
+    # one true near-dup pair: 200/201 differ by one trailing token
+    rows.append((200, f"{boiler} the quick brown fox jumps over the lazy dog alpha"))
+    rows.append((201, f"{boiler} the quick brown fox jumps over the lazy dog beta"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, threshold=0.5, max_df=20).collect()
+    }
+    assert (200, 201) in pairs
+    # boilerplate alone must not create pairs among the 200 unique docs
+    assert not any(a < 200 and b < 200 for a, b in pairs), sorted(pairs)[:10]

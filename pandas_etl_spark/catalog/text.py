@@ -378,9 +378,11 @@ def q_udtf_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion."""
     from pandas_etl_spark.functions.udtf import register_udtfs
 
+    import uuid
+
     register_udtfs(spark)
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    view = "docs_udtf_ngrams"
+    view = f"docs_udtf_ngrams_{uuid.uuid4().hex[:8]}"
     d.createOrReplaceTempView(view)
     return spark.sql(
         f"""

@@ -85,18 +85,18 @@ def main() -> None:
     # Per-query try/except: one broken query degrades to a null entry in
     # the report instead of zeroing the whole artifact (r3 shipped NO
     # bench numbers because a single AnalysisException killed the run).
-    # warm = MIN of two post-codegen runs: the sandbox VM shows random
-    # multi-second stalls (GC / noisy neighbor) that land on arbitrary
-    # queries — a single warm sample misattributes one stall as a 5×
-    # per-query regression; min-of-2 is the standard noise-robust
-    # statistic and still executes the full plan each time.
+    # warm = MIN of three post-codegen runs: the sandbox VM shows random
+    # multi-second stalls (GC / noisy neighbor) hitting ~1 in 3 samples —
+    # a single warm sample misattributes one stall as a 5× per-query
+    # regression; min-of-3 is the standard noise-robust statistic and
+    # still executes the full plan each time.
     warm: dict[str, float | None] = {}
     cold: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         samples: list[float] = []
-        for run in range(3):
+        for run in range(4):
             try:
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)

@@ -193,3 +193,67 @@ def q_ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+@query(
+    "session_transcripts",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR extract(epoch FROM ts) - extract(epoch FROM lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           string_agg(event_type || ': ' || CAST(value AS VARCHAR),
+                      ' | ' ORDER BY ts, event_id) AS transcript
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-style data prep: each gap-based session rendered as
+    ONE ordered transcript string ('type: value | ...') — the
+    event-stream → training-text shape (chat flattening, behavioral
+    LM corpora). Determinism is load-bearing: Spark's collect_list has
+    no order guarantee, so turns collect as (ts, event_id, line)
+    structs and sort IN the row (sort_array) before joining — bounded
+    by session length, one shuffle on user_id shared by the session
+    windows and the final aggregate."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    ws = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_sess").over(ws).cast("bigint")
+    )
+    line = F.concat(F.col("event_type"), F.lit(": "), F.col("value").cast("string"))
+    turns = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), line.alias("line")))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.array_join(
+            F.transform(turns, lambda t: t.getField("line")), " | "
+        ).alias("transcript"),
+    )

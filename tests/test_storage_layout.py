@@ -167,3 +167,22 @@ def test_sorted_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
         assert hi <= lo, f"overlapping file ranges: {spans}"
     # round-trip intact
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema drift across ingestion days (added column) must be
+    readable as the merged superset via mergeSchema — the
+    append-only-table evolution path; rows from the old layout read the
+    new column as null."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(base + "/day=1")
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    ).write.parquet(base + "/day=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "name", "score", "day"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows[1] == ("a", None) and rows[3] == ("c", 9.5)

@@ -846,6 +846,10 @@ def incremental_dedup(
     each doc's corpus-rare shingles so the statistic matches the
     self-join variant. Shingles absent from the corpus are rare by
     definition (df = 0): they stay in the denominator but never join.
+    The stop set is deliberately NOT broadcast-hinted: distinct
+    over-the-cap shingles grow with corpus size (Heaps' law) and at
+    100 TB would not fit an executor; AQE broadcasts it dynamically
+    whenever it is actually small.
 
     Shuffles: corpus fingerprint/shingle aggregation (amortizable via a
     precomputed index), one inverted-index join keyed on shingle, one
@@ -865,8 +869,8 @@ def incremental_dedup(
         .filter(F.col("df") > max_df)
         .select("shingle")
     )
-    sh_new_r = sh_new.join(F.broadcast(stop), "shingle", "left_anti")
-    sh_corp_r = sh_corp.join(F.broadcast(stop), "shingle", "left_anti")
+    sh_new_r = sh_new.join(stop, "shingle", "left_anti")
+    sh_corp_r = sh_corp.join(stop, "shingle", "left_anti")
     n_new = sh_new_r.groupBy("id").agg(F.count(F.lit(1)).alias("n_a"))
     n_corp = sh_corp_r.groupBy("id").agg(F.count(F.lit(1)).alias("n_b"))
     shared = (

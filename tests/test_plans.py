@@ -212,11 +212,11 @@ def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_dedup_incremental_broadcasts_stop_shingles(spark, sf_dir):
-    """The corpus stop-shingle set (≤ corpus-distinct shingles with
-    df > cap — small by construction) must broadcast into both anti
-    joins; the only big shuffles are the shingle-keyed joins."""
+def test_dedup_incremental_anti_joins_no_cartesian(spark, sf_dir):
+    """Stop-shingle filtering compiles to two anti joins (NOT broadcast-
+    hinted: the stop set grows with corpus size per Heaps' law — AQE
+    broadcasts dynamically when it is actually small); no cross
+    products anywhere."""
     plan = plan_of(spark, sf_dir, "dedup_incremental")
-    assert "BroadcastExchange" in plan
     assert plan.count("LeftAnti") >= 2
     assert "CartesianProduct" not in plan

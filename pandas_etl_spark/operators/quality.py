@@ -71,7 +71,11 @@ def zscore_outliers(
         F.sum(v).alias("__s"),
         F.sum(v * v).alias("__ss"),
     )
-    joined = df.join(F.broadcast(stats), group_cols)
+    # no broadcast hint: one stats row PER GROUP — high-cardinality
+    # group_cols (e.g. per-user) would not fit an executor at scale;
+    # AQE broadcasts dynamically when the frame is actually small,
+    # and otherwise both sides already hash on group_cols
+    joined = df.join(stats, group_cols)
     n = F.col("__n").cast("double")
     mean = F.col("__s") / n
     var = (F.col("__ss") - F.col("__s") * F.col("__s") / n) / F.nullif(
@@ -112,7 +116,7 @@ def winsorize(
     )
     v = F.col(value_col)
     return (
-        df.join(F.broadcast(cuts), group_cols)
+        df.join(cuts, group_cols)  # AQE-sized join, see z-score note
         .select(
             *id_cols,
             *group_cols,

@@ -115,8 +115,11 @@ def mixture_sample(
         F.lit(1.0), w * F.col("__n_total") / F.col("__n_stratum")
     )
     thresh = F.floor(keep_frac * F.lit(float(_MODULUS))).cast("bigint")
+    # per-stratum threshold frame: cardinality = distinct strata in the
+    # DATA (not the target dict) — unbounded in general, so no broadcast
+    # hint; AQE broadcasts when actually small
     enriched = df.join(
-        F.broadcast(counts.withColumn("__thresh", thresh).select(strata_col, "__thresh")),
+        counts.withColumn("__thresh", thresh).select(strata_col, "__thresh"),
         strata_col,
     )
     return (

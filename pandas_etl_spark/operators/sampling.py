@@ -101,9 +101,11 @@ def mixture_sample(
     The counts frame is |strata| rows; the broadcast join adds no wide
     shuffle at any corpus size."""
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n_stratum"))
-    counts = counts.withColumn(
-        "__n_total", F.sum("__n_stratum").over(Window.partitionBy())
-    )
+    # total via tree-aggregated 1-row frame + cross join — an empty
+    # partitionBy() window would move EVERY stratum row to one partition,
+    # a bottleneck when strata cardinality is data-driven
+    total = counts.agg(F.sum("__n_stratum").alias("__n_total"))
+    counts = counts.crossJoin(F.broadcast(total))
     # default weight 0.0, NOT null: least() skips nulls in both engines,
     # so a null weight would KEEP unlisted strata instead of dropping them
     w = F.lit(0.0)

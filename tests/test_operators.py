@@ -628,3 +628,73 @@ class TestUdtf:
         assert list(impl.eval("a b", 3)) == []
         assert list(impl.eval(None, 2)) == []
         assert list(impl.eval("a b c", 0)) == []
+
+
+class TestIncrementalDedup:
+    @staticmethod
+    def _py_reference(new_rows, corpus_rows, k=3, threshold=0.5, max_df=3):
+        """Pure-Python oracle mirroring incremental_dedup semantics."""
+        import hashlib
+        import re
+
+        def norm(t):
+            return re.sub(r"\s+", " ", t.strip().lower())
+
+        def shingles(t):
+            t = norm(t)
+            n = max(len(t) - k + 1, 1)
+            return {t[i : i + k] for i in range(n)}
+
+        corp_sh = {i: shingles(t) for i, t in corpus_rows}
+        df_count = {}
+        for s in corp_sh.values():
+            for g in s:
+                df_count[g] = df_count.get(g, 0) + 1
+        stop = {g for g, c in df_count.items() if c > max_df}
+        corp_fp = {hashlib.md5(norm(t).encode()).hexdigest() for _, t in corpus_rows}
+        out = {}
+        for i, t in new_rows:
+            exact = hashlib.md5(norm(t).encode()).hexdigest() in corp_fp
+            mine = shingles(t) - stop
+            near = None
+            for j, cs in sorted(corp_sh.items()):
+                cs_r = cs - stop
+                shared = len(mine & cs_r)
+                denom = len(mine) + len(cs_r) - shared
+                if denom > 0 and shared / denom >= threshold:
+                    near = j
+                    break
+            status = "exact" if exact else ("near" if near is not None else "novel")
+            out[i] = (exact, near, status)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from pandas_etl_spark.functions.dedup import incremental_dedup
+
+        corpus_rows = [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "pack my box with five dozen liquor jugs"),
+            (102, "how vexingly quick daft zebras jump"),
+            (103, "the quick brown fox jumps over the lazy dog"),  # dup in corpus
+            (104, "aaaa aaaa aaaa aaaa aaaa"),  # hot shingles
+            (105, "aaaa aaaa aaaa aaaa aaab"),
+            (106, "aaaa aaaa aaaa aaaa aaac"),
+            (107, "aaaa aaaa aaaa aaaa aaad"),
+        ]
+        new_rows = [
+            (1, "THE QUICK  brown fox jumps over the lazy dog"),  # exact after norm
+            (2, "the quick brown fox jumps over the lazy cat"),  # near
+            (3, "completely unrelated text about spark pipelines"),  # novel
+            (4, "aaaa aaaa aaaa aaaa aaae"),  # only hot shingles shared
+        ]
+        exp = self._py_reference(new_rows, corpus_rows)
+        new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+        corp_df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.exact_dup, r.near_dup_of, r.status)
+            for r in incremental_dedup(
+                new_df, corp_df, k=3, threshold=0.5, max_df=3
+            ).collect()
+        }
+        assert got == exp, (got, exp)
+        assert got[1][2] == "exact" and got[3][2] == "novel"

@@ -15,18 +15,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Any test table's parquet as a file stream (schema from the batch
-    footer — streaming readers require an explicit schema; file-stream
-    sources require a DIRECTORY, so glob-filter to the one file)."""
+    footer — streaming readers require an explicit schema).
+
+    Handles both layouts: ``{name}.parquet`` as a DIRECTORY (normal
+    Spark write — streamed directly) or as a single FILE (the driver's
+    testdata layout — file-stream sources require a directory, so the
+    parent is streamed with a glob filter down to that one file)."""
+    import os
+
     from pandas_etl_spark.sources.io import nanos_columns, normalize_nanos_ts
 
     path = f"{sf_dir}/{name}.parquet"
     batch = spark.read.parquet(path)
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .format("parquet")
-        .option("pathGlobFilter", f"{name}.parquet")
-        .load(sf_dir)
-    )
+    reader = spark.readStream.schema(batch.schema).format("parquet")
+    if os.path.isdir(path):
+        stream = reader.load(path)
+    else:
+        stream = reader.option("pathGlobFilter", f"{name}.parquet").load(sf_dir)
     # nanos columns confirmed from the batch footer (same file)
     return normalize_nanos_ts(stream, nanos_columns(path))
 

@@ -196,3 +196,19 @@ def test_transform_with_state_batch_parity(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_reads_directory_layout(spark, sf_dir, tmp_path):
+    """read_table_stream must also stream a normal Spark-written parquet
+    DIRECTORY (the driver testdata uses single files; production tables
+    are directories — a glob filter tuned to the file layout silently
+    read zero rows from directories)."""
+    from pandas_etl_spark.streaming import read_table_stream, run_stream_to_table
+
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    src.write.parquet(str(tmp_path / "region.parquet"))
+    stream = read_table_stream(spark, str(tmp_path), "region")
+    table = run_stream_to_table(
+        stream.groupBy().count(), output_mode="complete"
+    )
+    assert spark.table(table).collect()[0]["count"] == src.count() > 0

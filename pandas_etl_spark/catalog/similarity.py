@@ -146,3 +146,33 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
     )
+
+
+@query(
+    "embedding_outliers",
+    oracle="""
+    WITH dims AS (
+        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+        GROUP BY label, i
+    ),
+    cent AS (SELECT label, list(m ORDER BY i) AS centroid FROM dims GROUP BY label)
+    SELECT e.vec_id, e.label,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS cos_centroid,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(c.centroid, c.centroid))), 6) < 0.0
+               AS is_outlier
+    FROM embeddings e JOIN cent c USING (label)
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled/corrupted-embedding screen: cosine of each vector to
+    its own label centroid, negative = pointing away from its class
+    (functions/similarity.label_centroid_outliers)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.label_centroid_outliers(emb, threshold=0.0)

@@ -371,3 +371,42 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def label_centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Embedding sanity screen: cosine of every vector to its OWN label's
+    centroid — low/negative scores flag mislabeled or corrupted
+    embeddings before they poison contrastive/classifier training.
+
+    Plan: posexplode to (label, dim, x) → per-(label, dim) avg (one
+    shuffle, map-side partial) → per-label ordered centroid array
+    (in-row sort, |labels| rows) → centroid joins back on label (AQE
+    broadcasts the tiny centroid frame) → JVM-side cosine fold. No
+    Python, no driver-side state; scales in |labels| + corpus size."""
+    pos = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    )
+    dims = pos.groupBy("label", "pos").agg(F.avg(F.col("x").cast("double")).alias("m"))
+    centroids = dims.groupBy(F.col("label").alias("__c_label")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("centroid")
+    )
+    cos = F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    return (
+        emb.join(centroids, F.col(label_col) == F.col("__c_label"))
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            cos.alias("cos_centroid"),
+            (cos < F.lit(threshold)).alias("is_outlier"),
+        )
+    )

@@ -8,6 +8,11 @@ Reference parity (SURVEY §2.2):
 - parquet/json   — reachable via the generic dispatcher (etl.py:552-557)
 """
 
+from pandas_etl_spark.sources.layout import (  # noqa: F401
+    compact_parquet,
+    to_parquet_zorder,
+    zorder_code,
+)
 from pandas_etl_spark.sources.io import (  # noqa: F401
     load_table,
     read_csv,

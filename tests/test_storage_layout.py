@@ -186,3 +186,99 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score", "day"}
     rows = {r.id: (r.name, r.score) for r in merged.collect()}
     assert rows[1] == ("a", None) and rows[3] == ("c", 9.5)
+
+
+def _file_spans(out_dir, col):
+    """Per-file (min, max) of ``col`` from parquet footer statistics."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(out_dir + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    return spans
+
+
+def test_zorder_write_clusters_every_dimension(spark, sf_dir, tmp_path):
+    """to_parquet_zorder on (user_id, value): every output file must
+    cover a narrow range of BOTH columns (the property single-column
+    sorting cannot give: sorted-by-user files span the full value
+    domain), so min/max stats skip files for predicates on either."""
+    from pandas_etl_spark.sources.layout import to_parquet_zorder
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    out = str(tmp_path / "zorder")
+    to_parquet_zorder(ev, out, ["user_id", "value"], bits=4, n_files=8)
+
+    for col in ("user_id", "value"):
+        spans = _file_spans(out, col)
+        assert len(spans) >= 4, f"{col}: expected fan-out, got {len(spans)} files"
+        glo = min(s[0] for s in spans)
+        ghi = max(s[1] for s in spans)
+        width = float(ghi - glo) or 1.0
+        avg_span = sum(float(hi - lo) for lo, hi in spans) / len(spans) / width
+        assert avg_span < 0.7, f"{col}: avg normalized file span {avg_span:.2f}"
+        assert min(float(hi - lo) / width for lo, hi in spans) < 0.5
+
+    # round-trip intact (z column dropped, content preserved)
+    back = spark.read.parquet(out)
+    assert back.columns == ["event_id", "user_id", "value"]
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+
+
+def test_zorder_string_column_hash_buckets(spark, sf_dir, tmp_path):
+    """Non-numeric z-columns hash-bucket (no range locality to exploit):
+    the write must succeed and preserve content."""
+    from pandas_etl_spark.sources.layout import to_parquet_zorder
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = str(tmp_path / "zdocs")
+    to_parquet_zorder(docs, out, ["source", "n_chars"], bits=3, n_files=4)
+    assert spark.read.parquet(out).exceptAll(docs).count() == 0
+
+
+def test_compact_parquet_binpacks_small_files(spark, sf_dir, tmp_path):
+    """compact_parquet: a 32-small-file directory rewrites into
+    ceil(total/target) files with identical content — and with
+    sort_cols, compaction doubles as layout repair (disjoint ranges)."""
+    import glob
+
+    from pandas_etl_spark.sources.layout import compact_parquet
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(32).write.parquet(frag)
+    assert len(glob.glob(frag + "/*.parquet")) == 32
+
+    import os
+
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(frag + "/*.parquet")
+    )
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_file_bytes=total // 4 + 1)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n <= 5
+    assert spark.read.parquet(out).exceptAll(ev).count() == 0
+
+    out2 = str(tmp_path / "compacted_sorted")
+    compact_parquet(
+        spark, frag, out2, target_file_bytes=total // 4 + 1, sort_cols=["event_id"]
+    )
+    spans = sorted(_file_spans(out2, "event_id"))
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo, f"overlapping ranges after sorted compaction: {spans}"

@@ -257,3 +257,59 @@ def q_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(turns, lambda t: t.getField("line")), " | "
         ).alias("transcript"),
     )
+
+
+@query(
+    "outlier_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, median(abs(value - med)) AS mad
+        FROM events e JOIN med USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT event_id, e.event_type, value,
+           round(CAST(0.6745 AS DOUBLE) * (value - med)
+                 / nullif(mad, CAST(0.0 AS DOUBLE)), 6) AS rz,
+           coalesce(abs(round(CAST(0.6745 AS DOUBLE) * (value - med)
+                        / nullif(mad, CAST(0.0 AS DOUBLE)), 6))
+                    > CAST(3.5 AS DOUBLE), false) AS is_outlier
+    FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+    """,
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: modified z-score 0.6745·(v−median)/MAD with
+    the standard 3.5 cutoff — unlike mean/σ z-scores (outlier_zscore),
+    the median/MAD estimators don't move when the contamination itself
+    is heavy, so a burst of corrupt values can't mask itself. Medians
+    are selection-based (order-insensitive — no float-summation drift,
+    rz rounded before thresholding anyway). Exact ``percentile`` sorts
+    each group's values on one executor: bounded here by rows-per-
+    event-type; at 100 TB swap ``approx_percentile(…, 1e-4)`` in — the
+    flag tolerates boundary wobble far below the 3.5 cutoff. Two
+    aggregation passes by construction (MAD needs the median first);
+    the tiny per-type stats broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    rz = F.round(
+        F.lit(0.6745)
+        * (F.col("value") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0)),
+        6,
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        rz.alias("rz"),
+        F.coalesce(F.abs(rz) > 3.5, F.lit(False)).alias("is_outlier"),
+    )

@@ -426,3 +426,80 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_logprob(d, "text", "doc_id", vocab_size=1000).select(
         F.col("id").alias("doc_id"), "n_tokens", "avg_logprob"
     )
+
+
+@query(
+    "pmi_cooccur",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest({_DD_TOKENS}) AS word FROM documents
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    dfreq AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY word
+    ),
+    vocab AS (SELECT word, df FROM dfreq ORDER BY df DESC, word LIMIT 100),
+    tv AS (SELECT t.doc_id, t.word FROM toks t JOIN vocab USING (word)),
+    co AS (
+        SELECT a.word AS word_a, b.word AS word_b,
+               CAST(count(*) AS BIGINT) AS co_df
+        FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY 1, 2
+    )
+    SELECT word_a, word_b, co_df, va.df AS df_a, vb.df AS df_b,
+           round(ln(CAST(co_df AS DOUBLE) * n_docs
+                    / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE))), 6) AS pmi
+    FROM co
+    JOIN vocab va ON va.word = co.word_a
+    JOIN vocab vb ON vb.word = co.word_b
+    CROSS JOIN n
+    WHERE co_df >= 5
+    ORDER BY pmi DESC, word_a, word_b
+    LIMIT 50
+    """,
+)
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI term pairs — collocation/phrase mining over document-level
+    co-occurrence (the classic corpus-analysis signal for multi-word
+    expressions and topical coupling). The pair join is BOUNDED by
+    construction: only the top-100-df vocabulary (deterministic
+    df-then-word order) enters the per-doc self-join, capping fan-out at
+    C(100,2) pairs per document regardless of corpus size; vocab and the
+    per-word df table broadcast. One doc_id-keyed shuffle for the pair
+    count + a distributed top-k — no unbounded vocabulary square."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens("text")).alias("word")
+    ).distinct()
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.orderBy(F.desc("df"), F.asc("word")).limit(100)
+    tv = toks.join(F.broadcast(vocab.select("word")), "word")
+    co = (
+        tv.alias("a")
+        .join(tv.alias("b"), "doc_id")
+        .filter(F.col("a.word") < F.col("b.word"))
+        .groupBy(
+            F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co_df"))
+        .filter(F.col("co_df") >= 5)
+    )
+    va = vocab.select(F.col("word").alias("word_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("word").alias("word_b"), F.col("df").alias("df_b"))
+    pmi = F.round(
+        F.log(
+            F.col("co_df").cast("double")
+            * F.col("n_docs")
+            / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        co.join(F.broadcast(va), "word_a")
+        .join(F.broadcast(vb), "word_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select("word_a", "word_b", "co_df", "df_a", "df_b", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("word_a"), F.asc("word_b"))
+        .limit(50)
+    )

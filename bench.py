@@ -52,6 +52,10 @@ EXTENDED = [
     "tpch_q21_waiting_supplier",
     "udtf_ngram_topk",
     "stream_session_window",
+    "tpch_q7_nation_volume",
+    "pmi_cooccur",
+    "outlier_mad",
+    "group_mode",
 ]
 
 

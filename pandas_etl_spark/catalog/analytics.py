@@ -313,3 +313,39 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         rz.alias("rz"),
         F.coalesce(F.abs(rz) > 3.5, F.lit(False)).alias("is_outlier"),
     )
+
+
+@query(
+    "group_mode",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_event_type, n FROM r WHERE rn = 1
+    """,
+)
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (pandas groupby().agg(mode) has no Spark builtin):
+    count-then-rank with a DETERMINISTIC tie rule (highest count, then
+    lexicographic) — nondeterministic mode is a silent reproducibility
+    bug in feature pipelines. Partial aggregation halves the shuffle;
+    the rank window rides the same user_id partitioning."""
+    from pyspark.sql import Window as W
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
+    )

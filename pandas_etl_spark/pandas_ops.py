@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandas_etl_spark.sources import io as _io
@@ -1118,6 +1118,55 @@ def merge(
             cond = c if cond is None else (cond & c)
         return Table(ldf.join(rdf, on=cond, how=spark_how))
     return Table(ldf.crossJoin(rdf))
+
+
+def merge_ordered(
+    left: Any,
+    right: Any,
+    on: str | list[str],
+    left_by: str | list[str] | None = None,
+    fill_method: str | None = None,
+    suffixes: tuple[str, str] = ("_x", "_y"),
+) -> Table:
+    """pd.merge_ordered parity (§2.4): outer-merge two frames on an
+    ordered key (time series alignment), optionally per ``left_by``
+    group — each left group is aligned against ALL right rows, pandas'
+    replicate-then-merge semantics — with ``fill_method='ffill'``
+    forward-filling the gaps the outer join opens.
+
+    The ffill is a per-group running ``last(ignorenulls)`` window — one
+    shuffle on the group keys, partition-parallel. Without ``left_by``
+    the window (like pandas' global ordered frame) is a single ordered
+    partition: fine for the calendar/quote-alignment shapes this op
+    exists for, not a 100 TB fact-table path (use asof_join there).
+    The trailing sort is presentational, matching pandas' ordered
+    output (one range exchange)."""
+    if fill_method not in (None, "ffill"):
+        raise ValueError("merge_ordered: fill_method must be None or 'ffill'")
+    keys = [on] if isinstance(on, str) else list(on)
+    by = (
+        [] if left_by is None
+        else [left_by] if isinstance(left_by, str) else list(left_by)
+    )
+    ldf, rdf = _unwrap(left), _unwrap(right)
+    if by:
+        groups = ldf.select(*by).distinct()
+        rdf = groups.crossJoin(rdf)  # replicate right per left group
+    merged = merge(ldf, rdf, on=by + keys, how="outer", suffixes=suffixes)._df
+    if fill_method == "ffill":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*keys)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fills = [
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            if c not in set(by + keys)
+            else F.col(c)
+            for c in merged.columns
+        ]
+        merged = merged.select(*fills)
+    return Table(merged.orderBy(*by, *keys))
 
 
 def cut(

@@ -519,3 +519,59 @@ class TestFillCompare:
         }
         # key 3 excluded (aligned-frames semantics); only differing cells
         assert got == {(1, "v"): ("1.0", "9.0"), (2, "s"): ("y", "z")}
+
+
+class TestMergeOrdered:
+    """pd.merge_ordered parity: outer alignment on an ordered key,
+    per-group right replication (left_by), ffill of join gaps."""
+
+    L = pd.DataFrame(
+        {
+            "grp": ["a", "a", "b", "b"],
+            "t": [1, 3, 2, 4],
+            "lv": [10.0, 30.0, 20.0, 40.0],
+        }
+    )
+    R = pd.DataFrame({"t": [1, 2, 3], "rv": [100.0, 200.0, 300.0]})
+
+    @staticmethod
+    def _canon(pdf):
+        cols = sorted(pdf.columns)
+        return (
+            pdf[cols]
+            .sort_values(cols)
+            .reset_index(drop=True)
+            .astype({c: "float64" for c in cols if c not in ("grp",)})
+        )
+
+    def test_plain_outer_alignment(self, spark):
+        from pandas_etl_spark.pandas_ops import merge_ordered
+
+        l = Table(spark.createDataFrame(self.L[["t", "lv"]]))
+        r = Table(spark.createDataFrame(self.R))
+        got = merge_ordered(l, r, on="t").df.toPandas()
+        exp = pd.merge_ordered(self.L[["t", "lv"]], self.R, on="t")
+        pd.testing.assert_frame_equal(self._canon(got), self._canon(exp))
+
+    def test_left_by_with_ffill(self, spark):
+        from pandas_etl_spark.pandas_ops import merge_ordered
+
+        l = Table(spark.createDataFrame(self.L))
+        r = Table(spark.createDataFrame(self.R))
+        got = merge_ordered(
+            l, r, on="t", left_by="grp", fill_method="ffill"
+        ).df.toPandas()
+        exp = pd.merge_ordered(
+            self.L, self.R, on="t", left_by="grp", fill_method="ffill"
+        )
+        pd.testing.assert_frame_equal(
+            self._canon(got).reset_index(drop=True),
+            self._canon(exp).reset_index(drop=True),
+        )
+
+    def test_bad_fill_method_raises(self, spark):
+        from pandas_etl_spark.pandas_ops import merge_ordered
+
+        l = Table(spark.createDataFrame(self.L))
+        with pytest.raises(ValueError, match="fill_method"):
+            merge_ordered(l, Table(spark.createDataFrame(self.R)), on="t", fill_method="bfill")

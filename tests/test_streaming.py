@@ -212,3 +212,39 @@ def test_stream_reads_directory_layout(spark, sf_dir, tmp_path):
         stream.groupBy().count(), output_mode="complete"
     )
     assert spark.table(table).collect()[0]["count"] == src.count() > 0
+
+
+def test_stream_ingest_then_compact(spark, sf_dir, tmp_path):
+    """The small-files lifecycle: a file-stream ingest (maxFilesPerTrigger
+    =1 → one output file batch) leaves a fragmented table; compact_parquet
+    rewrites it into the target file count with identical content —
+    streaming write + periodic OPTIMIZE, the standard lakehouse pairing."""
+    import glob
+
+    from pandas_etl_spark.sources.layout import compact_parquet
+    from pandas_etl_spark.streaming import read_events_stream
+
+    out = str(tmp_path / "ingested")
+    q = (
+        read_events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "value")
+        .repartition(8)  # simulate many-task micro-batches
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_small = len(glob.glob(out + "/*.parquet"))
+    assert n_small >= 8
+
+    ingested = spark.read.parquet(out)
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(out + "/*.parquet")
+    )
+    compacted = str(tmp_path / "compacted")
+    n = compact_parquet(spark, out, compacted, target_file_bytes=total // 2 + 1)
+    assert len(glob.glob(compacted + "/*.parquet")) == n < n_small
+    assert spark.read.parquet(compacted).exceptAll(ingested).count() == 0

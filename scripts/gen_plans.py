@@ -25,6 +25,8 @@ NOTES = {
     "dedup_exact": "One shuffle keyed on the 16-byte md5; only (hash,id) crosses the wire; left-semi restores survivors.",
     "ngram_jaccard_pairs": "Stop-shingle df-filter reuses the count aggregate's exchange; in-bucket pair generation — no candidate self-join shuffle.",
     "unigram_logprob_score": "Token count shuffle once; top-V vocabulary and 1-row totals broadcast back onto the token stream.",
+    "tpch_q7_nation_volume": "Bilateral nation pair: all dims broadcast, pair disjunction applied post-join; one shuffled fact join; ship-window pushed to scan.",
+    "pmi_cooccur": "Pair fan-out bounded by broadcast top-100 vocabulary; one doc_id shuffle for the pair count; top-k via TakeOrdered.",
 }
 
 

@@ -419,3 +419,62 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query("stream_dedup_ingest")
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming corpus ingestion with incremental dedup
+    (rows-only: the classification logic's oracle lives on its batch
+    twin ``dedup_incremental``): documents arrive in two micro-batches
+    (even doc_ids first, then odd), each batch classified against the
+    corpus-so-far via ``streaming.dedup_ingest_sink`` — exact and near
+    (Jaccard ≥ 0.5) duplicates of already-ingested docs are rejected,
+    novel docs append. Returns the deterministic 1-row summary
+    (input count, corpus count after ingestion, dropped count)."""
+    import os
+    import tempfile
+
+    from pandas_etl_spark.streaming import dedup_ingest_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_ingest_")
+    src = os.path.join(tmp, "src")
+    corpus = os.path.join(tmp, "corpus")
+    docs.filter(F.pmod("doc_id", F.lit(2)) == 0).coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    docs.filter(F.pmod("doc_id", F.lit(2)) == 1).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    # file-stream batch order follows modification time: b0 strictly first
+    now = 1_700_000_000
+    for sub, t in (("b0", now - 100), ("b1", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(dedup_ingest_sink(corpus, threshold=0.5))
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_in = docs.count()
+    try:
+        kept = spark.read.parquet(corpus).count()
+    except Exception:  # empty source: no batch ever wrote the corpus dir
+        kept = 0
+    return spark.createDataFrame(
+        [(n_in, kept, n_in - kept)], "n_input long, n_corpus long, n_dropped long"
+    )

@@ -58,3 +58,74 @@ def run_stream_to_table(
     finally:
         q.stop()
     return table
+
+
+def dedup_ingest_sink(
+    corpus_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_df: int = 50,
+):
+    """foreachBatch sink: streaming corpus ingestion with incremental
+    dedup — each micro-batch is classified against the corpus written so
+    far (``functions.dedup.incremental_dedup``: exact md5 / near-Jaccard
+    / novel) and ONLY novel documents append, so the corpus stays
+    dedup-clean without ever re-clustering it. The 100 TB shape:
+    corpus-side work is an amortizable index, per-batch work scales with
+    the batch.
+
+    Replay-safe: batches land as ``__batch=<id>`` partitions under
+    dynamic partition overwrite, so re-running a batch (checkpoint
+    recovery) overwrites its own partition instead of duplicating —
+    BUT a replayed batch is re-classified against a corpus that now
+    contains other batches' later writes, so classification must stay
+    monotone (a doc novel then is still novel, duplicates only grow).
+    Exactly-once content, at-least-once classification.
+
+    Usage::
+
+        q = (docs_stream.writeStream.outputMode("append")
+             .foreachBatch(dedup_ingest_sink("/data/corpus"))
+             .option("checkpointLocation", ckpt).start())
+    """
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.functions.dedup import incremental_dedup
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            corpus = spark.read.parquet(corpus_path).where(
+                F.col("__batch") != batch_id  # replay: don't self-compare
+            )
+            have_corpus = bool(corpus.head(1))
+        except Exception:  # first batch: corpus doesn't exist yet
+            have_corpus = False
+        if have_corpus:
+            cls = incremental_dedup(
+                batch_df,
+                corpus,
+                text_col=text_col,
+                id_col=id_col,
+                k=k,
+                threshold=threshold,
+                max_df=max_df,
+            )
+            novel = batch_df.join(
+                cls.filter(F.col("status") == "novel").select(id_col),
+                id_col,
+                "left_semi",
+            )
+        else:
+            novel = batch_df
+        (
+            novel.withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(corpus_path)
+        )
+
+    return sink

@@ -248,3 +248,64 @@ def test_stream_ingest_then_compact(spark, sf_dir, tmp_path):
     n = compact_parquet(spark, out, compacted, target_file_bytes=total // 2 + 1)
     assert len(glob.glob(compacted + "/*.parquet")) == n < n_small
     assert spark.read.parquet(compacted).exceptAll(ingested).count() == 0
+
+
+def test_dedup_ingest_sink_keeps_corpus_clean(spark, tmp_path):
+    """Streaming corpus ingestion: batch 2's exact dup and near dup of
+    batch-1 docs must NOT enter the corpus; its novel doc must."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandas_etl_spark.streaming import dedup_ingest_sink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls softly on the quiet village rooftops at dusk every evening"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {"doc_id": [1, 2], "text": [base, "completely different content "
+             "about spark physical plans and shuffle partitioning strategies"]}
+        ),
+        str(src / "b1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [3, 4, 5],
+                "text": [
+                    base,  # exact dup of doc 1
+                    base.replace("dusk", "dawn"),  # near dup of doc 1
+                    "a wholly novel third document discussing morton codes "
+                    "and parquet footer statistics for file skipping",
+                ],
+            }
+        ),
+        str(src / "b2.parquet"),
+    )
+    # force discovery order: b1 strictly older than b2
+    now = 1_700_000_000
+    os.utime(src / "b1.parquet", (now - 100, now - 100))
+    os.utime(src / "b2.parquet", (now, now))
+
+    corpus = str(tmp_path / "corpus")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(dedup_ingest_sink(corpus, threshold=0.5))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    assert kept == {1, 2, 5}

@@ -493,6 +493,21 @@ class Table:
     def to_orc(self, path: str, partition_by: list[str] | None = None) -> str:
         return _io.to_orc(self._df, path, partition_by=partition_by)
 
+    def to_parquet_sorted(
+        self, path: str, sort_cols: list[str], n_files: int | None = None
+    ) -> str:
+        """Range-clustered write (sources.io.to_parquet_sorted) — exposed
+        here so YAML pipeline steps can emit skip-friendly layouts."""
+        return _io.to_parquet_sorted(self._df, path, sort_cols, n_files=n_files)
+
+    def to_parquet_zorder(
+        self, path: str, cols: list[str], bits: int = 8, n_files: int | None = None
+    ) -> str:
+        """Z-order clustered write (sources.layout.to_parquet_zorder)."""
+        from pandas_etl_spark.sources.layout import to_parquet_zorder
+
+        return to_parquet_zorder(self._df, path, cols, bits=bits, n_files=n_files)
+
     def to_sql(self, name: str, con: Any, if_exists: str = "fail", index: bool = False) -> None:
         options = con.jdbc_options() if hasattr(con, "jdbc_options") else con
         _io.to_sql(self._df, name, options, if_exists=if_exists)

@@ -439,3 +439,33 @@ def test_sql_step_over_step_outputs(spark):
         .collect()
     }
     assert rows == exp
+
+
+def test_zorder_layout_step_in_yaml(spark, sf_dir, tmp_path):
+    """Layout maintenance from YAML: a pipeline can end in a Z-order
+    clustered write via the bound-method path (to_parquet_zorder on the
+    prior step's Table output) — OPTIMIZE as a pipeline step."""
+    import glob
+
+    out = str(tmp_path / "z")
+    p = Pipeline(
+        yamlData=f"""
+        steps:
+        - name: load
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/events.parquet
+        - ${{ steps['load'].output.to_parquet_zorder }}:
+            path: {out}
+            cols: [user_id, value]
+            bits: 4
+            n_files: 4
+        """,
+        spark=spark,
+    )
+    p.run()
+    assert len(glob.glob(out + "/*.parquet")) >= 2
+    assert (
+        spark.read.parquet(out).count()
+        == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    )

@@ -220,3 +220,24 @@ def test_dedup_incremental_anti_joins_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_incremental")
     assert plan.count("LeftAnti") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q7_single_fact_shuffle(spark, sf_dir):
+    """Q7: all four dims broadcast; the only shuffled join is
+    lineitem⋈orders; the 2-year ship window pushes into the scan."""
+    plan = plan_of(spark, sf_dir, "tpch_q7_nation_volume")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    non_broadcast = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert non_broadcast <= 1, plan
+    assert "1996" in plan  # pushed l_shipdate bound
+
+
+def test_pmi_vocab_broadcast_and_topk(spark, sf_dir):
+    """pmi_cooccur: the vocabulary cap must reach the pair join as a
+    broadcast (bounded fan-out) and the final top-k must be distributed
+    (TakeOrderedAndProject, no global sort)."""
+    plan = plan_of(spark, sf_dir, "pmi_cooccur")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

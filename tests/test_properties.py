@@ -304,3 +304,50 @@ def test_asof_nearest_and_tolerance_match_pandas(spark, frames):
         exp_pairs = exp[["k", "ts", "lv", "rv"]].sort_values(["ts", "k"]).reset_index(drop=True)
         got_pairs = got[["k", "ts", "lv", "rv"]].sort_values(["ts", "k"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got_pairs, exp_pairs, check_dtype=False)
+
+
+_mo_left = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(0, 12),
+        st.floats(-5, 5, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda r: (r[0], r[1]),
+)
+_mo_right = st.lists(
+    st.tuples(st.integers(0, 12), st.floats(-5, 5, allow_nan=False)),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(lrows=_mo_left, rrows=_mo_right, fill=st.sampled_from([None, "ffill"]))
+def test_merge_ordered_matches_pandas(spark, lrows, rrows, fill):
+    """merge_ordered ≡ pd.merge_ordered on randomized unique-key frames
+    (left_by grouping + optional ffill)."""
+    from pandas_etl_spark.pandas_ops import Table, merge_ordered
+
+    lpdf = pd.DataFrame(lrows, columns=["grp", "t", "lv"])
+    rpdf = pd.DataFrame(rrows, columns=["t", "rv"])
+    exp = pd.merge_ordered(lpdf, rpdf, on="t", left_by="grp", fill_method=fill)
+
+    got = merge_ordered(
+        Table(spark.createDataFrame(lpdf)),
+        Table(spark.createDataFrame(rpdf)),
+        on="t",
+        left_by="grp",
+        fill_method=fill,
+    ).df.toPandas()
+
+    cols = ["grp", "t", "lv", "rv"]
+    exp_c = exp[cols].sort_values(cols).reset_index(drop=True)
+    got_c = got[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_c, exp_c, check_dtype=False)

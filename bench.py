@@ -53,6 +53,7 @@ EXTENDED = [
     "udtf_ngram_topk",
     "stream_session_window",
     "tpch_q7_nation_volume",
+    "ngram_jaccard_prefix",
     "pmi_cooccur",
     "outlier_mad",
     "group_mode",

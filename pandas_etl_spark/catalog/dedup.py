@@ -94,6 +94,42 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ngram_jaccard_prefix",
+    oracle=f"""
+    WITH sh0 AS (
+        SELECT doc_id AS id, unnest({_DD_SHINGLES}) AS shingle FROM documents
+    ),
+    df AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_DF}),
+    sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN df USING (shingle)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+           CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+           CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.id = pairs.id_a
+    JOIN sizes sb ON sb.id = pairs.id_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.85
+    """,
+)
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (PPJoin-family) at its sweet-spot
+    threshold 0.85 — same semantics as the inverted-index plan (the
+    oracle is the naive self-join); only the rarity-biased prefix of
+    each doc generates candidates, verified by exact array
+    intersection. functions/dedup.py:ngram_jaccard_pairs_prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs_prefix(
+        d, "text", "doc_id", k=_K, threshold=0.85, max_df=_MAX_DF
+    )
+
+
 _DD_NTOK_D = (
     "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> ''))"
 )

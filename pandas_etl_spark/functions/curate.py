@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pandas_etl_spark.functions import text as tx
-from pandas_etl_spark.functions.dedup import exact_dedup, ngram_jaccard_pairs
+from pandas_etl_spark.functions.dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
+)
 
 
 def curate_corpus(
@@ -60,7 +64,13 @@ def curate_corpus(
         from pyspark import StorageLevel
 
         unique = unique.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = ngram_jaccard_pairs(
+    # high thresholds → prefix-filtered pair plan (identical results,
+    # candidate mass shrinks with (1-t); the bucket plan wins below
+    # ~0.7 where prefixes stop being selective — SCALE.md measurements)
+    pair_fn = (
+        ngram_jaccard_pairs_prefix if jaccard_threshold >= 0.7 else ngram_jaccard_pairs
+    )
+    pairs = pair_fn(
         unique, text_col, id_col, k=shingle_k, threshold=jaccard_threshold, max_df=max_df
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()

@@ -183,6 +183,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.85,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin-family,
+    Xiao et al., WWW'08 — public literature): identical results to
+    :func:`ngram_jaccard_pairs`, far fewer candidates at high
+    thresholds.
+
+    Why: the inverted-index plan generates a candidate from EVERY
+    shared shingle — on zipf-shaped corpora the mid-frequency shingles
+    (df 10..max_df) dominate and candidate mass grows super-linearly
+    (measured 4.5M candidates for 32 true pairs at 5k docs, SCALE.md).
+    Prefix principle: order each doc's (df-capped) shingle set by
+    global rarity (df asc, shingle asc); if J(A,B) ≥ t, A and B must
+    share a shingle within each one's first ``n − ⌈t·n⌉ + 1`` shingles.
+    So only that rarity-biased prefix (~15% of postings at t=0.85, and
+    overwhelmingly df 1-2 buckets) enters the index; candidates are
+    then verified with the exact intersection — lossless.
+
+    Plan: shingle df count (one shuffle) → per-doc ranked arrays (one
+    shuffle on id, arrays bounded by doc length) → prefix explode +
+    in-bucket i<j pair generation → distinct candidate ids → verify by
+    joining the two docs' sorted shingle arrays (array_intersect,
+    in-row). Same semantics as the bucket plan including the ``max_df``
+    stop-shingle cap (Jaccard over corpus-rare shingles).
+
+    Past the df join, shingles travel as xxhash64 LONGS, not strings —
+    the ranked-array sort, the array shuffles, and the verification
+    intersect all run on fixed-width longs (measured ~2× on the 50k
+    corpus). ``shared`` counts are exact up to 64-bit hash collisions
+    within a candidate pair (≈ |A|·|B|/2^64 ≲ 1e-12 per pair — the
+    same exactness budget the xxhash64 MinHash path documents).
+    """
+    if max_df is None:
+        # prefix filtering needs the df ranking anyway; uncapped = no
+        # stop-shingle drop, rank still bounds the candidate explode
+        max_df = 1 << 62
+    sh = char_shingles(df, text_col, id_col, k)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    rare = sh.join(dfreq.filter(F.col("df_") <= max_df), "shingle").select(
+        "id", "df_", F.xxhash64("shingle").alias("h")
+    )
+    docs = (
+        rare.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df_", "h"))).alias("ranked"))
+        .select("id", F.expr("transform(ranked, x -> x.h)").alias("by_rarity"))
+        .select(
+            "id",
+            F.array_sort("by_rarity").alias("sh_sorted"),
+            F.size("by_rarity").alias("n_sh"),
+            F.expr(
+                f"slice(by_rarity, 1, "
+                f"size(by_rarity) - cast(ceil({threshold} * size(by_rarity)) as int) + 1)"
+            ).alias("prefix"),
+        )
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    cands = (
+        docs.select("id", F.explode("prefix").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = docs.select(
+        F.col("id").alias("id_a"), F.col("sh_sorted").alias("sa"), F.col("n_sh").alias("n_a")
+    )
+    b = docs.select(
+        F.col("id").alias("id_b"), F.col("sh_sorted").alias("sb"), F.col("n_sh").alias("n_b")
+    )
+    shared = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("shared", shared)
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 QUERIES_TO_TIME = [
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_prefix",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "curate_corpus",

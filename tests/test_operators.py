@@ -698,3 +698,34 @@ class TestIncrementalDedup:
         }
         assert got == exp, (got, exp)
         assert got[1][2] == "exact" and got[3][2] == "novel"
+
+
+class TestPrefixFilterEquivalence:
+    """ngram_jaccard_pairs_prefix must return EXACTLY the bucket plan's
+    rows (prefix filtering is lossless for the threshold) — on real
+    documents, on a perturbed-duplicate corpus, across thresholds, and
+    with the df cap disabled."""
+
+    @pytest.mark.parametrize("threshold", [0.5, 0.7, 0.9])
+    def test_matches_bucket_plan_on_documents(self, spark, sf_dir, threshold):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        old = dd.ngram_jaccard_pairs(d, threshold=threshold, max_df=50)
+        new = dd.ngram_jaccard_pairs_prefix(d, threshold=threshold, max_df=50)
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+
+    def test_matches_without_df_cap(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight!"),
+            (3, "a completely different sentence about spark plans"),
+            (4, "a completely different sentence about spark planning"),
+            (5, "nothing in common with anything else here at all"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        old = dd.ngram_jaccard_pairs(d, threshold=0.6, max_df=None)
+        new = dd.ngram_jaccard_pairs_prefix(d, threshold=0.6, max_df=None)
+        got_old = {(r.id_a, r.id_b) for r in old.collect()}
+        got_new = {(r.id_a, r.id_b) for r in new.collect()}
+        assert got_old == got_new
+        assert (1, 2) in got_new and (3, 4) in got_new

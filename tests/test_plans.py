@@ -241,3 +241,12 @@ def test_pmi_vocab_broadcast_and_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_curate_auto_selects_prefix_plan(spark, sf_dir):
+    """curate_corpus at threshold 0.85 must route pairs through the
+    prefix-filtered plan (xxhash64 shingle arrays + intersect
+    verification), not the inverted-index pair explosion."""
+    plan = plan_of(spark, sf_dir, "curate_corpus")
+    assert "xxhash64" in plan, "prefix plan not selected"
+    assert "array_intersect" in plan

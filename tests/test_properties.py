@@ -351,3 +351,42 @@ def test_merge_ordered_matches_pandas(spark, lrows, rrows, fill):
     exp_c = exp[cols].sort_values(cols).reset_index(drop=True)
     got_c = got[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_c, exp_c, check_dtype=False)
+
+
+_words = st.sampled_from(
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango".split()
+)
+_docs = st.lists(
+    st.lists(_words, min_size=6, max_size=20).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=_docs, dup_of=st.integers(0, 7), threshold=st.sampled_from([0.5, 0.7, 0.85]))
+def test_prefix_jaccard_equals_bucket_jaccard(spark, texts, dup_of, threshold):
+    """Prefix filtering is LOSSLESS: on randomized corpora (plus one
+    planted near-dup) the prefix plan returns exactly the inverted-index
+    plan's pairs at every threshold."""
+    from pandas_etl_spark.functions import dedup as dd
+
+    texts = list(texts)
+    texts.append(texts[dup_of % len(texts)] + " extra")  # planted near-dup
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    old = {
+        (r.id_a, r.id_b, r.shared)
+        for r in dd.ngram_jaccard_pairs(d, threshold=threshold, max_df=50).collect()
+    }
+    new = {
+        (r.id_a, r.id_b, r.shared)
+        for r in dd.ngram_jaccard_pairs_prefix(d, threshold=threshold, max_df=50).collect()
+    }
+    assert old == new

@@ -950,13 +950,7 @@ def incremental_dedup(
     precomputed index), one inverted-index join keyed on shingle, one
     (new_id, corpus_id) count. New-batch side is small → its per-doc
     frames broadcast."""
-    new_fp = new_df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
     corp_fp = corpus_df.select(fingerprint(text_col).alias("fp")).distinct()
-    exact = (
-        new_fp.join(corp_fp, "fp", "left_semi").select("id").withColumn("exact", F.lit(True))
-    )
-
-    sh_new = char_shingles(new_df, text_col, id_col, k)
     sh_corp = char_shingles(corpus_df, text_col, id_col, k)
     stop = (
         sh_corp.groupBy("shingle")
@@ -964,10 +958,34 @@ def incremental_dedup(
         .filter(F.col("df") > max_df)
         .select("shingle")
     )
-    sh_new_r = sh_new.join(stop, "shingle", "left_anti")
     sh_corp_r = sh_corp.join(stop, "shingle", "left_anti")
-    n_new = sh_new_r.groupBy("id").agg(F.count(F.lit(1)).alias("n_a"))
     n_corp = sh_corp_r.groupBy("id").agg(F.count(F.lit(1)).alias("n_b"))
+    return _classify_against(
+        new_df, text_col, id_col, k, threshold, corp_fp, stop, sh_corp_r, n_corp
+    )
+
+
+def _classify_against(
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+    corp_fp: DataFrame,
+    stop: DataFrame,
+    sh_corp_r: DataFrame,
+    n_corp: DataFrame,
+) -> DataFrame:
+    """Classification core shared by :func:`incremental_dedup` (corpus
+    frames built inline) and :func:`incremental_dedup_indexed` (corpus
+    frames read from a write-once index)."""
+    new_fp = new_df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+    exact = (
+        new_fp.join(corp_fp, "fp", "left_semi").select("id").withColumn("exact", F.lit(True))
+    )
+    sh_new = char_shingles(new_df, text_col, id_col, k)
+    sh_new_r = sh_new.join(stop, "shingle", "left_anti")
+    n_new = sh_new_r.groupBy("id").agg(F.count(F.lit(1)).alias("n_a"))
     shared = (
         sh_new_r.select(F.col("id").alias("id_a"), "shingle")
         .join(sh_corp_r.select(F.col("id").alias("id_b"), "shingle"), "shingle")
@@ -998,4 +1016,109 @@ def incremental_dedup(
             .otherwise("novel")
             .alias("status"),
         )
+    )
+
+
+def build_dedup_index(
+    corpus_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_df: int = 50,
+) -> str:
+    """Materialize the corpus side of :func:`incremental_dedup` as a
+    write-once parquet index: ``fp/`` (distinct content fingerprints),
+    ``stop/`` (shingles with df > max_df), ``postings/`` (corpus-rare
+    (id, shingle)), ``sizes/`` (per-doc rare-shingle counts), and
+    ``_meta.json`` (k, max_df — classification must use the same).
+
+    This is the amortization a daily 100 TB ingest actually needs: the
+    corpus aggregation (its only large shuffles) runs ONCE; each batch
+    classification then touches the batch plus index scans. Without the
+    index, every batch re-shuffles the whole corpus."""
+    import json
+    import os
+
+    sh_corp = char_shingles(corpus_df, text_col, id_col, k)
+    dfreq = sh_corp.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    stop = dfreq.filter(F.col("df") > max_df).select("shingle")
+    sh_rare = sh_corp.join(stop, "shingle", "left_anti")
+    corpus_df.select(fingerprint(text_col).alias("fp")).distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "fp"))
+    stop.write.mode("overwrite").parquet(os.path.join(path, "stop"))
+    sh_rare.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    sh_rare.groupBy("id").agg(F.count(F.lit(1)).alias("n_b")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "sizes"))
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump({"k": k, "max_df": max_df, "text_col": text_col}, f)
+    return path
+
+
+def incremental_dedup_indexed(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`incremental_dedup` against a :func:`build_dedup_index`
+    index instead of the raw corpus — identical classification, corpus
+    shuffles amortized away (equivalence-tested)."""
+    import json
+    import os
+
+    spark = new_df.sparkSession
+    with open(os.path.join(index_path, "_meta.json")) as f:
+        meta = json.load(f)
+    return _classify_against(
+        new_df,
+        text_col,
+        id_col,
+        meta["k"],
+        threshold,
+        spark.read.parquet(os.path.join(index_path, "fp")),
+        spark.read.parquet(os.path.join(index_path, "stop")),
+        spark.read.parquet(os.path.join(index_path, "postings")),
+        spark.read.parquet(os.path.join(index_path, "sizes")),
+    )
+
+
+def append_to_dedup_index(
+    novel_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append newly-ingested (novel) docs to an existing index so the
+    next batch classifies against them too. The stop set is FROZEN at
+    build time: shingles that only cross max_df through appends stay
+    active until a periodic rebuild — deliberate (recomputing df per
+    batch would re-shuffle the grown corpus, defeating the index; the
+    cap exists for skew control, and drift in it only makes the near
+    check marginally more thorough).
+
+    Materialize ``novel_df`` (write it, or pass a frame read from
+    storage) BEFORE calling this: a lazy frame whose plan embeds a
+    PRE-append read of this same index must not be re-executed after
+    the append — Spark may re-list the index files inside a later
+    query, so such a frame can observe either snapshot."""
+    import json
+    import os
+
+    spark = novel_df.sparkSession
+    with open(os.path.join(index_path, "_meta.json")) as f:
+        meta = json.load(f)
+    stop = spark.read.parquet(os.path.join(index_path, "stop"))
+    sh = char_shingles(novel_df, text_col, id_col, meta["k"]).join(
+        stop, "shingle", "left_anti"
+    )
+    novel_df.select(fingerprint(text_col).alias("fp")).distinct().write.mode(
+        "append"
+    ).parquet(os.path.join(index_path, "fp"))
+    sh.write.mode("append").parquet(os.path.join(index_path, "postings"))
+    sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_b")).write.mode("append").parquet(
+        os.path.join(index_path, "sizes")
     )

@@ -729,3 +729,44 @@ class TestPrefixFilterEquivalence:
         got_new = {(r.id_a, r.id_b) for r in new.collect()}
         assert got_old == got_new
         assert (1, 2) in got_new and (3, 4) in got_new
+
+
+class TestDedupIndex:
+    """build_dedup_index amortizes the corpus side of incremental dedup:
+    classification through the index must equal direct classification,
+    and appended docs must be visible to the next batch."""
+
+    def test_indexed_equals_direct(self, spark, sf_dir, tmp_path):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus = d.filter(F.col("doc_id") % 2 == 0)
+        batch = d.filter(F.col("doc_id") % 2 == 1)
+        idx = str(tmp_path / "idx")
+        dd.build_dedup_index(corpus, idx, k=5, max_df=50)
+        direct = dd.incremental_dedup(batch, corpus, k=5, threshold=0.5, max_df=50)
+        via_idx = dd.incremental_dedup_indexed(batch, idx, threshold=0.5)
+        assert direct.exceptAll(via_idx).count() == 0
+        assert via_idx.exceptAll(direct).count() == 0
+
+    def test_append_makes_batch_exact_on_replay(self, spark, sf_dir, tmp_path):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus = d.filter(F.col("doc_id") % 2 == 0)
+        batch = d.filter(F.col("doc_id") % 2 == 1)
+        idx = str(tmp_path / "idx")
+        dd.build_dedup_index(corpus, idx, k=5, max_df=50)
+        cls = dd.incremental_dedup_indexed(batch, idx, threshold=0.5)
+        # materialize the novel slice BEFORE appending (production shape:
+        # the batch lands on disk first; a lazy frame whose plan embeds
+        # the pre-append index read must not be re-executed post-append —
+        # append_to_dedup_index docstring)
+        novel_path = str(tmp_path / "novel")
+        batch.join(
+            cls.filter(F.col("status") == "novel").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).write.parquet(novel_path)
+        novel = spark.read.parquet(novel_path)
+        assert novel.count() > 0
+        dd.append_to_dedup_index(novel, idx)
+        replay = dd.incremental_dedup_indexed(novel, idx, threshold=0.5)
+        statuses = {r.status for r in replay.collect()}
+        assert statuses == {"exact"}

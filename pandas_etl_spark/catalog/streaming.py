@@ -462,7 +462,7 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.outputMode("append")
-        .foreachBatch(dedup_ingest_sink(corpus, threshold=0.5))
+        .foreachBatch(dedup_ingest_sink(corpus, threshold=0.5, indexed=True))
         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
         .start()
     )

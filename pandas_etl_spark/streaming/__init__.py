@@ -67,17 +67,27 @@ def dedup_ingest_sink(
     k: int = 5,
     threshold: float = 0.5,
     max_df: int = 50,
+    indexed: bool = False,
 ):
     """foreachBatch sink: streaming corpus ingestion with incremental
     dedup — each micro-batch is classified against the corpus written so
     far (``functions.dedup.incremental_dedup``: exact md5 / near-Jaccard
     / novel) and ONLY novel documents append, so the corpus stays
-    dedup-clean without ever re-clustering it. The 100 TB shape:
-    corpus-side work is an amortizable index, per-batch work scales with
-    the batch.
+    dedup-clean without ever re-clustering it.
 
-    Replay-safe: batches land as ``__batch=<id>`` partitions under
-    dynamic partition overwrite, so re-running a batch (checkpoint
+    ``indexed=True`` is the 100 TB shape: the corpus side (fingerprints,
+    stop set, rare shingle postings, sizes) is MAINTAINED as a
+    ``<corpus_path>.dedup_index`` alongside the data, so per-batch cost
+    scales with the batch instead of re-shuffling the whole corpus each
+    trigger. The stop set freezes at the first batch (rebuild
+    periodically with ``functions.dedup.build_dedup_index`` — same
+    drift note as ``append_to_dedup_index``). Index appends partition
+    by ``__batch`` under dynamic overwrite, so replays overwrite their
+    own contribution; classification excludes the replaying batch's own
+    prior partitions.
+
+    Replay-safe either way: batches land as ``__batch=<id>`` partitions
+    under dynamic partition overwrite, so re-running a batch (checkpoint
     recovery) overwrites its own partition instead of duplicating —
     BUT a replayed batch is re-classified against a corpus that now
     contains other batches' later writes, so classification must stay
@@ -87,15 +97,103 @@ def dedup_ingest_sink(
     Usage::
 
         q = (docs_stream.writeStream.outputMode("append")
-             .foreachBatch(dedup_ingest_sink("/data/corpus"))
+             .foreachBatch(dedup_ingest_sink("/data/corpus", indexed=True))
              .option("checkpointLocation", ckpt).start())
     """
+    import os
+
     from pyspark.sql import functions as F
 
-    from pandas_etl_spark.functions.dedup import incremental_dedup
+    from pandas_etl_spark.functions.dedup import (
+        _classify_against,
+        char_shingles,
+        fingerprint,
+        incremental_dedup,
+    )
+
+    idx = corpus_path.rstrip("/") + ".dedup_index"
+
+    def _write_corpus(novel: DataFrame, batch_id: int) -> None:
+        (
+            novel.withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(corpus_path)
+        )
+
+    def _append_index(spark, batch_id: int) -> None:
+        """Index the just-written partition (post-materialization read —
+        append_to_dedup_index's materialize-first rule)."""
+        try:
+            written = spark.read.parquet(corpus_path).where(
+                F.col("__batch") == batch_id
+            )
+            if not written.head(1):
+                return
+        except Exception:
+            return
+        if not os.path.isdir(os.path.join(idx, "stop")):
+            # frozen stop set from the first batch's shingle dfs
+            (
+                char_shingles(written, text_col, id_col, k)
+                .groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > max_df)
+                .select("shingle")
+                .write.mode("overwrite")
+                .parquet(os.path.join(idx, "stop"))
+            )
+        stop = written.sparkSession.read.parquet(os.path.join(idx, "stop"))
+        sh = char_shingles(written, text_col, id_col, k).join(
+            stop, "shingle", "left_anti"
+        )
+        dyn = {"partitionOverwriteMode": "dynamic"}
+        (
+            sh.withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite").partitionBy("__batch").options(**dyn)
+            .parquet(os.path.join(idx, "postings"))
+        )
+        (
+            sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_b"))
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite").partitionBy("__batch").options(**dyn)
+            .parquet(os.path.join(idx, "sizes"))
+        )
+        (
+            written.select(fingerprint(text_col).alias("fp")).distinct()
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite").partitionBy("__batch").options(**dyn)
+            .parquet(os.path.join(idx, "fp"))
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if indexed:
+            have = os.path.isdir(os.path.join(idx, "postings"))
+            if have:
+                notme = F.col("__batch") != batch_id  # replay: no self-compare
+                cls = _classify_against(
+                    batch_df,
+                    text_col,
+                    id_col,
+                    k,
+                    threshold,
+                    spark.read.parquet(os.path.join(idx, "fp")).where(notme),
+                    spark.read.parquet(os.path.join(idx, "stop")),
+                    spark.read.parquet(os.path.join(idx, "postings")).where(notme),
+                    spark.read.parquet(os.path.join(idx, "sizes")).where(notme),
+                )
+                novel = batch_df.join(
+                    cls.filter(F.col("status") == "novel").select(id_col),
+                    id_col,
+                    "left_semi",
+                )
+            else:
+                novel = batch_df
+            _write_corpus(novel, batch_id)
+            _append_index(spark, batch_id)
+            return
         try:
             corpus = spark.read.parquet(corpus_path).where(
                 F.col("__batch") != batch_id  # replay: don't self-compare
@@ -120,12 +218,6 @@ def dedup_ingest_sink(
             )
         else:
             novel = batch_df
-        (
-            novel.withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("__batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(corpus_path)
-        )
+        _write_corpus(novel, batch_id)
 
     return sink

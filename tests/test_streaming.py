@@ -2,6 +2,7 @@
 value-parity with batch, watermark late-data behavior."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -250,9 +251,12 @@ def test_stream_ingest_then_compact(spark, sf_dir, tmp_path):
     assert spark.read.parquet(compacted).exceptAll(ingested).count() == 0
 
 
-def test_dedup_ingest_sink_keeps_corpus_clean(spark, tmp_path):
+@pytest.mark.parametrize("indexed", [False, True])
+def test_dedup_ingest_sink_keeps_corpus_clean(spark, tmp_path, indexed):
     """Streaming corpus ingestion: batch 2's exact dup and near dup of
-    batch-1 docs must NOT enter the corpus; its novel doc must."""
+    batch-1 docs must NOT enter the corpus; its novel doc must.
+    indexed=True routes classification through the maintained
+    .dedup_index instead of re-aggregating the corpus per batch."""
     import os
 
     import pyarrow as pa
@@ -300,7 +304,7 @@ def test_dedup_ingest_sink_keeps_corpus_clean(spark, tmp_path):
     )
     q = (
         stream.writeStream.outputMode("append")
-        .foreachBatch(dedup_ingest_sink(corpus, threshold=0.5))
+        .foreachBatch(dedup_ingest_sink(corpus, threshold=0.5, indexed=indexed))
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )

@@ -349,3 +349,89 @@ def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
     )
+
+
+@query(
+    "ohlc_bars",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar,
+               value, ts, event_id,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bar,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_trades
+    FROM o GROUP BY event_type, bar
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the canonical time-series
+    downsampling shape. ONE aggregation pass: open/close are
+    min_by/max_by on the (ts, event_id) struct (deterministic total
+    order, no first()-nondeterminism), high/low/count ride the same
+    partial-aggregated shuffle — no window, no second exchange."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bar")
+        ).agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    WITH mm AS (
+        SELECT min(value) AS mn, max(value) AS mx FROM events
+    ),
+    b AS (
+        SELECT CAST(least(floor((value - mn) / nullif((mx - mn) / 20.0, 0.0)),
+                          CAST(19 AS DOUBLE)) AS BIGINT) AS bin,
+               value, mn, mx
+        FROM events CROSS JOIN mm
+    )
+    SELECT bin,
+           round(min(mn) + bin * (min(mx) - min(mn)) / 20.0, 6) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM b GROUP BY bin
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of event values — the profiling
+    primitive behind distribution dashboards and drift checks. The
+    1-row min/max aggregate broadcasts into the binning expression
+    (no second scan parameterization); counts partial-aggregate on the
+    bin key; the top value clamps into the last bin."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / 20.0
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("mn")) / F.nullif(width, F.lit(0.0))),
+        F.lit(19).cast("double"),
+    ).cast("bigint")
+    return (
+        ev.join(F.broadcast(mm))
+        .select(bin_.alias("bin"), "value", "mn", "mx")
+        .groupBy("bin")
+        .agg(
+            F.round(
+                F.min("mn") + F.col("bin") * (F.min("mx") - F.min("mn")) / 20.0, 6
+            ).alias("bin_lo"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )

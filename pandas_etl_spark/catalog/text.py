@@ -503,3 +503,18 @@ def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("word_a"), F.asc("word_b"))
         .limit(50)
     )
+
+
+@query("bpe_learn_merges")
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 learned BPE merges over the documents corpus (rows-only:
+    the iterative merge loop is not ANSI-SQL-expressible; a pure-Python
+    reference implementation asserts the exact merge sequence in
+    tests/test_curation_ops.py). Corpus touched once (word-freq table);
+    each merge iterates on the ≤5k-row table."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = tx.learn_bpe_merges(d, "text", num_merges=10, max_words=5000)
+    return spark.createDataFrame(
+        [(i, l, r, pf) for i, (l, r, pf) in enumerate(merges)],
+        "rank int, left string, right string, pair_freq long",
+    )

@@ -445,3 +445,84 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    max_words: int = 5000,
+) -> list[tuple[str, str, int]]:
+    """Learn byte-pair-encoding merges from a corpus (the algorithm of
+    Sennrich et al. 2016 — public literature; completes the tokenizer
+    story next to the GPT-2-style counting regex in bpe_token_count).
+
+    The classic scale shape: BPE trains on the WORD-FREQUENCY TABLE,
+    not the corpus — one corpus-wide shuffle builds (word, freq), capped
+    at the ``max_words`` most frequent (deterministic freq-desc/word-asc
+    order), and every merge iteration then runs on that bounded table:
+    adjacent-pair explode weighted by freq → top pair (ties:
+    lexicographic) → in-row array fold applies the merge. ``num_merges``
+    tiny Spark jobs over ≤ max_words rows; the 100 TB corpus is touched
+    exactly once.
+
+    Returns [(left, right, pair_freq), ...] in merge order.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(max_words)
+        .select(F.split("w", "").alias("syms"), "freq")
+        .filter(F.size("syms") > 0)
+    )
+    words = words.persist()
+    words.count()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(num_merges):
+            pairs = (
+                words.filter(F.size("syms") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(slice(syms, 1, size(syms) - 1), "
+                            "(s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))"
+                        )
+                    ).alias("p"),
+                    "freq",
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("pf"))
+                .orderBy(F.desc("pf"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not pairs or pairs[0].pf < 2:
+                break
+            l, r, pf = pairs[0].l, pairs[0].r, int(pairs[0].pf)
+            merges.append((l, r, pf))
+            # in-row left-to-right fold applying the merge — pure Column
+            # API (no SQL string interpolation of corpus-derived symbols)
+            fold = lambda acc, s: F.when(  # noqa: E731
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (s == F.lit(r)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(l + r))
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
+            merged = words.select(
+                F.aggregate(
+                    "syms", F.expr("cast(array() as array<string>)"), fold
+                ).alias("syms"),
+                "freq",
+            ).persist()
+            merged.count()
+            words.unpersist()
+            words = merged
+    finally:
+        words.unpersist()
+    return merges

@@ -270,3 +270,48 @@ class TestGroupedExtensions:
         # string column untouched even without subset
         out2 = Table(df).clip(lower=0.0).df
         assert dict(out2.dtypes)["s"] == "string"
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    """learn_bpe_merges ≡ a direct dict-based Sennrich-style reference
+    (same cap, same freq-desc/lexicographic tie rules, same greedy
+    left-to-right merge application)."""
+    import collections
+    import re
+
+    from pandas_etl_spark.functions.text import learn_bpe_merges
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = learn_bpe_merges(d, "text", num_merges=8, max_words=2000)
+
+    freq = collections.Counter()
+    for (text,) in d.select("text").collect():
+        for w in re.split(r"\s+", text.strip().lower()):
+            if w:
+                freq[w] += 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:2000]
+    words = [(list(w), f) for w, f in top if w]
+
+    exp = []
+    for _ in range(8):
+        pairs = collections.Counter()
+        for syms, f in words:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (l, r), pf = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if pf < 2:
+            break
+        exp.append((l, r, pf))
+        new_words = []
+        for syms, f in words:
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            new_words.append((out, f))
+        words = new_words
+    assert got == exp

@@ -12,6 +12,8 @@ fingerprinting.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -526,3 +528,44 @@ def learn_bpe_merges(
     finally:
         words.unpersist()
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply learned BPE merges (GPT-2-style encode: repeatedly merge
+    the LOWEST-RANK adjacent pair) — completes learn_bpe_merges into a
+    usable tokenizer. The merge table broadcasts inside an Arrow-batched
+    pandas_udf (pure-Python per-word loops are the right tool here: the
+    merge loop is data-dependent control flow Catalyst can't express,
+    and the vocabulary dict lookup is O(1) per pair)."""
+    import re as _re
+
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def enc(s: pd.Series) -> pd.Series:
+        def one(t: str) -> list[str]:
+            out: list[str] = []
+            for w in _re.split(r"\s+", (t or "").strip().lower()):
+                if not w:
+                    continue
+                syms = list(w)
+                while len(syms) >= 2:
+                    best_rank, best_i = None, None
+                    for i, pair in enumerate(zip(syms, syms[1:])):
+                        rk = ranks.get(pair)
+                        if rk is not None and (best_rank is None or rk < best_rank):
+                            best_rank, best_i = rk, i
+                    if best_i is None:
+                        break
+                    syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+                out.extend(syms)
+            return out
+
+        return s.map(one)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))

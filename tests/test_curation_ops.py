@@ -315,3 +315,25 @@ def test_bpe_merges_match_python_reference(spark, sf_dir):
             new_words.append((out, f))
         words = new_words
     assert got == exp
+
+
+def test_bpe_encode_roundtrip_and_merges_applied(spark, sf_dir):
+    """bpe_encode: tokens concatenate back to the normalized words
+    (lossless segmentation), and the top learned merge actually appears
+    fused in the output wherever its pair occurred."""
+    from pandas_etl_spark.functions.text import bpe_encode, learn_bpe_merges
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    merges = learn_bpe_merges(d, "text", num_merges=8, max_words=2000)
+    assert merges, "corpus should yield at least one merge"
+    enc = bpe_encode(d, merges, "text").select("text", "bpe_tokens").collect()
+
+    import re
+
+    top = merges[0][0] + merges[0][1]
+    saw_fused = False
+    for row in enc:
+        words = [w for w in re.split(r"\s+", row.text.strip().lower()) if w]
+        assert "".join(row.bpe_tokens) == "".join(words)
+        saw_fused = saw_fused or top in row.bpe_tokens
+    assert saw_fused, f"top merge {top!r} never appeared fused"

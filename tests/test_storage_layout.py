@@ -282,3 +282,33 @@ def test_compact_parquet_binpacks_small_files(spark, sf_dir, tmp_path):
     spans = sorted(_file_spans(out2, "event_id"))
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi <= lo, f"overlapping ranges after sorted compaction: {spans}"
+
+
+def test_zorder_single_column_behaves_like_sort(spark, sf_dir, tmp_path):
+    """Degenerate z-order on ONE column must still produce near-disjoint
+    per-file ranges on it (Morton code of one dim = its bucket rank)."""
+    from pandas_etl_spark.sources.layout import to_parquet_zorder
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    out = str(tmp_path / "z1")
+    to_parquet_zorder(ev, out, ["user_id"], bits=4, n_files=4)
+    spans = sorted(_file_spans(out, "user_id"))
+    glo, ghi = spans[0][0], max(s[1] for s in spans)
+    width = float(ghi - glo) or 1.0
+    assert sum(float(hi - lo) for lo, hi in spans) / len(spans) / width < 0.5
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_compact_to_single_file_when_target_exceeds_total(spark, sf_dir, tmp_path):
+    import glob
+
+    from pandas_etl_spark.sources.layout import compact_parquet
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    frag = str(tmp_path / "frag")
+    ev.repartition(8).write.parquet(frag)
+    out = str(tmp_path / "one")
+    n = compact_parquet(spark, frag, out, target_file_bytes=1 << 40)
+    assert n == 1
+    assert len(glob.glob(out + "/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == ev.count()

@@ -1135,6 +1135,37 @@ def merge(
     return Table(ldf.crossJoin(rdf))
 
 
+def merge_asof(
+    left: Any,
+    right: Any,
+    on: str,
+    by: str | list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffixes: tuple[str, str] = ("", "_right"),
+) -> Table:
+    """pd.merge_asof parity (§2.4) — thin Table wrapper over
+    ``operators.asof.asof_join`` (hypothesis-proven ≡ pd.merge_asof);
+    exposed here (and in the YAML function registry as
+    ``pd.merge_asof``) so pipelines get the pandas name. pandas'
+    left-suffix slot must stay '' — left columns are never renamed."""
+    from pandas_etl_spark.operators.asof import asof_join
+
+    if suffixes[0] != "":
+        raise ValueError("merge_asof: left suffix must be '' (left columns keep their names)")
+    return Table(
+        asof_join(
+            _unwrap(left),
+            _unwrap(right),
+            on=on,
+            by=by,
+            direction=direction,
+            suffix=suffixes[1],
+            tolerance=tolerance,
+        )
+    )
+
+
 def merge_ordered(
     left: Any,
     right: Any,

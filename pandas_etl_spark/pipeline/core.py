@@ -151,6 +151,8 @@ class Pipeline:
             (("read_sql",), read_sql),
             (("concat",), pandas_ops.concat),
             (("merge",), pandas_ops.merge),
+            (("merge_ordered",), pandas_ops.merge_ordered),
+            (("merge_asof",), pandas_ops.merge_asof),
             (("DataFrame",), dataframe),
             (("Grouper",), pandas_ops.TimeGrouper),
         ]:
@@ -184,6 +186,15 @@ class Pipeline:
         args = step.args if step.args is not None else {}
         args = self.resolver.resolve(args)
         if isinstance(args, dict):
+            bad = [k for k in args if not isinstance(k, str)]
+            if bad:
+                # YAML 1.1 parses bare on/off/yes/no as booleans — the
+                # raw "keywords must be strings" TypeError hides that
+                raise ValueError(
+                    f"Step '{step.name}': non-string argument name(s) {bad!r} — "
+                    "YAML parses bare on/off/yes/no as booleans; quote the key "
+                    '(e.g. "on": ts)'
+                )
             step.output = handle(**args)
         elif isinstance(args, list):
             step.output = handle(*args)

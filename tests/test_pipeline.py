@@ -469,3 +469,57 @@ def test_zorder_layout_step_in_yaml(spark, sf_dir, tmp_path):
         spark.read.parquet(out).count()
         == spark.read.parquet(f"{sf_dir}/events.parquet").count()
     )
+
+
+def test_merge_asof_and_ordered_from_yaml(spark, sf_dir, tmp_path):
+    """pd.merge_asof / pd.merge_ordered are callable as YAML steps with
+    their pandas names — time-series alignment straight from a pipeline."""
+    out = str(tmp_path / "aligned")
+    p = Pipeline(
+        yamlData=f"""
+        steps:
+        - name: trades
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/events.parquet
+        - name: quotes
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/events.parquet
+        - name: asof
+          function: pd.merge_asof
+          args:
+            left: ${{ steps['trades'].output }}
+            right: ${{ steps['quotes'].output.select('ts', 'value').withColumnRenamed('value', 'quote') }}
+            "on": ts  # quoted: bare `on` is YAML-1.1 boolean True
+            direction: backward
+        - ${{ steps['asof'].output.to_parquet }}:
+            path: {out}
+        """,
+        spark=spark,
+    )
+    p.run()
+    back = spark.read.parquet(out)
+    assert "quote" in back.columns
+    assert back.count() == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_boolean_yaml_key_gets_clear_error(spark, sf_dir):
+    p = Pipeline(
+        yamlData=f"""
+        steps:
+        - name: load
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/events.parquet
+        - name: bad
+          function: pd.merge_asof
+          args:
+            left: ${{ steps['load'].output }}
+            right: ${{ steps['load'].output }}
+            on: ts
+        """,
+        spark=spark,
+    )
+    with pytest.raises(ValueError, match="YAML parses bare on/off"):
+        p.run()

@@ -518,3 +518,57 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, pf) for i, (l, r, pf) in enumerate(merges)],
         "rank int, left string, right string, pair_freq long",
     )
+
+
+@query(
+    "doc_winnow",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(length(t) - 7, 0)),
+                   i -> list_reduce(
+                        list_transform(generate_series(0, 7),
+                            j -> CAST(unicode(substring(t, i + j, 1)) AS BIGINT)),
+                        (a, b) -> (a * 257 + b) % 2147483647)) AS hs
+        FROM norm
+    ),
+    w AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+                       i -> list_aggregate(hs[i:i+3], 'min')))) AS fps
+        FROM h
+    )
+    SELECT doc_id, array_to_string(fps, ',') AS winnow_fps FROM w
+    """,
+)
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, MOSS —
+    public literature): min of each sliding window of 4 consecutive
+    8-char Rabin–Karp hashes, deduplicated — the guarantee-bearing
+    fingerprint sampler (any match ≥ window+k-1 chars shares a selected
+    fingerprint). Pure in-row higher-order functions over the
+    materialized hash array; zero shuffles."""
+    from pandas_etl_spark.functions.dedup import normalized
+    from pandas_etl_spark.functions.text import rolling_hashes
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    wins = (
+        "CASE WHEN size(hs) >= 4 THEN "
+        "transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4))) "
+        "ELSE array() END"
+    )
+    return (
+        d.select("doc_id", normalized("text").alias("_norm"))
+        .select("doc_id", rolling_hashes("_norm", 8).alias("hs"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.array_sort(F.array_distinct(F.expr(wins))), ","
+            ).alias("winnow_fps"),
+        )
+    )

@@ -572,3 +572,83 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winnow_fps"),
         )
     )
+
+
+@query(
+    "winnow_pairs",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(length(t) - 7, 0)),
+                   i -> list_reduce(
+                        list_transform(generate_series(0, 7),
+                            j -> CAST(unicode(substring(t, i + j, 1)) AS BIGINT)),
+                        (a, b) -> (a * 257 + b) % 2147483647)) AS hs
+        FROM norm
+    ),
+    fp AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(
+                   list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+                       i -> list_aggregate(hs[i:i+3], 'min')))) AS fp
+        FROM h
+    ),
+    rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50),
+    f AS (SELECT fp.id, fp.fp FROM fp JOIN rare USING (fp))
+    SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared_fps
+    FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup candidates: doc pairs sharing ≥ 2 winnowed
+    fingerprints — the substring-overlap detector that complements
+    set-similarity (Jaccard) dedup: winnowing guarantees any shared run
+    ≥ 11 chars (window 4 + hash width 8 − 1) leaves a common
+    fingerprint. Same bounded plan as the n-gram path: df-capped
+    inverted index (≤ 50), in-bucket i<j pair generation, one shuffle
+    on the fingerprint."""
+    from pandas_etl_spark.functions.dedup import normalized
+    from pandas_etl_spark.functions.text import rolling_hashes
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    wins = (
+        "CASE WHEN size(hs) >= 4 THEN "
+        "transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4))) "
+        "ELSE array() END"
+    )
+    fps = (
+        d.select("doc_id", normalized("text").alias("_norm"))
+        .select("doc_id", rolling_hashes("_norm", 8).alias("hs"))
+        .select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.array_distinct(F.expr(wins))).alias("fp"),
+        )
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("fp")
+    )
+    buckets = (
+        fps.join(rare, "fp")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )

@@ -478,3 +478,53 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_in, kept, n_in - kept)], "n_input long, n_corpus long, n_dropped long"
     )
+
+
+@query(
+    "stream_ohlc_bars",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar, value, ts, event_id,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bar,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_trades
+    FROM o GROUP BY event_type, bar
+    """,
+)
+def q_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars computed on the LIVE stream (batch-frame twin:
+    ohlc_bars): hourly window + watermark, open/close via
+    min_by/max_by on the (ts, event_id) struct — declarative aggregates
+    that merge correctly across triggers, so per-key streaming state is
+    one struct per bar, not a row buffer. COMPLETE mode (drained file
+    source) keeps the batch oracle comparable."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+    table = run_stream_to_table(agg, output_mode="complete")
+    return spark.table(table).select(
+        "event_type",
+        F.col("win.start").alias("bar"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_trades",
+    )

@@ -57,6 +57,10 @@ EXTENDED = [
     "pmi_cooccur",
     "outlier_mad",
     "group_mode",
+    "doc_winnow",
+    "winnow_pairs",
+    "stream_ohlc_bars",
+    "bpe_learn_merges",
 ]
 
 

@@ -27,6 +27,8 @@ NOTES = {
     "unigram_logprob_score": "Token count shuffle once; top-V vocabulary and 1-row totals broadcast back onto the token stream.",
     "tpch_q7_nation_volume": "Bilateral nation pair: all dims broadcast, pair disjunction applied post-join; one shuffled fact join; ship-window pushed to scan.",
     "pmi_cooccur": "Pair fan-out bounded by broadcast top-100 vocabulary; one doc_id shuffle for the pair count; top-k via TakeOrdered.",
+    "curate_corpus": "Prefix-filtered pair plan auto-selected at t=0.85: xxhash64 shingle arrays, rarity-prefix candidates, array_intersect verification; persisted gated+deduped prefix feeds both consumers.",
+    "winnow_pairs": "Winnowed-fingerprint inverted index: df-capped buckets, in-bucket i<j pair generation, one shuffle on the fingerprint.",
 }
 
 

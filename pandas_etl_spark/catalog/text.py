@@ -652,3 +652,49 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
     )
+
+
+@query(
+    "source_composition",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({_DD_NTOK}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(n_tokens) AS total FROM s)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / total, 6) AS token_share,
+           round(sum(CAST(n_tokens AS DOUBLE) / total)
+                 OVER (ORDER BY n_tokens DESC, source), 6) AS cum_share
+    FROM s CROSS JOIN t
+    """,
+)
+def q_source_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per-source doc/token counts, token
+    share, and cumulative share in size order — the mixture-governance
+    view behind sampling-weight decisions. Per-source aggregate is one
+    shuffle; the share window runs over the tiny source-level frame
+    (cardinality = number of sources), where a single-partition window
+    is the right plan, not a smell."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count("text")).alias("n_tokens"),
+    )
+    total = s.agg(F.sum("n_tokens").alias("total"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n_tokens"), F.asc("source"))
+    share = F.col("n_tokens").cast("double") / F.col("total")
+    return (
+        s.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(F.sum(share).over(w), 6).alias("cum_share"),
+        )
+    )

@@ -698,3 +698,48 @@ def q_source_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(share).over(w), 6).alias("cum_share"),
         )
     )
+
+
+@query(
+    "length_buckets",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST({_DD_NTOK} AS BIGINT) AS n_tok FROM documents
+    ),
+    b AS (
+        SELECT CAST(ceil(log2(greatest(n_tok, 1))) AS BIGINT) AS bucket, n_tok
+        FROM d WHERE n_tok > 0
+    )
+    SELECT bucket,
+           CAST(power(2, bucket) AS BIGINT) AS bucket_max,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(CAST(1.0 AS DOUBLE)
+                 - CAST(sum(n_tok) AS DOUBLE)
+                   / (count(*) * power(2, bucket)), 6) AS pad_waste
+    FROM b GROUP BY bucket
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-2 length bucketing for training-batch efficiency: docs
+    grouped by ⌈log2(tokens)⌉ with the padding fraction wasted if each
+    bucket batches at its ceiling — the report behind length-bucketed
+    batching (vs padding everything to the global max). One narrow
+    projection + one aggregate; no shuffle beyond the bucket key."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    ntok = tx.token_count("text")
+    b = d.select(ntok.alias("n_tok")).filter(F.col("n_tok") > 0).select(
+        F.ceil(F.log2(F.greatest(F.col("n_tok"), F.lit(1)))).cast("bigint").alias("bucket"),
+        "n_tok",
+    )
+    cap = F.pow(F.lit(2.0), F.col("bucket"))
+    return b.groupBy("bucket").agg(
+        F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("bucket_max"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_tok").cast("double") / (F.count(F.lit(1)) * cap),
+            6,
+        ).alias("pad_waste"),
+    )

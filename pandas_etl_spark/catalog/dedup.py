@@ -642,3 +642,45 @@ def q_simhash_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sigs = dd.simhash_signatures_portable(d, "text", "doc_id", bits=60)
     return dd.simhash_neighbors(sigs, max_hamming=_SIMHASH_PAIR_RADIUS)
+
+
+@query(
+    "doc_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id AS id, unnest({_DD_SHINGLES}) AS shingle FROM documents
+    ),
+    dfreq AS (
+        SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+    )
+    SELECT id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM sh JOIN dfreq USING (shingle)
+    GROUP BY id
+    """,
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: fraction of its 5-gram shingles that occur
+    NOWHERE else in the corpus — high = original content, low =
+    boilerplate/template (the inverse signal of repetition_filter, at
+    corpus rather than document scope). The shingle df aggregate is the
+    same one the dedup family builds (shareable index at scale); one
+    shingle shuffle + one per-doc aggregate."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = dd.char_shingles(d, "text", "doc_id", k=_K)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            uniq.cast("bigint").alias("n_unique"),
+            F.round(
+                uniq.cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+    )

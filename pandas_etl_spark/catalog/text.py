@@ -743,3 +743,53 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pad_waste"),
     )
+
+
+@query(
+    "vocab_zipf_fit",
+    oracle=f"""
+    WITH w AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_DD_TOKENS}) AS word FROM documents)
+        GROUP BY word
+    ),
+    r AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, word) AS rank
+        FROM w ORDER BY freq DESC, word LIMIT 1000
+    )
+    SELECT round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                            ln(CAST(rank AS DOUBLE))), 4)     AS zipf_slope,
+           round(regr_r2(ln(CAST(freq AS DOUBLE)),
+                         ln(CAST(rank AS DOUBLE))), 4)        AS r2,
+           CAST(count(*) AS BIGINT)                           AS n_ranks
+    FROM r
+    """,
+)
+def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the vocabulary: least-squares slope of
+    log-frequency vs log-rank over the top-1000 words — the standard
+    natural-language sanity check on a corpus (slope ≈ −1 for organic
+    text; far off flags synthetic/templated data). One token shuffle for
+    the frequency table; rank window + regression run on the tiny
+    top-1000 frame (single-partition by design)."""
+    from pyspark.sql import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = (
+        d.select(F.explode(tx.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(1000)
+    )
+    r = w.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("freq"), F.asc("word")))
+    )
+    lf = F.log(F.col("freq").cast("double"))
+    lr = F.log(F.col("rank").cast("double"))
+    return r.agg(
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 4).alias("r2"),
+        F.count(F.lit(1)).alias("n_ranks"),
+    )

@@ -125,6 +125,77 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_error",
+    oracle="""
+    WITH dims AS (
+        SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+               max(CAST(embedding[i] AS DOUBLE)) AS hi
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+        GROUP BY i
+    ),
+    r AS (SELECT list(lo ORDER BY i) AS lo_arr, list(hi ORDER BY i) AS hi_arr
+          FROM dims),
+    errs AS (
+        SELECT e.vec_id,
+               list_transform(generate_series(1, 64), i ->
+                   CASE WHEN r.hi_arr[i] = r.lo_arr[i] THEN 0.0
+                        ELSE abs(r.lo_arr[i]
+                                 + floor((CAST(e.embedding[i] AS DOUBLE) - r.lo_arr[i])
+                                         / ((r.hi_arr[i] - r.lo_arr[i]) / 255.0) + 0.5)
+                                   * ((r.hi_arr[i] - r.lo_arr[i]) / 255.0)
+                                 - CAST(e.embedding[i] AS DOUBLE)) END) AS el
+        FROM embeddings e, r
+    )
+    SELECT vec_id, round(list_max(el), 9) AS max_abs_err,
+           round(list_sum(list_transform(el, x -> x * x)) / 64, 12) AS mse
+    FROM errs
+    """,
+)
+def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantization error audit per vector — gates the fp32→int8
+    embedding-store rewrite on an error budget
+    (functions/similarity.quantize_int8_error)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.quantize_int8_error(emb)
+
+
+@query("semantic_dedup")
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cells + within-cell cosine
+    pruning, keep-lowest-id (functions/similarity.semantic_dedup).
+    Rows-only driver check (k-means is not SQL-expressible); the
+    keep/drop invariants are property-tested in tests/test_similarity
+    and the n_cells=1 degenerate case is oracle-checked below."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, threshold=0.4, n_cells=16)
+
+
+@query(
+    "semantic_dedup_checked",
+    oracle="""
+    SELECT a.vec_id AS id, CAST(0 AS INTEGER) AS cell
+    FROM embeddings a
+    WHERE a.vec_id < 400 AND NOT EXISTS (
+        SELECT 1 FROM embeddings b
+        WHERE b.vec_id < a.vec_id AND b.vec_id < 400
+          AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) /
+                    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(a.embedding AS DOUBLE[]))) *
+                     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])))), 6) >= 0.4
+    )
+    """,
+)
+def q_semantic_dedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact correctness anchor for semantic_dedup: ``n_cells=1``
+    degenerates the cell join to exact brute force on a capped id range,
+    which the NOT EXISTS oracle reproduces verbatim."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    return sim.semantic_dedup(emb, threshold=0.4, n_cells=1)
+
+
+@query(
     "embedding_centroids",
     oracle="""
     SELECT label, CAST(i - 1 AS INTEGER) AS pos,

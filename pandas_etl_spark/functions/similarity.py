@@ -373,6 +373,134 @@ def embedding_neardup_pairs(
     )
 
 
+def quantize_int8_error(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-dimension affine int8 quantization audit: reconstruction error
+    of each vector after quantizing every dimension to ``levels`` + 1
+    codes on the dimension's global [min, max] range.
+
+    At 100 TB embedding stores this is the 4× (fp32→int8) storage cut —
+    this operator reports, per vector, the error that cut would incur:
+    ``max_abs_err`` (worst dimension) and ``mse`` (mean squared error),
+    so a pipeline can gate the quantized rewrite on an error budget.
+
+    Plan: one posexplode pass for per-dimension min/max (map-side partial
+    agg, |dims| rows), assembled into ordered range arrays (1 row,
+    broadcast), then a single corpus pass computing the error with
+    JVM-side higher-order functions — no Python, no extra shuffle of the
+    vectors themselves. Quantization uses ``floor(x + 0.5)`` (not
+    ``round``) so Spark and the DuckDB oracle share half-up semantics on
+    exact doubles; degenerate dimensions (max == min) carry zero error
+    by definition.
+    """
+    dims = (
+        emb.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+    )
+    ranges = dims.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "lo"))),
+            lambda s: s.getField("lo"),
+        ).alias("lo_arr"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "hi"))),
+            lambda s: s.getField("hi"),
+        ).alias("hi_arr"),
+    )
+    lv = F.lit(float(levels))
+
+    def _err(s: Column) -> Column:
+        x = s.getField("v")
+        lo = s.getField("lo")
+        hi = s.getField("hi")
+        scale = (hi - lo) / lv
+        code = F.floor((x - lo) / scale + F.lit(0.5))
+        dq = lo + code.cast("double") * scale
+        return F.when(hi == lo, F.lit(0.0)).otherwise(F.abs(dq - x))
+
+    z = F.arrays_zip(
+        F.col("v").alias("v"), F.col("lo_arr").alias("lo"), F.col("hi_arr").alias("hi")
+    )
+    errs = F.transform(z, _err)
+    return (
+        ensure_parallelism(emb)
+        .crossJoin(F.broadcast(ranges))
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            "lo_arr",
+            "hi_arr",
+        )
+        .select(
+            id_col,
+            F.round(F.array_max(errs), 9).alias("max_abs_err"),
+            F.round(
+                F.aggregate(errs, F.lit(0.0), lambda acc, e: acc + e * e)
+                / F.size("v"),
+                12,
+            ).alias("mse"),
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with deterministic mini
+    k-means, compare pairs ONLY within a cluster, and drop every vector
+    that has a lower-id same-cell neighbor with cosine ≥ ``threshold``.
+    Returns the survivors as (id, cell).
+
+    Scale shape: the cell id is the shuffle key — the within-cell
+    self-join is O(Σ cell²) instead of O(N²), and at 100 TB the corpus
+    is written partitioned by cell so the join is co-located. The
+    keep-lowest-id rule makes the result deterministic and
+    engine-independent (no reliance on cluster iteration order).
+    ``n_cells=1`` degenerates to exact brute-force dedup — used by the
+    SQL-oracle-checked catalog variant; the clustered path is
+    property-tested (survivors contain no within-cell pair above
+    threshold; every dropped id had a lower-id near neighbor).
+    """
+    corpus = ensure_parallelism(emb)
+    if n_cells <= 1:
+        assigned = corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.lit(0).alias("cell")
+        )
+    else:
+        centroids = _kmeans_centroids(corpus, n_cells, kmeans_iters, id_col, vec_col)
+        if not centroids:
+            return emb.sparkSession.createDataFrame([], "id bigint, cell int")
+        assigned = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            _nearest_centroid(F.col(vec_col), centroids).alias("cell"),
+        )
+    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "id", "left_anti").select("id", "cell")
+
+
 def label_centroid_outliers(
     emb: DataFrame,
     id_col: str = "vec_id",

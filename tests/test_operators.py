@@ -111,6 +111,99 @@ class TestLshRecall:
         recall = len(exact_pairs & ivf) / len(exact_pairs)
         assert recall >= 0.5, f"recall {recall}"
 
+    def test_semantic_dedup_invariants(self, spark, sf_dir):
+        """SemDeDup keep/drop invariants on the clustered path:
+        (a) no surviving within-cell pair at/above the threshold;
+        (b) every dropped id had a lower-id same-cell neighbor at/above
+        the threshold (the deterministic keep-lowest-id rule)."""
+        import itertools
+        import math
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t = 0.4
+        kept = sim.semantic_dedup(emb, threshold=t, n_cells=8).collect()
+        cells = {r.id: r.cell for r in kept}
+        vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        for ia, ib in itertools.combinations(sorted(cells), 2):
+            if cells[ia] == cells[ib]:
+                assert round(cos(vecs[ia], vecs[ib]), 6) < t, (ia, ib)
+        # reconstruct cell of dropped ids by re-running assignment-only
+        # (n_cells=1 over the same ids is exact; here check via survivors)
+        dropped = set(vecs) - set(cells)
+        all_cells = {
+            r.id: r.cell
+            for r in sim.semantic_dedup(emb, threshold=2.0, n_cells=8).collect()
+        }  # threshold 2.0 → nothing dropped → full assignment
+        for d_ in dropped:
+            c = all_cells[d_]
+            assert any(
+                o < d_ and all_cells[o] == c and round(cos(vecs[o], vecs[d_]), 6) >= t
+                for o in vecs
+            ), d_
+
+    def test_semantic_dedup_single_cell_is_bruteforce(self, spark, sf_dir):
+        import math
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") < 100
+        )
+        t = 0.4
+        got = sorted(r.id for r in sim.semantic_dedup(emb, threshold=t, n_cells=1).collect())
+        vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (
+                math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+            )
+
+        expect = sorted(
+            i
+            for i in vecs
+            if not any(
+                j < i and round(cos(vecs[j], vecs[i]), 6) >= t for j in vecs
+            )
+        )
+        assert got == expect
+
+    def test_quantize_int8_error_bounds(self, spark, sf_dir):
+        """Every per-vector max error is ≤ half the widest dimension's
+        quantization step; constant dimensions contribute zero error."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = sim.quantize_int8_error(emb).collect()
+        assert len(out) == emb.count()
+        # widest per-dim range bound
+        import pyspark.sql.functions as SF
+
+        dims = (
+            emb.select(SF.posexplode("embedding").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(
+                (SF.max(SF.col("x").cast("double")) - SF.min(SF.col("x").cast("double"))).alias("rng")
+            )
+            .agg(SF.max("rng"))
+            .first()[0]
+        )
+        half_step = dims / 255.0 / 2.0
+        for r in out:
+            assert 0.0 <= r.max_abs_err <= half_step + 1e-9, r
+            assert 0.0 <= r.mse <= (half_step**2) + 1e-12, r
+
+    def test_quantize_constant_vector_zero_error(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = sim.quantize_int8_error(emb).collect()
+        assert all(r.max_abs_err == 0.0 and r.mse == 0.0 for r in out)
+
     def test_simhash_identical_docs_zero_distance(self, spark):
         d = spark.createDataFrame(
             [(1, "the quick brown fox"), (2, "the  QUICK brown fox "), (3, "completely different words here")],

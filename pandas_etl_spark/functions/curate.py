@@ -36,21 +36,27 @@ def curate_corpus(
     jaccard_threshold: float = 0.85,
     shingle_k: int = 5,
     max_df: int = 50,
-    persist_intermediate: bool = True,
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """Surviving documents with their curation annotations.
 
     The gated+exact-deduped frame feeds BOTH the near-dup pair
-    computation AND the final anti-join; without caching, the
-    scan→annotate→gate→dedup prefix (a full scan + a shuffle) computes
-    twice. ``persist_intermediate=True`` (default) caches it at
-    MEMORY_AND_DISK for the duration of the action — the right plan at
-    any scale. The persisted handle is attached to the returned
-    DataFrame as ``curate_cache``; call ``release_cache(result)`` (or
-    ``result.curate_cache.unpersist()``) after the sink action to free
-    the storage. The cache is evictable block storage, so leaving it
-    until session end degrades gracefully rather than leaking
-    unmanaged memory."""
+    computation AND the final anti-join, so its scan→annotate→gate→
+    dedup prefix (one scan + one shuffle) executes twice.
+    ``persist_intermediate=False`` (default) accepts the recompute:
+    measured at sf0.1 the duplicated prefix costs ~1.3s while a
+    MEMORY_AND_DISK persist of the full-text rows costs ~2.8s extra
+    (6.3s vs 3.5s end-to-end) — materializing wide text rows into block
+    storage is slower than re-running a column-pruned scan that
+    Catalyst narrows per consumer (the anti-join side never re-reads
+    ``text``). Set ``persist_intermediate=True`` when the prefix is
+    genuinely expensive to recompute — remote object-store scans,
+    JDBC sources, or upstream multi-shuffle transforms — where one
+    materialization beats two source reads. The persisted handle is
+    then attached to the returned DataFrame as ``curate_cache``; call
+    ``release_cache(result)`` after the sink action to free it (the
+    cache is evictable block storage, so leaving it degrades gracefully
+    rather than leaking)."""
     annotated = docs.select(
         "*",
         tx.token_count(text_col).alias("n_tokens"),

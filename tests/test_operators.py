@@ -241,15 +241,19 @@ class TestCurateCache:
         from pandas_etl_spark.functions.curate import curate_corpus, release_cache
 
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        out = curate_corpus(d)
-        assert out.curate_cache.storageLevel.useMemory  # persisted by default
+        out = curate_corpus(d, persist_intermediate=True)
+        assert out.curate_cache.storageLevel.useMemory  # persisted on opt-in
         assert out.count() > 0
         release_cache(out)
         assert not out.curate_cache.storageLevel.useMemory  # released
 
-        off = curate_corpus(d, persist_intermediate=False)
+        off = curate_corpus(d)  # default: recompute beats persist (measured)
         assert getattr(off, "curate_cache", None) is None
         release_cache(off)  # no handle → no-op, no error
+        # identical survivors either way
+        assert sorted(r.doc_id for r in off.select("doc_id").collect()) == sorted(
+            r.doc_id for r in out.select("doc_id").collect()
+        )
 
 
 class TestTimeparse:

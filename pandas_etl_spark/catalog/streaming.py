@@ -276,6 +276,49 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_topk_trending",
+    oracle="""
+    WITH wins AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - s * INTERVAL '30 minutes'
+                   AS win_start,
+               event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events, (SELECT unnest([0, 1]) AS s)
+        GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, n, CAST(rn AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY win_start
+                                       ORDER BY n DESC, event_type) AS rn
+          FROM wins)
+    WHERE rn <= 3
+    """,
+)
+def q_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard: top-3 event types per sliding window (1h
+    window, 30m slide). The RANKING runs over the drained sink table,
+    not inside the stream — streaming aggregation cannot host a rank
+    window (complete-mode aggregates only), so the production shape is
+    exactly this: the stream maintains windowed counts, the dashboard
+    query ranks the sink. Counts are integers, so micro-batch merge
+    order cannot drift the ranking."""
+    from pyspark.sql import Window as W
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    table = run_stream_to_table(agg, output_mode="complete")
+    w = W.partitionBy("win.start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        spark.table(table)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "rnk")
+    )
+
+
+@query(
     "stream_dedup_watermark",
     oracle="""
     SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_first

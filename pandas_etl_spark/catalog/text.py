@@ -80,6 +80,51 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_confusion",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               {_dd_hits('de')} AS h_de, {_dd_hits('en')} AS h_en,
+               {_dd_hits('es')} AS h_es, {_dd_hits('fr')} AS h_fr,
+               {_dd_hits('zh')} AS h_zh
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                    WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                    WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                    WHEN h_fr >= h_zh THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+        FROM h
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY lang), 6)
+               AS share
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-metadata audit: confusion matrix of the declared ``lang``
+    column vs the content-derived language ID, with each cell's share of
+    its declared language — the governance view that catches mislabeled
+    corpora before a mixture is sampled by the (untrustworthy) metadata.
+    One shuffle on the tiny (lang, lang_pred) grid; the share window runs
+    over |langs|² rows."""
+    from pyspark.sql import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    counts = (
+        d.select("lang", tx.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    share = F.col("n") / F.sum("n").over(W.partitionBy("lang"))
+    return counts.withColumn("share", F.round(share, 6))
+
+
+@query(
     "word_freq_topk",
     oracle=f"""
     SELECT word, CAST(count(*) AS BIGINT) AS n

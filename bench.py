@@ -61,6 +61,11 @@ EXTENDED = [
     "winnow_pairs",
     "stream_ohlc_bars",
     "bpe_learn_merges",
+    "semantic_dedup",
+    "semantic_dedup_checked",
+    "embedding_quantize_error",
+    "lang_confusion",
+    "stream_topk_trending",
 ]
 
 

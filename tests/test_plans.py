@@ -250,3 +250,28 @@ def test_curate_auto_selects_prefix_plan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "curate_corpus")
     assert "xxhash64" in plan, "prefix plan not selected"
     assert "array_intersect" in plan
+
+
+def test_quantize_error_single_corpus_pass_no_python(spark, sf_dir):
+    """embedding_quantize_error: per-dim ranges come from one posexplode
+    aggregate broadcast back as a 1-row frame; the error computation is
+    JVM higher-order expressions — no Python workers, no vector shuffle
+    beyond the dims aggregate, corpus joined by broadcast."""
+    plan = plan_of(spark, sf_dir, "embedding_quantize_error")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one vector-bearing scan pair: corpus + dims source
+    # (formatted explain lists each scan twice: tree node + detail)
+    assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_lang_confusion_single_shuffle_grid(spark, sf_dir):
+    """lang_confusion aggregates to the |langs|² grid in one hash
+    aggregate (map-side partials) and ranks shares over the tiny grid —
+    no Python, no extra wide shuffle of document text."""
+    plan = plan_of(spark, sf_dir, "lang_confusion")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" not in read_schema  # only lang + text leave the scan

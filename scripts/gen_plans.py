@@ -27,7 +27,10 @@ NOTES = {
     "unigram_logprob_score": "Token count shuffle once; top-V vocabulary and 1-row totals broadcast back onto the token stream.",
     "tpch_q7_nation_volume": "Bilateral nation pair: all dims broadcast, pair disjunction applied post-join; one shuffled fact join; ship-window pushed to scan.",
     "pmi_cooccur": "Pair fan-out bounded by broadcast top-100 vocabulary; one doc_id shuffle for the pair count; top-k via TakeOrdered.",
-    "curate_corpus": "Prefix-filtered pair plan auto-selected at t=0.85: xxhash64 shingle arrays, rarity-prefix candidates, array_intersect verification; persisted gated+deduped prefix feeds both consumers.",
+    "curate_corpus": "Prefix-filtered pair plan auto-selected at t=0.85: xxhash64 shingle arrays, rarity-prefix candidates, array_intersect verification; the scan+gate+dedup prefix recomputes per consumer (measured cheaper than persisting full-text rows — SCALE.md r4).",
+    "embedding_quantize_error": "Per-dim ranges: one posexplode aggregate to |dims| rows, collapsed to a 1-row range frame broadcast onto a single corpus scan; error math is JVM higher-order expressions (no Python, no vector shuffle).",
+    "lang_confusion": "Text never shuffles: lang_id evaluates in the scan projection; one hash aggregate to the |langs|-squared grid; share window over the tiny grid.",
+    "semantic_dedup_checked": "n_cells=1 SemDeDup baseline: broadcast self-pair on the capped id range, cosine filter, left-anti back onto the corpus — no SortMergeJoin.",
     "winnow_pairs": "Winnowed-fingerprint inverted index: df-capped buckets, in-bucket i<j pair generation, one shuffle on the fingerprint.",
 }
 

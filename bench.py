@@ -66,6 +66,7 @@ EXTENDED = [
     "embedding_quantize_error",
     "lang_confusion",
     "stream_topk_trending",
+    "pq_encode_stats",
 ]
 
 

@@ -195,6 +195,18 @@ def q_semantic_dedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, threshold=0.4, n_cells=1)
 
 
+@query("pq_encode_stats")
+def q_pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (functions/similarity.pq_encode):
+    m=8 subspace codebooks of k=16 → 8 one-byte codes per 64-dim fp32
+    vector (32× storage cut) with exact per-vector reconstruction MSE.
+    Rows-only driver check (k-means codebooks are not SQL-expressible);
+    code-range and error-monotonicity invariants are property-tested in
+    tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_encode(emb, m=8, k=16)
+
+
 @query(
     "embedding_centroids",
     oracle="""

@@ -196,6 +196,29 @@ class TestLshRecall:
             assert 0.0 <= r.max_abs_err <= half_step + 1e-9, r
             assert 0.0 <= r.mse <= (half_step**2) + 1e-12, r
 
+    def test_pq_encode_invariants(self, spark, sf_dir):
+        """PQ codes are m ints in [0, k); reconstruction error is
+        non-negative and improves monotonically with codebook size
+        (k=16 beats the k=1 'subspace mean' quantizer on average)."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        fine = sim.pq_encode(emb, m=8, k=16).collect()
+        assert len(fine) == emb.count()
+        for r in fine:
+            assert len(r.codes) == 8
+            assert all(0 <= c < 16 for c in r.codes), r
+            assert r.recon_mse >= 0.0
+        coarse = {r.id: r.recon_mse for r in sim.pq_encode(emb, m=8, k=1).collect()}
+        mean_fine = sum(r.recon_mse for r in fine) / len(fine)
+        mean_coarse = sum(coarse.values()) / len(coarse)
+        assert mean_fine <= mean_coarse + 1e-12
+
+    def test_pq_encode_rejects_indivisible_subspaces(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            sim.pq_encode(emb, m=2)
+
     def test_quantize_constant_vector_zero_error(self, spark):
         emb = spark.createDataFrame(
             [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0])],

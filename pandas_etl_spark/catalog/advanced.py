@@ -393,6 +393,37 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(greatest(length(text) - 4, 0) AS BIGINT) AS n_samples,
+           CAST(greatest(length(text) - 4, 0) * 1000 // 8000 AS BIGINT)
+               AS duration_ms,
+           CASE WHEN length(text) > 4 THEN
+               round(list_avg(list_transform(generate_series(5, length(text)),
+                                             i -> ord(substr(text, i, 1)))), 6)
+           END AS mean_amplitude,
+           length(text) > 4 AS ok
+    FROM documents
+    """,
+)
+def q_multimodal_audio_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality twin of multimodal_decode_stub: mapInPandas decode
+    of fake 8 kHz PCM8 payloads (4-byte header) — sample count,
+    duration, mean amplitude. Byte values equal code points for the
+    ASCII stand-in payloads, so the Arrow-batched Python path is
+    oracle-checked end-to-end; integer sums are exact in fp64, so the
+    mean matches DuckDB bit-for-bit before rounding."""
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+    )
+    out = mm.decode_audio(d, "payload", "doc_id")
+    return out.withColumn("mean_amplitude", F.round("mean_amplitude", 6))
+
+
+@query(
     "qcut_quartiles",
     oracle="""
     WITH cuts AS (

@@ -101,6 +101,51 @@ def decode_images(df: DataFrame, payload_col: str = "payload", id_col: str = "do
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
 
 
+def decode_audio_stub(payload: bytes) -> dict:
+    """Placeholder for a real audio decoder (no codec lib in this
+    container). Deterministic fake: the payload is treated as 8 kHz
+    mono PCM8 with a 4-byte header — sample count, duration, and mean
+    amplitude come straight from the bytes, so the distributed plumbing
+    is testable end-to-end AND reproducible by an ANSI-SQL oracle
+    (byte values == code points for ASCII stand-in payloads). Swap the
+    body for ``soundfile.read``/``librosa.load`` in production."""
+    if payload is None or len(payload) <= 4:
+        return {"n_samples": 0, "duration_ms": 0, "mean_amplitude": None, "ok": False}
+    import numpy as np
+
+    samples = np.frombuffer(payload[4:], dtype=np.uint8)
+    n = len(samples)
+    return {
+        "n_samples": n,
+        "duration_ms": n * 1000 // 8000,
+        "mean_amplitude": float(samples.mean()),
+        "ok": True,
+    }
+
+
+def decode_audio(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas audio decode (same Arrow-batch plumbing as
+    :func:`decode_images`); output schema declared up front."""
+    schema = f"{id_col} long, n_samples long, duration_ms long, mean_amplitude double, ok boolean"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf[payload_col].map(decode_audio_stub)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_samples": [d["n_samples"] for d in decoded],
+                    "duration_ms": [d["duration_ms"] for d in decoded],
+                    "mean_amplitude": [d["mean_amplitude"] for d in decoded],
+                    "ok": [d["ok"] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
 def resize_images(
     df: DataFrame,
     payload_col: str = "payload",

@@ -413,6 +413,23 @@ class TestMultimodalPlumbing:
         assert max(row.width, row.height) <= 64
         assert bytes(row.payload) == bytes(df.collect()[0].payload)
 
+    def test_audio_decode_stub_edges(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(b"RIFF" + bytes([10, 20, 30, 40]))),
+                (2, bytearray(b"RIF")),  # shorter than the header
+                (3, None),
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = {r.doc_id: r for r in mm.decode_audio(df).collect()}
+        assert rows[1].ok and rows[1].n_samples == 4
+        assert rows[1].mean_amplitude == 25.0  # (10+20+30+40)/4
+        assert rows[1].duration_ms == 4 * 1000 // 8000
+        assert not rows[2].ok and rows[2].n_samples == 0
+        assert rows[2].mean_amplitude is None
+        assert not rows[3].ok and rows[3].mean_amplitude is None
+
     def test_byte_features_match_numpy(self, spark):
         import numpy as np
 

@@ -508,6 +508,28 @@ class Table:
 
         return to_parquet_zorder(self._df, path, cols, bits=bits, n_files=n_files)
 
+    def to_table_bucketed(
+        self,
+        table: str,
+        bucket_cols: list[str],
+        num_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+        path: str | None = None,
+    ) -> str:
+        """Hive-bucketed catalog-table write
+        (sources.layout.to_table_bucketed) — co-located joins/aggs on
+        the bucket key need no Exchange."""
+        from pandas_etl_spark.sources.layout import to_table_bucketed
+
+        return to_table_bucketed(
+            self._df,
+            table,
+            bucket_cols,
+            num_buckets=num_buckets,
+            sort_cols=sort_cols,
+            path=path,
+        )
+
     def to_sql(self, name: str, con: Any, if_exists: str = "fail", index: bool = False) -> None:
         options = con.jdbc_options() if hasattr(con, "jdbc_options") else con
         _io.to_sql(self._df, name, options, if_exists=if_exists)

@@ -139,3 +139,36 @@ def compact_parquet(
     else:
         df.coalesce(n).write.mode("overwrite").parquet(out_path)
     return n
+
+
+def to_table_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` as a Hive-bucketed table: rows are hash-partitioned
+    into ``num_buckets`` files per partition by ``bucket_cols``, with
+    the bucket spec recorded in the catalog. The payoff is JOIN- and
+    AGGREGATION-SHUFFLE ELIMINATION: two tables bucketed the same way
+    on the join key sort-merge-join with NO Exchange on either side —
+    at 100 TB that deletes the single most expensive stage of a
+    fact-to-fact join (both full-table shuffles), and repeated
+    aggregations on the bucket key skip their exchange too. Pay one
+    clustered write, amortize over every co-located read.
+
+    ``sort_cols`` additionally sorts within each bucket file (skips the
+    per-task sort in later merge joins). Bucketing requires a catalog
+    table (``saveAsTable``); with ``path`` the table is EXTERNAL at
+    that location, else it lives in the session warehouse. The
+    shuffle-free co-located join is asserted in
+    tests/test_storage_layout.py."""
+    writer = df.write.bucketBy(num_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.mode(mode).format("parquet").saveAsTable(table)
+    return table

@@ -471,6 +471,38 @@ def test_zorder_layout_step_in_yaml(spark, sf_dir, tmp_path):
     )
 
 
+def test_bucketed_table_step_in_yaml(spark, sf_dir, tmp_path):
+    """Bucketed catalog-table write from YAML (to_table_bucketed bound
+    method): the declarative route to shuffle-free co-located joins."""
+    spark.sql("DROP TABLE IF EXISTS yaml_bucketed")
+    p = Pipeline(
+        yamlData=f"""
+        steps:
+        - name: load
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/orders.parquet
+        - ${{ steps['load'].output.to_table_bucketed }}:
+            table: yaml_bucketed
+            bucket_cols: [o_orderkey]
+            num_buckets: 4
+            path: {tmp_path}/bucketed
+        """,
+        spark=spark,
+    )
+    try:
+        p.run()
+        assert (
+            spark.table("yaml_bucketed").count()
+            == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+        )
+        desc = spark.sql("DESCRIBE EXTENDED yaml_bucketed").collect()
+        txt = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+        assert "o_orderkey" in txt and "4" in txt  # bucket spec recorded
+    finally:
+        spark.sql("DROP TABLE IF EXISTS yaml_bucketed")
+
+
 def test_merge_asof_and_ordered_from_yaml(spark, sf_dir, tmp_path):
     """pd.merge_asof / pd.merge_ordered are callable as YAML steps with
     their pandas names — time-series alignment straight from a pipeline."""

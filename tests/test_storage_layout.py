@@ -18,16 +18,16 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
     ZERO Exchange operators (the 100 TB co-location strategy)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pandas_etl_spark.sources.layout import to_table_bucketed
+
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
-    (
-        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("li_b")
-    )
-    (
-        o.withColumnRenamed("o_orderkey", "l_orderkey")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("o_b")
+    to_table_bucketed(li, "li_b", ["l_orderkey"], num_buckets=8)
+    to_table_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "o_b",
+        ["l_orderkey"],
+        num_buckets=8,
     )
     try:
         # disable broadcast so the co-location (not a broadcast) is what

@@ -481,13 +481,31 @@ def semantic_dedup(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.lit(0).alias("cell")
         )
     else:
-        centroids = _kmeans_centroids(corpus, n_cells, kmeans_iters, id_col, vec_col)
+        # numpy sample-fit + Arrow-vectorized assignment (the PQ trade,
+        # measured: distributed Lloyd + 16 inlined 64-dim interpreted
+        # argmin folds ran 31s at sf0.1 where this path is ~2s; the fit
+        # sample stays bounded, assignment is one corpus pass)
+        dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+        if dim_row is None:
+            return emb.sparkSession.createDataFrame([], "id bigint, cell int")
+        d = dim_row["d"]
+        centroids = _pq_fit_codebooks(
+            corpus, 1, d, n_cells, kmeans_iters, id_col, vec_col
+        )[0]
         if not centroids:
             return emb.sparkSession.createDataFrame([], "id bigint, cell int")
+        C = np.array(centroids, dtype=np.float64)
+
+        @F.pandas_udf("int")
+        def _cell(vecs: pd.Series) -> pd.Series:
+            E = np.vstack(vecs.to_numpy()).astype(np.float64)
+            d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
         assigned = corpus.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            _nearest_centroid(F.col(vec_col), centroids).alias("cell"),
+            _cell(F.col(vec_col)).alias("cell"),
         )
     a = assigned.select("cell", F.col("id").alias("id_a"), F.col("vec").alias("va"))
     b = assigned.select("cell", F.col("id").alias("id_b"), F.col("vec").alias("vb"))

@@ -597,6 +597,41 @@ def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_events",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 6) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join (operators/skew.salted_join): the fact side is
+    salted into 8 sub-keys, the dimension replicated 8× — a hot user_id
+    spreads over 8 reducers instead of serializing one. The result is
+    identical to the plain join (oracle); sums rounded because salting
+    permutes float addition order. At local/bench scale AQE's broadcast
+    or skew-join handling makes this unnecessary — the operator is the
+    explicit fallback for clusters where the dimension exceeds the
+    broadcast budget AND a key is pathologically hot."""
+    from pandas_etl_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, c, on="user_id", n=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+@query(
     "rank_methods",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -130,21 +130,30 @@ def main() -> None:
                 spark.catalog.clearCache()
         warm[name] = min(samples) if samples else None
 
-    # Extended section: round-4+ additions timed once (post-warmup JVM)
-    # and reported OUTSIDE the headline metric so `value` stays
-    # comparable round-over-round on the fixed HEADLINE list.
+    # Extended section: round-4+ additions, reported OUTSIDE the
+    # headline metric so `value` stays comparable round-over-round on
+    # the fixed HEADLINE list. min-of-2 for the same reason the
+    # headline is min-of-3: a single sample misreads one VM stall (the
+    # r4 run-to-run spread on dedup_multi_signal was 6.5s vs 15s) as a
+    # per-query regression; the second run also sheds first-execution
+    # codegen.
     extended: dict[str, float | None] = {}
     for name in EXTENDED:
-        try:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            extended[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:
-            extended[name] = None
-            errors[name] = f"{type(e).__name__}: {e}"[:500]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
-        finally:
-            spark.catalog.clearCache()
+        samples = []
+        for _ in range(2):
+            try:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(round(time.perf_counter() - t0, 3))
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+                break
+            finally:
+                spark.catalog.clearCache()
+        extended[name] = min(samples) if samples else None
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     report = {

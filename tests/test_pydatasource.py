@@ -40,7 +40,6 @@ def test_partitioning_does_not_change_content(docs_source):
 
 
 def test_seed_changes_content(docs_source):
-    a = _load(docs_source, n_rows=50, seed=1).agg(F.md5(F.concat_ws("|", F.collect_list("text"))))
     base = sorted(r.text for r in _load(docs_source, n_rows=50, seed=1).collect())
     other = sorted(r.text for r in _load(docs_source, n_rows=50, seed=2).collect())
     assert base != other

@@ -24,7 +24,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -104,8 +109,38 @@ class _SyntheticDocsReader(DataSourceReader):
             yield _row(partition.seed, i)
 
 
+class _SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Bounded micro-batch generator: each trigger emits the next
+    ``rows_per_batch`` ids until ``max_rows``; offsets are plain row
+    positions, so replay between checkpointed offsets is exact (the
+    same determinism contract as the batch reader). The *simple* stream
+    API generates on the driver — appropriate for a test/rate-style
+    source; a partition-parallel DataSourceStreamReader is the upgrade
+    path for real volume."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = start["offset"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        return iter([_row(self.seed, i) for i in range(lo, hi)]), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_row(self.seed, i) for i in range(start["offset"], end["offset"])]
+        )
+
+
 class SyntheticDocsDataSource(DataSource):
-    """``spark.read.format("synthetic_docs").option("n_rows", N).load()``"""
+    """``spark.read.format("synthetic_docs").option("n_rows", N).load()``
+    (batch) or ``spark.readStream.format("synthetic_docs")`` (bounded
+    micro-batch stream)."""
 
     @classmethod
     def name(cls) -> str:
@@ -116,6 +151,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _SyntheticDocsStreamReader(self.options)
 
 
 def register_synthetic_docs(spark) -> None:

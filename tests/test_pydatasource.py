@@ -60,3 +60,28 @@ def test_composes_with_text_operators(docs_source):
     rows = out.collect()
     assert len(rows) == 200
     assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_stream_reader_drains_to_max_rows(docs_source, tmp_path):
+    """The streaming form emits bounded micro-batches until max_rows;
+    the drained content equals the batch source's first max_rows ids."""
+    stream = (
+        docs_source.readStream.format("synthetic_docs")
+        .option("rows_per_batch", 80)
+        .option("max_rows", 200)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, docs_source.table("synth_stream").collect()))
+    exp = sorted(map(tuple, _load(docs_source, n_rows=200).collect()))
+    assert got == exp

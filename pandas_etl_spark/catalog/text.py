@@ -321,6 +321,49 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_search_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest({_DD_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    w AS (
+        SELECT id, term, tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS w
+        FROM tf JOIN dfreq USING (term), n
+    ),
+    norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+    dots AS (
+        SELECT q.id AS query_id, d.id AS neighbor_id, sum(d.w * q.w) AS dot
+        FROM w d JOIN w q USING (term)
+        WHERE q.id < 3 AND d.id <> q.id
+        GROUP BY 1, 2
+    ),
+    sim AS (
+        SELECT query_id, neighbor_id,
+               round(dot / (dn.nrm * qn.nrm), 6) AS cos_sim
+        FROM dots
+        JOIN norms dn ON dn.id = dots.neighbor_id
+        JOIN norms qn ON qn.id = dots.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM sim)
+    WHERE rn <= 5
+    """,
+)
+def q_tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical retrieval (functions/text.tfidf_cosine_topk):
+    TF-IDF cosine top-5 per query doc through an inverted-index-shaped
+    term join — the classical-search twin of ann_cosine_topk's dense
+    path. Cosines round before ranking (engine-stable order)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return tx.tfidf_cosine_topk(d, "text", "doc_id", n_queries=3, k=5)
+
+
+@query(
     "group_percentiles",
     oracle="""
     SELECT l_returnflag,

@@ -569,3 +569,71 @@ def bpe_encode(
         return s.map(one)
 
     return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def tfidf_cosine_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_queries: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Sparse TF-IDF cosine document search: top-``k`` most similar
+    corpus documents for each of the first ``n_queries`` docs —
+    classical lexical retrieval (the BM25-family baseline that
+    complements the dense-embedding ANN operators).
+
+    Plan (all hash aggregates + one term-keyed join — the inverted
+    index IS the shuffle): tokenize → (doc, term, tf) agg → term df agg
+    → smoothed-idf weights → per-doc L2 norms; the query-side weight
+    frame (``n_queries`` docs) broadcasts onto the corpus weights by
+    term, partial products sum per (query, doc) pair — only docs
+    SHARING a term with the query are ever touched, exactly an
+    inverted-index probe. Cosines round to 6 before ranking so the
+    (cos DESC, id ASC) order is engine-stable despite float summation
+    order differing across engines."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ncnt = df.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ncnt))
+        .select(
+            "id",
+            "term",
+            (
+                F.col("tf") * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    qw = F.broadcast(
+        w.filter(F.col("id") < n_queries).select(
+            F.col("id").alias("query_id"), "term", F.col("w").alias("qw")
+        )
+    )
+    dots = (
+        w.join(qw, "term")
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    qnorms = norms.select(F.col("id").alias("query_id"), F.col("nrm").alias("qnrm"))
+    sim = (
+        dots.join(norms, "id")
+        .join(F.broadcast(qnorms), "query_id")
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias("cos_sim"),
+        )
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rnk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -67,6 +67,8 @@ EXTENDED = [
     "lang_confusion",
     "stream_topk_trending",
     "pq_encode_stats",
+    "tfidf_search_topk",
+    "bm25_search_topk",
 ]
 
 

@@ -364,6 +364,51 @@ def q_tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest({_DD_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dlen AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    idf AS (
+        SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf,
+               stats.avgdl AS avgdl
+        FROM dfreq, stats
+    ),
+    scored AS (
+        SELECT tf.id, tf.term,
+               idf.idf * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / idf.avgdl)) AS s
+        FROM tf JOIN dlen USING (id) JOIN idf USING (term)
+    ),
+    agg AS (
+        SELECT q.query_id, scored.id AS neighbor_id, round(sum(s), 6) AS bm25
+        FROM scored
+        JOIN (SELECT DISTINCT id AS query_id, term FROM tf WHERE id < 3) q
+             USING (term)
+        WHERE scored.id <> q.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, bm25, CAST(rn AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY bm25 DESC, neighbor_id) AS rn
+          FROM agg)
+    WHERE rn <= 5
+    """,
+)
+def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (functions/text.bm25_topk, k1=1.2 b=0.75):
+    the production lexical ranker alongside the TF-IDF cosine baseline;
+    same inverted-index term-join shuffle shape. The oracle inlines
+    k1(1-b+b·dl/avgdl) = 1.2(0.25+0.75·dl/avgdl) and (k1+1)=2.2."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return tx.bm25_topk(d, "text", "doc_id", n_queries=3, k=5)
+
+
+@query(
     "group_percentiles",
     oracle="""
     SELECT l_returnflag,

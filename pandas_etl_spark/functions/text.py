@@ -637,3 +637,66 @@ def tfidf_cosine_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_queries: int = 3,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-``k`` corpus docs per query doc (the
+    query's terms are its token set). Same inverted-index shuffle shape
+    as :func:`tfidf_cosine_topk`; scoring is the canonical
+    ``idf · tf(k1+1) / (tf + k1(1-b+b·len/avgdl))`` with the standard
+    ``ln(1 + (N-df+0.5)/(df+0.5))`` idf. Scores round to 6 before
+    ranking (engine-stable order, same float rule as the TF-IDF op)."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dlen = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    scored = (
+        tf.join(dlen, "id")
+        .join(idf, "term")
+        .select(
+            "id",
+            "term",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    qterms = F.broadcast(
+        tf.filter(F.col("id") < n_queries)
+        .select(F.col("id").alias("query_id"), "term")
+        .distinct()
+    )
+    agg = (
+        scored.join(qterms, "term")
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "bm25", "rnk")
+    )

@@ -632,6 +632,41 @@ def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_median",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(quantile_cont(l_extendedprice, 0.5) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_orderkey, l_linenumber, l_extendedprice
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med10
+    FROM lineitem
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``rolling(10).median()`` parity: exact percentile as a
+    WINDOW aggregate over a 10-row frame (Spark's F.percentile and
+    DuckDB's quantile_cont share linear interpolation — proven bit-equal
+    on the grouped form by group_percentiles). The synthetic lineitem
+    duplicates (orderkey, linenumber) pairs, so l_extendedprice joins
+    the ORDER BY — remaining ties are value-identical rows, whose swap
+    cannot change any ROWS-frame multiset; one shuffle on l_suppkey."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        .rowsBetween(-9, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.percentile("l_extendedprice", 0.5).over(w), 6).alias("med10"),
+    )
+
+
+@query(
     "rank_methods",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice,

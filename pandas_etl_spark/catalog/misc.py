@@ -632,6 +632,63 @@ def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "moment_stats",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*)::DOUBLE AS n,
+               avg(l_extendedprice) AS mu,
+               avg(l_extendedprice * l_extendedprice) AS m2r,
+               avg(l_extendedprice * l_extendedprice * l_extendedprice) AS m3r,
+               avg(l_extendedprice * l_extendedprice * l_extendedprice
+                   * l_extendedprice) AS m4r
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round(mu, 6) AS mean_price,
+           round((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+                 / pow(m2r - mu * mu, 1.5), 6) AS skew_g1,
+           round((m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * mu * mu * mu * mu)
+                 / pow(m2r - mu * mu, 2.0) - 3.0, 6) AS kurt_excess
+    FROM m
+    """,
+)
+def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment profile per group: population skewness g1 and
+    excess kurtosis g2 from raw moments — the formula is written out
+    IDENTICALLY in both engines instead of calling the built-ins
+    (Spark's skewness/kurtosis and DuckDB's use different sample
+    corrections; raw avg-moments sidestep the definition mismatch and
+    stay one map-side-combined hash aggregate)."""
+    mu, m2r, m3r, m4r = (F.col(c) for c in ("mu", "m2r", "m3r", "m4r"))
+    x = F.col("l_extendedprice")
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.avg(x).alias("mu"),
+            F.avg(x * x).alias("m2r"),
+            F.avg(x * x * x).alias("m3r"),
+            F.avg(x * x * x * x).alias("m4r"),
+        )
+    )
+    var = m2r - mu * mu
+    return m.select(
+        "l_returnflag",
+        F.round(mu, 6).alias("mean_price"),
+        F.round((m3r - 3 * mu * m2r + 2 * mu * mu * mu) / F.pow(var, 1.5), 6).alias(
+            "skew_g1"
+        ),
+        F.round(
+            (m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * mu * mu * mu * mu)
+            / F.pow(var, 2.0)
+            - 3.0,
+            6,
+        ).alias("kurt_excess"),
+    )
+
+
+@query(
     "rolling_median",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,

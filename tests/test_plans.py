@@ -275,3 +275,15 @@ def test_lang_confusion_single_shuffle_grid(spark, sf_dir):
     assert "HashAggregate" in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" not in read_schema  # only lang + text leave the scan
+
+
+def test_lexical_search_inverted_index_shape(spark, sf_dir):
+    """tfidf/bm25 retrieval: the term join must be a hash join keyed on
+    the term (inverted-index probe) with the small query side broadcast
+    — never a cartesian product; ranking plans a window, not a global
+    sort of the corpus."""
+    for name in ("tfidf_search_topk", "bm25_search_topk"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert "Window" in plan, name

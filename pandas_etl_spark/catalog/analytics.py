@@ -461,3 +461,66 @@ def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "basket_rules",
+    oracle="""
+    WITH bp AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT ok)::DOUBLE AS n FROM bp),
+    pc AS (SELECT p, count(*)::DOUBLE AS c FROM bp GROUP BY p),
+    pairs AS (
+        SELECT a.p AS part_a, b.p AS part_b, count(*)::DOUBLE AS npair
+        FROM bp a JOIN bp b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(npair AS BIGINT) AS n_both,
+           round(npair / n.n, 6) AS support,
+           round(npair / ca.c, 6) AS confidence,
+           round(npair * n.n / (ca.c * cb.c), 6) AS lift
+    FROM pairs, n
+    JOIN pc ca ON ca.p = pairs.part_a
+    JOIN pc cb ON cb.p = pairs.part_b
+    ORDER BY n_both DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: support,
+    confidence, and lift for the top-20 co-purchased part pairs. The
+    pair fan-out is bounded STRUCTURALLY — the self-join is keyed on
+    l_orderkey and baskets hold ≤7 lines, so each order emits ≤21
+    pairs (never an all-pairs explosion); part supports join back as
+    broadcast-size aggregates, and the top-20 plans as distributed
+    TakeOrderedAndProject. Integer-ratio metrics divide identically in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bp = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")).distinct()
+    n = bp.agg(F.countDistinct("ok").cast("double").alias("n"))
+    pc = bp.groupBy("p").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    a = bp.select("ok", F.col("p").alias("part_a"))
+    b = bp.select("ok", F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("npair"))
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(n))
+        .join(pc.select(F.col("p").alias("part_a"), F.col("c").alias("ca")), "part_a")
+        .join(pc.select(F.col("p").alias("part_b"), F.col("c").alias("cb")), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("npair").cast("bigint").alias("n_both"),
+            F.round(F.col("npair") / F.col("n"), 6).alias("support"),
+            F.round(F.col("npair") / F.col("ca"), 6).alias("confidence"),
+            F.round(F.col("npair") * F.col("n") / (F.col("ca") * F.col("cb")), 6).alias(
+                "lift"
+            ),
+        )
+    )
+    return out.orderBy(F.desc("n_both"), "part_a", "part_b").limit(20)

@@ -23,19 +23,22 @@ from pandas_etl_spark.catalog import curation  # noqa: E402,F401
 from pandas_etl_spark.catalog import analytics  # noqa: E402,F401
 from pandas_etl_spark.catalog import tpch  # noqa: E402,F401
 
-# Registry priority ordering (VERDICT r3 #4). External harnesses that
-# check a fixed-size prefix of the registry (the driver verifies the
-# first 50) should land on the north-star operators — the LLM-data-
-# pipeline family (dedup / similarity / curation / text / sessionization
-# / multimodal) — plus the core relational surface, rather than on
-# whatever module happened to import first. Everything else keeps its
-# module order after the prioritized block; all queries remain
-# registered and locally oracle-tested either way. The 50-entry prefix
-# deliberately covers the r3-regression pair (rolling_time_window,
-# resample_interpolate) and the oracle-bearing variants of each
-# dedup/similarity family (rows-only twins stay outside the prefix).
+# Registry priority ordering (VERDICT r3 #4; rotated per VERDICT r4 #1).
+# External harnesses that check a fixed-size prefix of the registry (the
+# driver verifies the first 50) should exercise queries that have never
+# produced a hard driver signal, not re-prove already-green rows. The
+# prefix therefore has two blocks:
+#   1. ~15 regression-critical slots that stay pinned every round (the
+#      dedup/similarity core, the r3-regression pair rolling_time_window
+#      / resample_interpolate, sessionize, pricing_summary) so a
+#      regression in the north-star family is caught immediately;
+#   2. ~35 rotating slots drawn from oracle-backed queries that have no
+#      green row in any CORRECTNESS_r*.json yet (r5: the TPC-H suite,
+#      all stream_* oracles, lexical search, SCD2, cohort analytics).
+# Everything else keeps module order after the prioritized block; all
+# queries remain registered and locally oracle-tested either way.
 _PRIORITY = [
-    # LLM-pipeline north star (SURVEY §2.9 + training-data ops)
+    # --- pinned regression-critical block (kept green r1-r4) ---
     "dedup_exact",
     "dedup_groups",
     "dedup_clusters",
@@ -44,49 +47,53 @@ _PRIORITY = [
     "ngram_jaccard_pairs",
     "simhash_pairs_checked",
     "ann_cosine_topk",
-    "embedding_neardup_exact",
     "semantic_dedup_checked",
-    "embedding_quantize_error",
     "curate_corpus",
-    "decontaminate",
-    "pii_redact",
-    "mixture_sample",
-    "dataset_split",
-    "token_budget_select",
-    "repetition_filter",
-    "quality_score",
-    "doc_stats",
-    "lang_id",
-    "token_count_bpe",
-    "tfidf_top_terms",
-    "vocab_topk",
-    "sequence_packing",
     "dedup_incremental",
-    "leakage_safe_split",
-    "unigram_logprob_score",
     "sessionize",
-    "session_window_agg",
-    "multimodal_meta",
-    "multimodal_decode_stub",
-    "multimodal_features",
-    # core relational surface
     "pricing_summary",
-    "filter_project",
-    "agg_stats",
-    "groupby_wide_max",
-    "join_dims_broadcast",
-    "top_revenue_orders",
-    "nation_revenue",
-    "semi_join",
-    "anti_join",
-    "outer_join",
-    "theta_join_pairs",
-    "asof_join_events",
-    "window_topk_per_group",
-    "window_running_total",
-    "rolling_window",
     "rolling_time_window",
     "resample_interpolate",
+    # --- r5 rotation: never driver-checked oracle queries ---
+    # TPC-H shape suite (q1/q3/q13 were driver-checked in earlier rounds
+    # under pricing_summary/nation_revenue/other names; these were not)
+    "tpch_q2_shape",
+    "tpch_q4_priority_check",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_shipments",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
+    # Structured Streaming oracles (availableNow batch-equivalent)
+    "stream_tumbling_hour",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_stream_join",
+    "stream_static_join",
+    "stream_dedup_counts",
+    "stream_dedup_watermark",
+    "stream_topk_trending",
+    "stream_quality_histogram",
+    "stream_ohlc_bars",
+    # lexical retrieval + warehouse/analytics patterns
+    "tfidf_search_topk",
+    "bm25_search_topk",
+    "scd2_history",
+    "cohort_retention",
+    "pivot_margins",
+    "pipeline_yaml_engine",
 ]
 
 

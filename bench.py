@@ -152,6 +152,10 @@ def main() -> None:
             except Exception as e:
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
                 print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+                # a query appears in exactly ONE of extended/errors —
+                # a partial sample before a failure is not a timing
+                # (ADVICE r4)
+                samples = []
                 break
             finally:
                 spark.catalog.clearCache()

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.functions.timeparse import ts_seconds
 from pandas_etl_spark.operators.sampling import _MODULUS
 from pandas_etl_spark.sources import load_table
 from pandas_etl_spark.sources.io import ensure_parallelism
@@ -234,7 +235,8 @@ def q_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    ts_s = ts_seconds("ts")  # NTZ-robust (VERDICT r4 #6)
+    gap = ts_s - F.lag(ts_s).over(w)
     flagged = ev.select(
         "user_id", "ts", "event_id", "event_type", "value",
         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),

@@ -3,8 +3,11 @@
 from __future__ import annotations
 
 import functools
+import logging
 from collections.abc import Callable
 from typing import Any
+
+logger = logging.getLogger(__name__)
 
 QUERIES: dict[str, Callable[..., Any]] = {}
 ORACLES: dict[str, str] = {}
@@ -34,8 +37,12 @@ def ensure_session_confs(spark) -> None:
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
-        except Exception:  # pragma: no cover - static confs on exotic sessions
-            pass
+        except Exception as exc:
+            # Correctness never rides on this succeeding (load_table
+            # normalizes dtypes regardless), but a frozen/exotic session
+            # silently rejecting a conf cost a round of debugging in r3 —
+            # leave a trace (VERDICT r4 #5).
+            logger.warning("could not set %s=%s on session: %s", k, v, exc)
 
 
 def query(name: str, oracle: str | None = None):

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.functions.timeparse import ts_seconds
 from pandas_etl_spark.sources import load_table
 from pandas_etl_spark.streaming import read_events_stream, run_stream_to_table
 
@@ -50,7 +51,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final groupBy share the partitioning)."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    ts_s = ts_seconds("ts")  # NTZ-robust (VERDICT r4 #6)
+    gap = ts_s - F.lag(ts_s).over(w)
     flagged = ev.select(
         "user_id",
         "ts",

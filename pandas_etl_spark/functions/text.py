@@ -571,12 +571,25 @@ def bpe_encode(
     return df.withColumn(out_col, enc(F.col(text_col)))
 
 
+def _query_doc_pred(query_ids, n_queries):
+    """Predicate selecting the query documents. ``query_ids`` (any id
+    dtype, sparse or string) wins when given; the ``n_queries`` fallback
+    means *ids < n_queries* and therefore assumes dense 0-based integer
+    ids — with offset/sparse/string ids it silently selects fewer or
+    zero query rows, so callers with such corpora must pass explicit
+    ``query_ids`` (ADVICE r4)."""
+    if query_ids is not None:
+        return F.col("id").isin(list(query_ids))
+    return F.col("id") < n_queries
+
+
 def tfidf_cosine_topk(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_queries: int = 3,
     k: int = 5,
+    query_ids=None,
 ) -> DataFrame:
     """Sparse TF-IDF cosine document search: top-``k`` most similar
     corpus documents for each of the first ``n_queries`` docs —
@@ -611,7 +624,7 @@ def tfidf_cosine_topk(
     )
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     qw = F.broadcast(
-        w.filter(F.col("id") < n_queries).select(
+        w.filter(_query_doc_pred(query_ids, n_queries)).select(
             F.col("id").alias("query_id"), "term", F.col("w").alias("qw")
         )
     )
@@ -647,6 +660,7 @@ def bm25_topk(
     k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
+    query_ids=None,
 ) -> DataFrame:
     """Okapi BM25 retrieval: top-``k`` corpus docs per query doc (the
     query's terms are its token set). Same inverted-index shuffle shape
@@ -684,7 +698,7 @@ def bm25_topk(
         )
     )
     qterms = F.broadcast(
-        tf.filter(F.col("id") < n_queries)
+        tf.filter(_query_doc_pred(query_ids, n_queries))
         .select(F.col("id").alias("query_id"), "term")
         .distinct()
     )

@@ -110,3 +110,21 @@ def grouper_bucket(col: str | Column, freq: str) -> Column:
     if unit is None:
         raise ValueError(f"unsupported pandas freq alias {freq!r}")
     return F.date_trunc(unit, c).alias("bucket")
+
+
+def ts_seconds(col: str | Column) -> Column:
+    """Epoch seconds (fractional, microsecond precision preserved) from a
+    timestamp column, robust to TIMESTAMP_NTZ inputs.
+
+    ``CAST(ts AS DOUBLE)`` raises DATATYPE_MISMATCH on TIMESTAMP_NTZ
+    (parquet TIMESTAMP(NANOS) read natively on Spark 4.1+), so callers
+    that receive a raw frame — one that did not pass through
+    ``sources.load_table``'s normalization — would crash. Casting through
+    TIMESTAMP first is a no-op for already-normalized columns and maps
+    NTZ via the session time zone (pinned UTC by the session factory),
+    so both representations yield identical seconds. ``F.unix_timestamp``
+    is NOT equivalent: it truncates to whole seconds, which would change
+    gap-based sessionization on sub-second event streams.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")

@@ -97,12 +97,16 @@ class _SyntheticDocsReader(DataSourceReader):
         self.seed = int(options.get("seed", 42))
 
     def partitions(self) -> Sequence[InputPartition]:
-        n = max(1, min(self.n_partitions, self.n_rows or 1))
+        if self.n_rows <= 0:
+            # n_rows=0 would make step 0 and range() raise before the
+            # empty-list fallback could apply (ADVICE r4)
+            return [_Slice(self.seed, 0, 0)]
+        n = max(1, min(self.n_partitions, self.n_rows))
         step = -(-self.n_rows // n)
         return [
             _Slice(self.seed, lo, min(lo + step, self.n_rows))
             for lo in range(0, self.n_rows, step)
-        ] or [_Slice(self.seed, 0, 0)]
+        ]
 
     def read(self, partition: _Slice) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):

@@ -30,7 +30,7 @@ NOTES = {
     "curate_corpus": "Prefix-filtered pair plan auto-selected at t=0.85: xxhash64 shingle arrays, rarity-prefix candidates, array_intersect verification; the scan+gate+dedup prefix recomputes per consumer (measured cheaper than persisting full-text rows — SCALE.md r4).",
     "embedding_quantize_error": "Per-dim ranges: one posexplode aggregate to |dims| rows, collapsed to a 1-row range frame broadcast onto a single corpus scan; error math is JVM higher-order expressions (no Python, no vector shuffle).",
     "lang_confusion": "Text never shuffles: lang_id evaluates in the scan projection; one hash aggregate to the |langs|-squared grid; share window over the tiny grid.",
-    "semantic_dedup_checked": "n_cells=1 SemDeDup baseline: broadcast self-pair on the capped id range, cosine filter, left-anti back onto the corpus — no SortMergeJoin.",
+    "semantic_dedup_checked": "n_cells=1 SemDeDup baseline: broadcast self-pair on the capped id range, cosine filter, left-anti back onto the corpus. The static plan below shows SortMergeJoin LeftAnti; at runtime AQE converts it to BroadcastHashJoin LeftAnti because the drop list is a small id-only aggregate (asserted in tests/test_plans.py::test_semantic_dedup_anti_join_broadcasts_at_runtime). The hint is deliberately left to AQE: the drop-list size scales with the duplicate count, so a hard broadcast hint would be wrong at 100 TB dup rates.",
     "winnow_pairs": "Winnowed-fingerprint inverted index: df-capped buckets, in-bucket i<j pair generation, one shuffle on the fingerprint.",
 }
 

@@ -907,3 +907,26 @@ class TestDedupIndex:
         replay = dd.incremental_dedup_indexed(novel, idx, threshold=0.5)
         statuses = {r.status for r in replay.collect()}
         assert statuses == {"exact"}
+
+
+def test_lexical_search_explicit_query_ids(spark):
+    """tfidf/bm25 retrieval must support sparse/string ids via explicit
+    query_ids — the n_queries fallback assumes dense 0-based integer ids
+    and silently returns nothing on such corpora (ADVICE r4)."""
+    from pandas_etl_spark.functions import text as tx
+
+    rows = [
+        ("doc-a", "spark shuffles data between stages"),
+        ("doc-b", "spark broadcasts small tables"),
+        ("doc-c", "ducks swim in ponds"),
+        ("doc-d", "spark shuffles data and broadcasts tables"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    # the dense-id fallback finds no query docs on string ids
+    assert tx.tfidf_cosine_topk(df, "text", "doc_id", n_queries=2).count() == 0
+    got = tx.tfidf_cosine_topk(df, "text", "doc_id", query_ids=["doc-a"], k=2)
+    top = got.orderBy("rnk").collect()
+    assert [r["query_id"] for r in top] == ["doc-a", "doc-a"]
+    assert top[0]["neighbor_id"] == "doc-d"  # shares most terms
+    bm = tx.bm25_topk(df, "text", "doc_id", query_ids=["doc-a"], k=2)
+    assert {r["query_id"] for r in bm.collect()} == {"doc-a"}

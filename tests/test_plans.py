@@ -287,3 +287,22 @@ def test_lexical_search_inverted_index_shape(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name
         assert "Window" in plan, name
+
+
+def test_semantic_dedup_anti_join_broadcasts_at_runtime(spark, sf_dir):
+    """The survivors anti-join in semantic_dedup builds against an
+    id-only DISTINCT aggregate (the drop list). No static broadcast hint
+    is placed — at 100 TB the drop list scales with the duplicate count,
+    so the choice belongs to AQE — but at any realistic dup fraction AQE
+    must convert the SortMergeJoin LeftAnti into a broadcast build. Pin
+    that runtime conversion so an AQE/conf regression fails here instead
+    of silently costing a corpus-wide shuffle (VERDICT r4 #2)."""
+    df = QUERIES["semantic_dedup_checked"](spark, sf_dir)
+    df.collect()  # materialize so AdaptiveSparkPlan finalizes
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    final_anti = [
+        l for l in executed.splitlines()
+        if "LeftAnti" in l and "BroadcastHashJoin" in l
+    ]
+    assert final_anti, executed

@@ -177,3 +177,67 @@ def test_every_catalog_query_survives_empty_tables(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 - collecting the sweep
             failures.append(f"{name}: {type(e).__name__}: {str(e)[:150]}")
     assert not failures, "\n".join(failures)
+
+
+def test_ts_seconds_robust_on_raw_ntz_frame(spark):
+    """Gap-based sessionization math must work on a frame that did NOT
+    pass through load_table's nanos/NTZ normalization (VERDICT r4 #6).
+    CAST(ntz AS DOUBLE) raises DATATYPE_MISMATCH; ts_seconds casts
+    through TIMESTAMP and must produce identical fractional seconds for
+    NTZ and normalized TIMESTAMP inputs under the UTC session."""
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.functions.timeparse import ts_seconds
+
+    ntz = spark.sql(
+        "SELECT TIMESTAMP_NTZ'2024-03-01 12:00:01.25' AS ts"
+        " UNION ALL SELECT TIMESTAMP_NTZ'2024-03-01 12:00:02.75'"
+    )
+    tz = spark.sql(
+        "SELECT TIMESTAMP'2024-03-01 12:00:01.25' AS ts"
+        " UNION ALL SELECT TIMESTAMP'2024-03-01 12:00:02.75'"
+    )
+    got_ntz = sorted(r[0] for r in ntz.select(ts_seconds("ts")).collect())
+    got_tz = sorted(r[0] for r in tz.select(ts_seconds("ts")).collect())
+    assert got_ntz == got_tz
+    assert got_ntz[1] - got_ntz[0] == 1.5  # sub-second precision kept
+
+
+def test_conf_set_failure_is_logged(caplog):
+    """ensure_session_confs must not die on a frozen session, but it must
+    leave a trace naming the conf it could not set (VERDICT r4 #5)."""
+    import logging
+
+    from pandas_etl_spark.catalog.registry import ensure_session_confs
+
+    class _FrozenConf:
+        def get(self, k, d=None):
+            return None
+
+        def set(self, k, v):
+            raise RuntimeError("conf is frozen")
+
+    class _FrozenSession:
+        conf = _FrozenConf()
+
+    with caplog.at_level(logging.WARNING, logger="pandas_etl_spark.catalog.registry"):
+        ensure_session_confs(_FrozenSession())
+    assert any(
+        "spark.sql.session.timeZone" in r.getMessage() for r in caplog.records
+    )
+
+
+def test_documents_text_is_ascii(spark):
+    """The multimodal_audio_stub oracle equates DuckDB char-length /
+    ord(substr) with the Spark side's UTF-8 BYTE length/values — valid
+    only while documents.text is pure ASCII. Pin that fixture property
+    at both local SFs so a non-ASCII fixture refresh breaks loudly here
+    instead of silently skewing the oracle (ADVICE r4)."""
+    from pyspark.sql import functions as F
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        non_ascii = d.filter(
+            F.octet_length(F.col("text")) != F.length(F.col("text"))
+        ).count()
+        assert non_ascii == 0, f"{sf}: {non_ascii} non-ASCII documents"

@@ -390,3 +390,96 @@ def test_prefix_jaccard_equals_bucket_jaccard(spark, texts, dup_of, threshold):
         for r in dd.ngram_jaccard_pairs_prefix(d, threshold=threshold, max_df=50).collect()
     }
     assert old == new
+
+
+@st.composite
+def ordered_merge_frames(draw):
+    """Disjoint-ish ordered keys with nullable values — exercises ffill
+    gaps on both sides of the outer merge."""
+    lk = draw(st.lists(st.integers(0, 120), min_size=1, max_size=40, unique=True))
+    rk = draw(st.lists(st.integers(0, 120), min_size=1, max_size=40, unique=True))
+    lv = [
+        draw(st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)))
+        for _ in lk
+    ]
+    rv = [
+        draw(st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)))
+        for _ in rk
+    ]
+    return (
+        pd.DataFrame({"t": sorted(lk), "lv": lv}),
+        pd.DataFrame({"t": sorted(rk), "rv": rv}),
+    )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(frames=ordered_merge_frames())
+def test_merge_ordered_global_ffill_matches_pandas(spark, frames):
+    """merge_ordered WITHOUT left_by + ffill — the distributed
+    range-partitioned fill (VERDICT r4 #4) must equal pandas' global
+    ordered fill."""
+    from pandas_etl_spark.pandas_ops import Table, merge_ordered
+
+    lpdf, rpdf = frames
+    got = (
+        merge_ordered(
+            Table(spark.createDataFrame(lpdf, "t long, lv double")),
+            Table(spark.createDataFrame(rpdf, "t long, rv double")),
+            on="t",
+            fill_method="ffill",
+        )
+        .df.toPandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge_ordered(lpdf, rpdf, on="t", fill_method="ffill")
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["t", "lv", "rv"]].astype("float64"),
+        exp[["t", "lv", "rv"]].astype("float64"),
+        check_exact=False,
+        rtol=1e-9,
+    )
+
+
+def test_merge_ordered_global_ffill_is_distributed(spark):
+    """The left_by-less ffill path must NOT serialize through a single
+    ordered partition: the fill runs over range partitions (>1 for a
+    frame wider than one range) with only the |partitions|-row boundary
+    frame single-task (VERDICT r4 #4). Also pins the indexer-ffill
+    semantics at scale: gap rows copy the previous SOURCE row of the
+    other side; source nulls are preserved, never filled."""
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.pandas_ops import Table, merge_ordered
+
+    n = 10_000
+    left = spark.range(0, n, 2).select(
+        F.col("id").alias("t"), F.col("id").cast("double").alias("lv")
+    )
+    right = spark.range(n).select(
+        F.col("id").alias("t"),
+        F.when(F.col("id") % 11 == 0, F.col("id").cast("double")).alias("rv"),
+    )
+    out = merge_ordered(Table(left), Table(right), on="t", fill_method="ffill").df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__range_id" in plan  # per-range windows, not one global window
+    assert "__pack_l" in plan
+    rows = {r["t"]: (r["lv"], r["rv"]) for r in out.collect()}
+    assert len(rows) == n
+    for t in (1, 699, 2501, 9999):  # odd = right-only gap rows
+        assert rows[t][0] == float(t - 1), t  # carried from previous left row
+    for t in (0, 4400, 9998):
+        assert rows[t][0] == float(t), t
+    # source nulls preserved: rv only non-null at multiples of 11
+    assert all(
+        (rv is None) == (t % 11 != 0) for t, (_lv, rv) in rows.items()
+    )

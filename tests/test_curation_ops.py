@@ -337,3 +337,59 @@ def test_bpe_encode_roundtrip_and_merges_applied(spark, sf_dir):
         assert "".join(row.bpe_tokens) == "".join(words)
         saw_fused = saw_fused or top in row.bpe_tokens
     assert saw_fused, f"top merge {top!r} never appeared fused"
+
+
+def test_bpe_200_merges_match_reference_and_run_constant_jobs(spark, sf_dir):
+    """VERDICT r4 #7: the merge loop is driver-side over the bounded
+    word table — (a) the lazy-heap incremental trainer produces the
+    EXACT merge sequence of the naive recount reference at
+    num_merges=200, and (b) the whole learn launches a constant number
+    of Spark jobs (the corpus pass), not 2 jobs per merge."""
+    import collections
+    import re
+
+    from pandas_etl_spark.functions.text import learn_bpe_merges
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    group = "bpe-jobcount"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "bpe learn", False)
+    try:
+        got = learn_bpe_merges(d, "text", num_merges=200, max_words=2000)
+    finally:
+        sc.setJobGroup("", "", False)
+    job_ids = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(job_ids) <= 5, f"per-merge jobs leaked: {len(job_ids)} jobs"
+    assert len(got) > 50, "fixture corpus should sustain >50 merges"
+
+    freq = collections.Counter()
+    for (text,) in d.select("text").collect():
+        for w in re.split(r"\s+", text.strip().lower()):
+            if w:
+                freq[w] += 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:2000]
+    words = [(list(w), f) for w, f in top if w]
+    exp = []
+    for _ in range(200):
+        pairs = collections.Counter()
+        for syms, f in words:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (l, r), pf = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if pf < 2:
+            break
+        exp.append((l, r, pf))
+        new_words = []
+        for syms, f in words:
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            new_words.append((out, f))
+        words = new_words
+    assert got == exp

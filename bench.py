@@ -69,6 +69,8 @@ EXTENDED = [
     "pq_encode_stats",
     "tfidf_search_topk",
     "bm25_search_topk",
+    "skew_zipf_join_plain",
+    "skew_zipf_join_salted",
 ]
 
 

@@ -1296,3 +1296,91 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
         "c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty"
     )
+
+
+# --- skew-stress pair (VERDICT r4 #3) -------------------------------------
+# A deterministic zipf-keyed synthetic fact (scaled off the events row
+# count so ONE oracle SQL is valid at every SF: N = 50x events, dim =
+# 2x events) joined to a dimension padded past the broadcast threshold
+# at bench scale. ~42% of fact rows land on key 1 (P[k=1] =
+# 2^(-1/0.8)), so the plain variant exercises AQE's skew handling on a
+# genuinely hot key while the salted variant spreads it over 8
+# sub-keys. Same oracle for both — salting must not change results.
+# Measures are integers so the oracle hash is exact at any size.
+_SKEW_ORACLE = """
+    WITH p AS (
+        SELECT 50 * count(*) AS n_rows, 2 * count(*) AS dim_n FROM events
+    ),
+    nums AS (
+        SELECT unnest(generate_series(1, (SELECT n_rows FROM p))) AS i
+    ),
+    fact AS (
+        SELECT least((SELECT dim_n FROM p),
+                     CAST(floor(pow(1.0 - ((i * 2654435761) % 2147483648)
+                                          / 2147483648.0, -0.8)) AS BIGINT)) AS k,
+               i % 1000 AS v
+        FROM nums
+    )
+    SELECT k % 50 AS attr,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(v) AS BIGINT) AS sum_v
+    FROM fact
+    GROUP BY attr
+"""
+
+
+def _skew_fact_and_dim(spark: SparkSession, sf_dir: str):
+    n_events = load_table(spark, sf_dir, "events").count()
+    n, dim_n = 50 * n_events, 2 * n_events
+    u = (F.col("id") * F.lit(2654435761)) % F.lit(2147483648) / F.lit(2147483648.0)
+    fact = spark.range(1, n + 1).select(
+        F.least(
+            F.lit(dim_n), F.floor(F.pow(F.lit(1.0) - u, F.lit(-0.8))).cast("bigint")
+        ).alias("k"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    # 120-byte pad puts the dim past the 10 MB broadcast threshold at
+    # bench scale (200k rows) -> a real shuffled join whose hot key
+    # lands on one reducer unless split/salted
+    dim = spark.range(1, dim_n + 1).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).alias("attr"),
+        F.rpad(F.lit("x"), 120, "x").alias("pad"),
+    )
+    return fact, dim
+
+
+@query("skew_zipf_join_plain", oracle=_SKEW_ORACLE)
+def q_skew_zipf_join_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain join under a ~42%-hot key: AQE's skew-join split (on in the
+    session) is the mitigation. Benchmark twin of
+    ``skew_zipf_join_salted`` — scripts/skew_stress_eval.py records the
+    crossover between the two in SCALE.md."""
+    fact, dim = _skew_fact_and_dim(spark, sf_dir)
+    return (
+        fact.join(dim, "k")
+        .groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+        )
+    )
+
+
+@query("skew_zipf_join_salted", oracle=_SKEW_ORACLE)
+def q_skew_zipf_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under the same hot key (operators/skew.salted_join,
+    n=8): the fact's shuffle key becomes (k, salt) — the hot key spreads
+    over 8 reducers at the cost of replicating the dim 8x. Identical
+    results to the plain variant (shared oracle)."""
+    from pandas_etl_spark.operators.skew import salted_join
+
+    fact, dim = _skew_fact_and_dim(spark, sf_dir)
+    return (
+        salted_join(fact, dim, on="k", n=8)
+        .groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+        )
+    )

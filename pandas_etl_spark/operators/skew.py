@@ -1,8 +1,15 @@
 """Skew-mitigation operators (SURVEY "Partitioning & shuffle").
 
 AQE's skew-join splitting handles most cases automatically
-(``spark.sql.adaptive.skewJoin.enabled`` is on in our session). These
-explicit tools cover the two shapes AQE can't fix:
+(``spark.sql.adaptive.skewJoin.enabled`` is on in our session), and
+measurably better: the r5 crossover study (SCALE.md "skew crossover",
+scripts/skew_stress_eval.py) found an engaged AQE split 1.3-2.6x faster
+than the best salted variant at 44-75% hot-key share, because salting
+replicates the whole build side n* while AQE splits only the skewed
+partitions. Check ``skewedPartitionThresholdInBytes`` against actual
+partition sizes before reaching for these. The explicit tools cover the
+shapes AQE can't fix (skewed aggregations, full-outer joins, stateful
+streaming joins where AQE is off):
 
 - **salted_aggregate**: a groupBy whose hot key overwhelms one reducer.
   Two-phase: group on (key, salt) with partial aggregates, then merge

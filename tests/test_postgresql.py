@@ -86,6 +86,7 @@ def test_postgres_url_defaults_and_masking():
 # ------------------------------------------------------------ integration
 
 
+@pytest.mark.postgres
 @pytest.mark.skipif(
     not (_HAVE_PG_BINS and _PG_JAR),
     reason=(

@@ -241,3 +241,21 @@ def test_documents_text_is_ascii(spark):
             F.octet_length(F.col("text")) != F.length(F.col("text"))
         ).count()
         assert non_ascii == 0, f"{sf}: {non_ascii} non-ASCII documents"
+
+
+def test_doc_counts_match_registry():
+    """Registry counts in the docs are generated (scripts/gen_counts.py)
+    — this pins them to the live registry so drifted prose fails the
+    suite instead of eroding the evidence files (VERDICT r4 #9)."""
+    import re
+
+    from pandas_etl_spark.catalog import ORACLES, QUERIES
+
+    readme = open("/root/repo/README.md").read()
+    marked = [l for l in readme.splitlines() if "<!-- counts:auto -->" in l]
+    assert marked, "README lost its counts:auto marker"
+    for line in marked:
+        m = re.search(r"\((\d+) queries, (\d+) oracle-checked\)", line)
+        assert m, line
+        assert int(m.group(1)) == len(QUERIES), line
+        assert int(m.group(2)) == len(ORACLES), line

@@ -95,6 +95,41 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH sh0 AS (
+        SELECT doc_id AS id, unnest({_DD_SHINGLES}) AS shingle FROM documents
+    ),
+    df AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_DF}),
+    sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN df USING (shingle)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+           CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+           CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.id = pairs.id_a
+    JOIN sizes sb ON sb.id = pairs.id_b
+    WHERE CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8
+    """,
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment (functions/dedup.ngram_containment_pairs):
+    shared / min(n_a, n_b) >= 0.8 — flags doc-inside-doc duplication
+    (quotes, boilerplate-wrapped reposts) that symmetric Jaccard scores
+    near zero. Same df-capped inverted-index plan as ngram_jaccard_pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_containment_pairs(
+        d, "text", "doc_id", k=_K, threshold=0.8, max_df=_MAX_DF
+    )
+
+
+@query(
     "ngram_jaccard_prefix",
     oracle=f"""
     WITH sh0 AS (

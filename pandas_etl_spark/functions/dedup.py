@@ -130,6 +130,63 @@ def ngram_jaccard_pairs(
     Without max_df there is no bound on a bucket's id list (a hot shingle
     would collect unboundedly), so the self-join plan is used instead.
     """
+    pairs, sizes = _shingle_pair_counts(df, text_col, id_col, k, max_df)
+    return (
+        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT pairs: ``shared / min(n_a, n_b)`` ≥
+    threshold — the smaller document's shingle set is (nearly) a subset
+    of the larger's. Catches doc-inside-doc duplication (a quoted
+    article inside a longer page, boilerplate-wrapped reposts) that
+    symmetric Jaccard misses: containing a 500-shingle doc in a
+    5000-shingle page scores ≤ 0.1 Jaccard but 1.0 containment.
+
+    Same inverted-index/bucket plan and stop-shingle df-cap as
+    :func:`ngram_jaccard_pairs` (one shingle-keyed shuffle, bounded
+    buckets, each unordered pair emitted once) — only the final metric
+    differs, so the 100 TB shape is identical.
+    """
+    pairs, sizes = _shingle_pair_counts(df, text_col, id_col, k, max_df)
+    return (
+        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "containment",
+            F.col("shared").cast("double") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "containment")
+    )
+
+
+def _shingle_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_df: int | None,
+):
+    """Shared candidate machinery for the exact shingle-overlap family:
+    (pairs with shared-shingle counts, per-doc shingle sizes). See
+    :func:`ngram_jaccard_pairs` for the plan discussion."""
     sh = char_shingles(df, text_col, id_col, k)
     if max_df is not None:
         rare = (
@@ -170,17 +227,7 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("shared"))
         )
-    return (
-        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("shared").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
-    )
+    return pairs, sizes
 
 
 def ngram_jaccard_pairs_prefix(

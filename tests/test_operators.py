@@ -930,3 +930,21 @@ def test_lexical_search_explicit_query_ids(spark):
     assert top[0]["neighbor_id"] == "doc-d"  # shares most terms
     bm = tx.bm25_topk(df, "text", "doc_id", query_ids=["doc-a"], k=2)
     assert {r["query_id"] for r in bm.collect()} == {"doc-a"}
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    """A short doc verbatim inside a much longer page: Jaccard scores it
+    far below any dedup threshold, containment scores it 1.0 — the case
+    the asymmetric metric exists for."""
+    short = "the quick brown fox jumps over the lazy dog"
+    long = ("unrelated preamble text wanders on for quite a while here . "
+            * 8) + short + (" and then a long trailing discussion continues "
+            * 8)
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = dd.ngram_containment_pairs(df, "text", "doc_id", k=5, threshold=0.9)
+    row = cont.collect()
+    assert len(row) == 1 and row[0]["containment"] == 1.0
+    jac = dd.ngram_jaccard_pairs(df, "text", "doc_id", k=5, threshold=0.5)
+    assert jac.count() == 0  # symmetric metric misses it

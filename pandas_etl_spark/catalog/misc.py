@@ -1384,3 +1384,63 @@ def q_skew_zipf_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("bigint").alias("sum_v"),
         )
     )
+
+
+@query(
+    "cdc_apply_latest",
+    oracle="""
+    WITH ops AS (
+        SELECT o_custkey + CASE WHEN o_orderkey % 7 = 0 THEN 1000000 ELSE 0 END
+                   AS c_custkey,
+               'cdc-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+               o_totalprice AS c_acctbal,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+               o_orderdate AS seq1, o_orderkey AS seq2
+        FROM orders
+    ),
+    latest AS (
+        SELECT c_custkey, c_name, c_acctbal, op FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY seq1 DESC, seq2 DESC) AS rn
+            FROM ops
+        ) WHERE rn = 1
+    ),
+    merged AS (
+        SELECT coalesce(l.c_custkey, b.c_custkey) AS c_custkey,
+               CASE WHEN l.c_custkey IS NOT NULL THEN l.c_name
+                    ELSE b.c_name END AS c_name,
+               CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal
+                    ELSE b.c_acctbal END AS c_acctbal,
+               l.op AS op
+        FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+    )
+    SELECT c_custkey, c_name, c_acctbal
+    FROM merged WHERE op IS NULL OR op <> 'D'
+    """,
+)
+def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-style CDC snapshot maintenance
+    (operators/upsert.cdc_apply): an I/U/D ops log synthesized from
+    orders (seq = (date, orderkey); every 10th op a delete, every 7th a
+    brand-new key) applied onto the customer snapshot — latest op per
+    key wins via one max_by shuffle, upserts merge through the
+    full-outer MERGE plan, deletes drop key-only through an anti join.
+    The oracle replays the log with a row_number window + outer join."""
+    from pandas_etl_spark.operators.upsert import cdc_apply
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    ops = o.select(
+        (
+            F.col("o_custkey")
+            + F.when(F.col("o_orderkey") % 7 == 0, 1000000).otherwise(0)
+        ).alias("c_custkey"),
+        F.concat(F.lit("cdc-"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_orderdate").alias("seq1"),
+        F.col("o_orderkey").alias("seq2"),
+    )
+    return cdc_apply(base, ops, keys=["c_custkey"], seq_cols=["seq1", "seq2"])

@@ -59,3 +59,54 @@ def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
         return F.when(take_update, upd).otherwise(F.col(f"__b_{c}")).alias(c)
 
     return joined.select(*[out(c) for c in base.columns])
+
+
+def cdc_collapse(
+    ops: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Collapse a CDC ops log to the LATEST op per key: ``max_by`` on the
+    sequence struct — one shuffle on the keys, no window/sort. The log
+    must be (keys, seq) unique (every real CDC source — an LSN, a
+    binlog position, a kafka (partition, offset) — guarantees this);
+    ties would otherwise pick an unspecified row. Emits one row per key
+    with the winning row's full payload including ``op_col``."""
+    payload = [c for c in ops.columns if c not in set(keys)]
+    latest = ops.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(c) for c in seq_cols]),
+        ).alias("__last")
+    )
+    return latest.select(
+        *keys, *[F.col("__last").getField(c).alias(c) for c in payload]
+    )
+
+
+def cdc_apply(
+    base: DataFrame,
+    ops: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC ops log onto a snapshot: collapse the log to the
+    latest op per key (:func:`cdc_collapse`), then upserts (any op but
+    ``delete_op``) replace/insert their rows wholesale while keys whose
+    LATEST op is a delete drop out — exactly Debezium-style snapshot
+    maintenance, the batch/foreachBatch half of a lakehouse CDC sink.
+
+    ``ops`` schema = ``base`` schema + ``op_col`` + ``seq_cols``. Scale
+    shape: one key shuffle for the collapse, one key-partitioned
+    full-outer join for the merge (via :func:`upsert`), one broadcast-
+    friendly anti join for the deletes — deletes are key-only on the
+    wire. A delete for an absent key is a no-op, an update for an
+    absent key inserts (standard CDC idempotency rules, so replaying a
+    compacted log converges)."""
+    latest = cdc_collapse(ops, keys, seq_cols, op_col)
+    upserts = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
+    deletes = latest.filter(F.col(op_col) == delete_op).select(*keys)
+    return upsert(base, upserts, keys).join(deletes, keys, "left_anti")

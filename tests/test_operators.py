@@ -948,3 +948,27 @@ def test_containment_catches_doc_inside_doc(spark):
     assert len(row) == 1 and row[0]["containment"] == 1.0
     jac = dd.ngram_jaccard_pairs(df, "text", "doc_id", k=5, threshold=0.5)
     assert jac.count() == 0  # symmetric metric misses it
+
+
+def test_cdc_apply_semantics(spark):
+    """CDC unit semantics: latest-by-seq wins, delete-then-update
+    resurrects, update-then-delete removes, delete of absent key no-ops,
+    update of absent key inserts."""
+    from pandas_etl_spark.operators.upsert import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    ops = spark.createDataFrame(
+        [
+            (1, "x", "U", 1),  # update then delete -> gone
+            (1, None, "D", 2),
+            (2, "y1", "D", 1),  # delete then update -> resurrected as y2
+            (2, "y2", "U", 2),
+            (4, "new", "U", 1),  # insert
+            (9, None, "D", 1),  # delete absent key -> no-op
+        ],
+        "k long, v string, op string, seq long",
+    )
+    got = {r["k"]: r["v"] for r in cdc_apply(base, ops, ["k"], ["seq"]).collect()}
+    assert got == {2: "y2", 3: "c", 4: "new"}

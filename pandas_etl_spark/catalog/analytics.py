@@ -526,3 +526,177 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("n_both"), "part_a", "part_b").limit(20)
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH attributed AS (
+        SELECT event_type, value,
+               coalesce(last_value(CASE WHEN event_type <> 'purchase'
+                                        THEN event_type END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        'direct') AS channel
+        FROM events
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 6) AS attributed_value
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent PRECEDING non-purchase event type ('direct' when
+    none). One user_id shuffle feeds the running last-non-null window
+    (frame ends at -1 so a purchase never credits itself), then a tiny
+    channel aggregate — the classic event-pipeline attribution shape,
+    trivially re-weighted for first-touch/linear models."""
+    from pyspark.sql import Window as W
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chan = F.coalesce(
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+        F.lit("direct"),
+    )
+    return (
+        ev.withColumn("channel", chan)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("attributed_value"),
+        )
+    )
+
+
+@query(
+    "event_debounce",
+    oracle="""
+    WITH g AS (
+        SELECT event_id, user_id, event_type, ts,
+               extract(epoch FROM ts)
+                 - lag(extract(epoch FROM ts))
+                     OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS gap_s
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM g WHERE gap_s IS NULL OR gap_s > 300
+    """,
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed event dedup (debounce): drop an event when the same
+    (user, type) fired within the preceding 300 s — double-click /
+    retry / at-least-once-delivery noise suppression at ingestion. One
+    shuffle on (user_id, event_type) for the lag window; NTZ-robust
+    epoch math via ts_seconds. The streaming twin is
+    stream_dedup_watermark (state-store dedup under a watermark)."""
+    from pyspark.sql import Window as W
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = ts_seconds("ts") - F.lag(ts_seconds("ts")).over(w)
+    return (
+        ev.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNull() | (F.col("__gap") > 300))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query(
+    "seasonal_decompose_hourly",
+    oracle="""
+    WITH s AS (
+        SELECT date_trunc('hour', ts) AS hr, avg(value) AS y
+        FROM events GROUP BY hr
+    ),
+    t AS (
+        SELECT hr, y,
+               CAST(extract(hour FROM hr) AS BIGINT) AS phase,
+               CASE WHEN count(*) OVER (ORDER BY hr
+                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) = 25
+                    THEN (avg(y) OVER (ORDER BY hr
+                              ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+                        + avg(y) OVER (ORDER BY hr
+                              ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)) / 2
+               END AS trend
+        FROM s
+    ),
+    pm AS (
+        SELECT phase, avg(y - trend) AS m
+        FROM t WHERE trend IS NOT NULL GROUP BY phase
+    ),
+    c AS (SELECT avg(m) AS c0 FROM pm)
+    SELECT t.hr, round(t.y, 6) AS y, round(t.trend, 4) AS trend,
+           round(pm.m - c.c0, 4) AS seasonal,
+           round(t.y - t.trend - (pm.m - c.c0), 4) AS resid
+    FROM t JOIN pm USING (phase) CROSS JOIN c
+    WHERE t.trend IS NOT NULL
+    """,
+)
+def q_seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (statsmodels-style,
+    period 24) of the hourly mean-value series: trend = centered 2x24
+    moving average (only where the full 25-point window exists),
+    seasonal = mean detrended value per hour-of-day phase centered to
+    zero mean, resid = y - trend - seasonal.
+
+    Scale shape: the raw 100 TB event stream collapses FIRST (one
+    shuffle into the hourly aggregate — one row per hour, bounded by
+    the time span, not data volume); the unpartitioned ordered windows
+    then run over that tiny series, and the 24-row phase means
+    broadcast back. The heavy data is never windowed."""
+    from pyspark.sql import Window as W
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    s = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.avg("value").alias("y")
+    )
+    w_full = W.orderBy("hr").rowsBetween(-12, 12)
+    w_a = W.orderBy("hr").rowsBetween(-12, 11)
+    w_b = W.orderBy("hr").rowsBetween(-11, 12)
+    t = s.select(
+        "hr",
+        "y",
+        F.hour("hr").cast("bigint").alias("phase"),
+        F.when(
+            F.count(F.lit(1)).over(w_full) == 25,
+            (F.avg("y").over(w_a) + F.avg("y").over(w_b)) / 2,
+        ).alias("trend"),
+    )
+    pm = (
+        t.filter(F.col("trend").isNotNull())
+        .groupBy("phase")
+        .agg(F.avg(F.col("y") - F.col("trend")).alias("m"))
+    )
+    c = pm.agg(F.avg("m").alias("c0"))
+    return (
+        t.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(pm), "phase")
+        .crossJoin(F.broadcast(c))
+        .select(
+            "hr",
+            F.round("y", 6).alias("y"),
+            F.round("trend", 4).alias("trend"),
+            # trend/seasonal/resid round to 4: sliding-window sums and
+            # phase means accumulate in a different order per engine,
+            # and 1-ulp noise lands exactly on 6-decimal rounding
+            # boundaries (seen at sf0.001)
+            F.round(F.col("m") - F.col("c0"), 4).alias("seasonal"),
+            F.round(
+                F.col("y") - F.col("trend") - (F.col("m") - F.col("c0")), 4
+            ).alias("resid"),
+        )
+    )

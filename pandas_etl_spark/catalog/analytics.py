@@ -700,3 +700,83 @@ def q_seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("resid"),
         )
     )
+
+
+_PR_EDGES_SQL = """
+    SELECT cn.n_name AS src, sn.n_name AS dst, CAST(count(*) AS DOUBLE) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2
+"""
+
+_PR_ITER_SQL = """
+    c{i} AS (
+        SELECT e.dst AS node, sum(r.rank * e.w / od.tw) AS c
+        FROM edges e
+        JOIN r{p} r ON r.node = e.src
+        JOIN outdeg od ON od.node = e.src
+        GROUP BY e.dst
+    ),
+    d{i} AS (
+        SELECT coalesce(sum(rank), 0) AS dm FROM r{p}
+        WHERE node NOT IN (SELECT node FROM outdeg)
+    ),
+    r{i} AS (
+        SELECT nd.node,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * (coalesce(c.c, 0)
+                         + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+        FROM nodes nd LEFT JOIN c{i} c ON c.node = nd.node
+    )"""
+
+
+@query(
+    "pagerank_trade_graph",
+    oracle=(
+        "WITH edges AS (" + _PR_EDGES_SQL + "),\n"
+        "nodes AS (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges),\n"
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),\n"
+        "outdeg AS (SELECT src AS node, sum(w) AS tw FROM edges GROUP BY src),\n"
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),"
+        + _PR_ITER_SQL.format(i=1, p=0) + ","
+        + _PR_ITER_SQL.format(i=2, p=1) + ","
+        + _PR_ITER_SQL.format(i=3, p=2)
+        + "\nSELECT node, round(rank, 6) AS rank FROM r3"
+    ),
+)
+def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators/graph.pagerank, 3 iterations,
+    d=0.85) over the nation trade graph: edge cust-nation -> supp-nation
+    weighted by lineitem count. The edge construction is the heavy
+    distributed part (one fact shuffle, dims broadcast); the iteration
+    then runs on the aggregated edge table. The oracle unrolls the same
+    three synchronous updates in SQL, dangling-mass term included."""
+    from pandas_etl_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(sn), "s_nationkey")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = pagerank(edges, "src", "dst", weight="w", iters=3, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))

@@ -972,3 +972,30 @@ def test_cdc_apply_semantics(spark):
     )
     got = {r["k"]: r["v"] for r in cdc_apply(base, ops, ["k"], ["seq"]).collect()}
     assert got == {2: "y2", 3: "c", 4: "new"}
+
+
+def test_pagerank_invariants(spark):
+    """PageRank must stay a distribution (sum 1) at every iteration
+    count — the dangling-mass term is what makes that hold — and match
+    the closed-form stationary ranks on a known asymmetric graph."""
+    from pandas_etl_spark.operators.graph import pagerank
+
+    # b is dangling (no out-edges); a->b, c->b, c->a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("c", "a")], "src string, dst string"
+    )
+    for iters in (1, 4):
+        pr = pagerank(edges, iters=iters)
+        total = sum(r["rank"] for r in pr.collect())
+        assert abs(total - 1.0) < 1e-9, (iters, total)
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iters=12).collect()}
+    # stationary: b collects from a and half of c (+ dangling/uniform) -> top
+    assert ranks["b"] > ranks["a"] > ranks["c"]
+
+    # weighted: doubling an edge weight moves rank toward its target
+    we = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    wr = {r["node"]: r["rank"] for r in pagerank(we, weight="w", iters=10).collect()}
+    assert wr["b"] > wr["c"]

@@ -573,3 +573,108 @@ def q_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n_trades",
     )
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH ops AS (
+        SELECT user_id,
+               event_type AS status, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts, event_id
+        FROM events
+    ),
+    latest AS (
+        SELECT user_id, status, value, op FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ops
+        ) WHERE rn = 1
+    ),
+    merged AS (
+        SELECT coalesce(l.user_id, b.c_custkey) AS user_id,
+               CASE WHEN l.user_id IS NOT NULL THEN l.status
+                    ELSE 'base' END AS status,
+               CASE WHEN l.user_id IS NOT NULL THEN l.value
+                    ELSE 0.0 END AS value,
+               l.op AS op
+        FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.user_id
+    )
+    SELECT user_id, status, value
+    FROM merged WHERE op IS NULL OR op <> 'D'
+    """,
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC snapshot maintenance: the events table becomes an
+    ops log (latest event = user status; 'error' = tombstone) split
+    into two seq-ordered micro-batches, applied incrementally onto the
+    customer base via ``streaming.cdc_apply_sink`` (versioned-parquet
+    foreachBatch). The oracle replays the WHOLE log in one batch —
+    passing proves incremental-apply ≡ one-shot apply when batch
+    boundaries respect sequence order (the CDC transport contract)."""
+    import os
+    import tempfile
+
+    from pandas_etl_spark.streaming import cdc_apply_sink
+
+    ev = load_table(spark, sf_dir, "events")
+    ops = ev.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "ts",
+        "event_id",
+    )
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.lit("base").alias("status"),
+        F.lit(0.0).alias("value"),
+    )
+    bounds = ev.agg(
+        F.min(ts_seconds("ts")).alias("lo"), F.max(ts_seconds("ts")).alias("hi")
+    ).first()
+    if bounds is None or bounds["lo"] is None:  # empty ops log
+        cutoff = 0.0
+    else:
+        cutoff = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    tmp = tempfile.mkdtemp(prefix="stream_cdc_")
+    src, snap = os.path.join(tmp, "src"), os.path.join(tmp, "snap")
+    early = ops.filter(ts_seconds("ts") < cutoff)
+    late = ops.filter(ts_seconds("ts") >= cutoff)
+    early.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    late.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    now = 1_700_000_000
+    for sub, t in (("b0", now - 100), ("b1", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+    stream = (
+        spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            cdc_apply_sink(snap, base, keys=["user_id"], seq_cols=["ts", "event_id"])
+        )
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import glob as _glob
+
+    versions = sorted(
+        int(os.path.basename(p)[1:]) for p in _glob.glob(os.path.join(snap, "v*"))
+    )
+    if not versions:  # empty source: no micro-batch ever committed
+        return base
+    return spark.read.parquet(os.path.join(snap, f"v{versions[-1]}"))

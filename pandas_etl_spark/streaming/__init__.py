@@ -221,3 +221,50 @@ def dedup_ingest_sink(
         _write_corpus(novel, batch_id)
 
     return sink
+
+
+def cdc_apply_sink(
+    snapshot_path: str,
+    base: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+):
+    """foreachBatch sink maintaining a CDC-applied snapshot: each
+    micro-batch of ops applies onto the snapshot-so-far via
+    ``operators.upsert.cdc_apply`` and writes the next immutable
+    version directory ``<path>/v{n}`` (read-then-overwrite of the same
+    files inside one job is unsafe; versioned swap is the plain-parquet
+    stand-in for a table format's transactional commit — compact old
+    versions like any lakehouse). Incremental application equals the
+    one-shot batch apply exactly when batch boundaries respect the
+    sequence order per key, which every real CDC transport (binlog,
+    LSN, kafka per-key ordering) guarantees — the oracle of
+    ``stream_cdc_apply`` checks that equality end-to-end."""
+    import os
+
+    from pandas_etl_spark.operators.upsert import cdc_apply
+
+    def _latest_version(spark) -> tuple[int, DataFrame]:
+        if not os.path.isdir(snapshot_path):
+            return -1, base
+        vs = sorted(
+            int(d[1:]) for d in os.listdir(snapshot_path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        if not vs:
+            return -1, base
+        return vs[-1], spark.read.parquet(
+            os.path.join(snapshot_path, f"v{vs[-1]}")
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ver, snap = _latest_version(spark)
+        out = cdc_apply(snap, batch_df, keys, seq_cols, op_col, delete_op)
+        out.write.mode("overwrite").parquet(
+            os.path.join(snapshot_path, f"v{ver + 1}")
+        )
+
+    return sink

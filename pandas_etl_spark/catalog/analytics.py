@@ -780,3 +780,49 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, "src", "dst", weight="w", iters=3, damping=0.85)
     return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "anomaly_rolling_z",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, avg(value) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    z AS (
+        SELECT event_type, hr, y,
+               count(*) OVER w AS n_win,
+               (y - avg(y) OVER w) / stddev_samp(y) OVER w AS z
+        FROM s
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hr, round(y, 6) AS y, round(z, 4) AS z
+    FROM z WHERE n_win = 24 AND round(z, 4) > 2.5
+    """,
+)
+def q_anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each hourly mean compared to
+    the TRAILING 24 hours (frame ends at -1 so a spike cannot mask
+    itself), flagged when z > 2.5 with a full window behind it. One
+    shuffle on event_type; the window runs over the pre-aggregated
+    hourly series, never the raw stream. z rounds to 4 before the
+    threshold so flag membership is engine-stable."""
+    from pyspark.sql import Window as W
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    s = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.avg("value").alias("y"))
+    w = W.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    z = s.select(
+        "event_type",
+        "hr",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        ((F.col("y") - F.avg("y").over(w)) / F.stddev_samp("y").over(w)).alias("z"),
+    )
+    return (
+        z.filter((F.col("n_win") == 24) & (F.round("z", 4) > 2.5))
+        .select("event_type", "hr", F.round("y", 6).alias("y"), F.round("z", 4).alias("z"))
+    )

@@ -259,3 +259,42 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/similarity.label_centroid_outliers)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.label_centroid_outliers(emb, threshold=0.0)
+
+
+@query(
+    "embedding_standardize",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    stats AS (
+        SELECT pos, avg(v) AS mu, stddev_samp(v) AS sd
+        FROM ex GROUP BY pos
+    )
+    SELECT ex.vec_id, CAST(ex.pos AS INTEGER) AS pos,
+           round((ex.v - s.mu) / s.sd, 6) AS z
+    FROM ex JOIN stats s ON s.pos = ex.pos
+    """,
+)
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding column —
+    the feature-scaling pass before distance-based ops when dimensions
+    have heterogeneous variance. One posexplode aggregate to |dims|
+    rows of (mean, std); the tiny stats frame broadcasts back onto the
+    exploded corpus (the corpus is scanned twice — stats then
+    transform — which beats persisting the explosion at 100 TB). Long
+    output (vec_id, pos, z): engine-stable and directly consumable by
+    the positionwise operators."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = ex.groupBy("pos").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    return ex.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.round((F.col("v") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+    )

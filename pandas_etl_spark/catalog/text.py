@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.catalog.registry import ORACLES, query
 from pandas_etl_spark.functions import text as tx
 from pandas_etl_spark.sources import load_table
 from pandas_etl_spark.sources.io import ensure_parallelism
@@ -925,4 +925,88 @@ def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
         F.round(F.regr_r2(lf, lr), 4).alias("r2"),
         F.count(F.lit(1)).alias("n_ranks"),
+    )
+
+
+@query(
+    "retrieval_ndcg_tfidf",
+    oracle=(
+        "WITH topk AS (" + ORACLES["tfidf_search_topk"] + """),
+    rel AS (
+        SELECT t.query_id, t.rnk,
+               CASE WHEN dq.source = dn.source THEN 1 ELSE 0 END AS rel
+        FROM topk t
+        JOIN documents dq ON dq.doc_id = t.query_id
+        JOIN documents dn ON dn.doc_id = t.neighbor_id
+    ),
+    dcg AS (
+        SELECT query_id, sum(rel / log2(rnk + 1)) AS dcg
+        FROM rel GROUP BY query_id
+    ),
+    rcount AS (
+        SELECT q.doc_id AS query_id, count(*) AS r
+        FROM documents q
+        JOIN documents d ON d.source = q.source AND d.doc_id <> q.doc_id
+        WHERE q.doc_id < 3
+        GROUP BY 1
+    ),
+    idcg AS (
+        SELECT query_id, sum(1.0 / log2(i + 1)) AS idcg
+        FROM rcount, unnest(generate_series(1, least(r, 5))) AS t(i)
+        GROUP BY query_id
+    )
+    SELECT d.query_id, round(d.dcg / i.idcg, 6) AS ndcg
+    FROM dcg d JOIN idcg i USING (query_id)
+    """
+    ),
+)
+def q_retrieval_ndcg_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@5 of the TF-IDF search per
+    query, with binary relevance = neighbor shares the query document's
+    ``source`` label (the standard weak-label protocol when no human
+    judgments exist). Both the ranking AND the metric are one plan —
+    the eval loop a retrieval stack runs after every index change.
+    Scale shape: metric math is a per-query aggregate over k rows plus
+    a broadcast source-count frame; the ranking dominates, unchanged
+    from tfidf_search_topk."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    topk = tx.tfidf_cosine_topk(d, "text", "doc_id", n_queries=3, k=5)
+    src = d.select("doc_id", "source")
+    rel = (
+        topk.join(
+            F.broadcast(src.withColumnsRenamed({"doc_id": "query_id", "source": "q_src"})),
+            "query_id",
+        )
+        .join(
+            src.withColumnsRenamed({"doc_id": "neighbor_id", "source": "n_src"}),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rnk",
+            F.when(F.col("q_src") == F.col("n_src"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    dcg = rel.groupBy("query_id").agg(
+        F.sum(F.col("rel") / F.log2(F.col("rnk") + 1)).alias("dcg")
+    )
+    src_counts = src.groupBy("source").agg(F.count(F.lit(1)).alias("n_src_docs"))
+    rcount = (
+        src.filter(F.col("doc_id") < 3)
+        .join(F.broadcast(src_counts), "source")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            (F.col("n_src_docs") - 1).alias("r"),
+        )
+        .filter(F.col("r") >= 1)
+    )
+    idcg = rcount.select(
+        "query_id",
+        F.expr(
+            "aggregate(sequence(1, int(least(r, 5))), cast(0 as double), "
+            "(acc, i) -> acc + 1.0 / log2(i + 1))"
+        ).alias("idcg"),
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id", F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg")
     )

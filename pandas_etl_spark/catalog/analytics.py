@@ -826,3 +826,45 @@ def q_anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.filter((F.col("n_win") == 24) & (F.round("z", 4) > 2.5))
         .select("event_type", "hr", F.round("y", 6).alias("y"), F.round("z", 4).alias("z"))
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    t AS (
+        SELECT src, dst, count(*) AS n FROM seq
+        WHERE dst IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+    FROM t
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences
+    — P(next event type | current), the sequence-modeling summary
+    (next-action prediction features, funnel leakage analysis). One
+    user_id shuffle for the lead window; the transition aggregate is
+    |types|^2 rows with a trivial per-src share window over it."""
+    from pyspark.sql import Window as W
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    ws = W.partitionBy("src")
+    return t.select(
+        "src",
+        "dst",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(ws).cast("double"), 6).alias("p"),
+    )

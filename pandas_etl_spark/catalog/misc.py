@@ -1444,3 +1444,59 @@ def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("seq2"),
     )
     return cdc_apply(base, ops, keys=["c_custkey"], seq_cols=["seq1", "seq2"])
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    j AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               o.o_orderkey IS NOT NULL AS in_old,
+               n.o_orderkey IS NOT NULL AS in_new,
+               CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN ['o_orderstatus'] ELSE [] END
+               || CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                       THEN ['o_totalprice'] ELSE [] END AS diffs
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CASE WHEN in_old AND in_new THEN diffs
+                ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+    FROM j
+    WHERE NOT in_old OR NOT in_new OR len(diffs) > 0
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot regression diff (operators/upsert.snapshot_diff): two
+    synthetic versions of orders (every 11th key only in old, every
+    13th only in new, every 5th status rewritten) diffed to
+    added/removed/changed rows with the changed column list — the
+    'what did the pipeline rewrite change' audit, one full-outer key
+    join with codegen'd per-column null-safe comparison."""
+    from pandas_etl_spark.operators.upsert import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 11 != 0)
+    new = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, "X").otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])

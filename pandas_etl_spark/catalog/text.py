@@ -1010,3 +1010,40 @@ def q_retrieval_ndcg_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dcg.join(idcg, "query_id").select(
         "query_id", F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg")
     )
+
+
+@query(
+    "segment_dedup",
+    oracle="""
+    WITH arr AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+        SELECT id, CAST(i AS INTEGER) AS seg_idx,
+               array_to_string(w[(i * 10 + 1):((i + 1) * 10)], ' ') AS seg
+        FROM arr,
+             unnest(generate_series(0,
+                 CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS t(i)
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY seg
+                                         ORDER BY id, seg_idx) AS rn
+            FROM segs
+        ) WHERE rn = 1
+    ),
+    tot AS (SELECT id, count(*) AS n_segments FROM segs GROUP BY id)
+    SELECT k.id, string_agg(k.seg, ' ' ORDER BY k.seg_idx) AS text_dedup,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(any_value(t.n_segments) AS BIGINT) AS n_segments
+    FROM kept k JOIN tot t ON t.id = k.id
+    GROUP BY k.id
+    """,
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide segment dedup (functions/text.segment_dedup,
+    10-word segments): exactly one copy of every distinct segment
+    survives (first occurrence by (id, idx) via a rank-1 window — ONE
+    shuffle keyed on segment text), survivors reassemble in document
+    order, fully-duplicated documents vanish. The sub-document
+    granularity that doc-level dedup cannot reach."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return tx.segment_dedup(d, "text", "doc_id", words_per_segment=10)

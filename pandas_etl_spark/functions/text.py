@@ -732,3 +732,60 @@ def bm25_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "bm25", "rnk")
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_segment: int = 10,
+) -> DataFrame:
+    """Corpus-wide SEGMENT-level deduplication — the C4 line-dedup shape
+    (Raffel et al. 2020 drop repeated three-sentence spans; here the
+    segmenter is a fixed ``words_per_segment`` word window because the
+    corpus carries no sentence delimiters; swap the segment expression
+    for ``split(text, '\\n')`` on line-structured text).
+
+    Each document splits into consecutive word segments — pure JVM
+    array expressions, no explode-collect round trip for the split —
+    then exactly one copy of every distinct segment survives corpus-wide
+    (first occurrence by (id, segment index), rank-1 over a
+    segment-keyed window = ONE shuffle on the segment text), and
+    surviving segments reassemble in document order. Documents whose
+    every segment was seen earlier disappear entirely (C4 semantics).
+    Returns (id, text_dedup, n_kept, n_segments).
+    """
+    arr = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(arr) / F.lit(float(words_per_segment))).cast("int")
+    segs_expr = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(arr, i * words_per_segment + 1, words_per_segment), " "
+        ),
+    )
+    segs = (
+        df.select(F.col(id_col).alias("id"), segs_expr.alias("segs"))
+        .select("id", F.posexplode("segs").alias("seg_idx", "seg"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("seg").orderBy("id", "seg_idx")
+    kept = segs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    per_doc_total = segs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_segments")
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s.getField("seg"),
+                ),
+                " ",
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(per_doc_total, "id")
+        .select("id", "text_dedup", "n_kept", "n_segments")
+    )

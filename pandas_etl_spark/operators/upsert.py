@@ -110,3 +110,58 @@ def cdc_apply(
     upserts = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
     deletes = latest.filter(F.col(op_col) == delete_op).select(*keys)
     return upsert(base, upserts, keys).join(deletes, keys, "left_anti")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Key-level diff of two snapshots: one row per key present in
+    either side with ``change_type`` in {added, removed, changed} and
+    ``changed_cols`` naming the differing columns (null-safe
+    comparison; unchanged keys are dropped). The audit/regression tool
+    every ETL rewrite wants: 'what did the new pipeline version change'.
+
+    One key-partitioned full-outer join; the per-column comparison is a
+    codegen'd boolean per column, so cost is one pass over the joined
+    rows regardless of column count."""
+    cols = compare_cols or [c for c in old.columns if c not in set(keys)]
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+                )
+                for c in cols
+            ]
+        )
+    )
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            F.when(F.col("change_type") == "changed", diffs)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+    )

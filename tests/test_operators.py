@@ -999,3 +999,28 @@ def test_pagerank_invariants(spark):
     )
     wr = {r["node"]: r["rank"] for r in pagerank(we, weight="w", iters=10).collect()}
     assert wr["b"] > wr["c"]
+
+
+def test_segment_dedup_semantics(spark):
+    """Segment dedup: repeated segments survive once corpus-wide (first
+    occurrence wins), partially-duplicated docs shrink, fully-duplicated
+    docs disappear."""
+    from pandas_etl_spark.functions.text import segment_dedup
+
+    seg_a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    seg_b = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    seg_c = "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"
+    df = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),   # original
+            (2, f"{seg_a} {seg_c}"),   # first segment is a dup -> shrinks
+            (3, seg_b),                # fully duplicated -> disappears
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in segment_dedup(df, "text", "doc_id").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["text_dedup"] == f"{seg_a} {seg_b}"
+    assert (got[1]["n_kept"], got[1]["n_segments"]) == (2, 2)
+    assert got[2]["text_dedup"] == seg_c
+    assert (got[2]["n_kept"], got[2]["n_segments"]) == (1, 2)

@@ -868,3 +868,46 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") / F.sum("n").over(ws).cast("double"), 6).alias("p"),
     )
+
+
+@query(
+    "active_users_trailing_24h",
+    oracle="""
+    WITH ev AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS ehr, user_id FROM events
+    ),
+    hours AS (SELECT DISTINCT ehr AS hr FROM ev),
+    fan AS (
+        SELECT ehr + to_hours(i) AS hr, user_id
+        FROM ev, unnest(generate_series(0, 23)) AS t(i)
+    )
+    SELECT hr, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM fan JOIN hours USING (hr)
+    GROUP BY hr
+    """,
+)
+def q_active_users_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct active users per (observed) hour — the
+    DAU-style sliding distinct count. Exact via bounded fan-out: the
+    stream first collapses to DISTINCT (hour, user) — the only
+    unbounded shuffle — then each pair replicates into the 24 hour
+    buckets it supports (fixed 24x on the collapsed frame, not the raw
+    events) and a distinct count runs per bucket. At 100 TB the
+    fan-out trade is standard; the cheaper-but-approximate alternative
+    is a per-hour HLL sketch merged over the window
+    (approx_count_distinct), kept as documented fallback."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    pairs = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("ehr"), "user_id"
+    ).distinct()
+    hours = pairs.select(F.col("ehr").alias("hr")).distinct()
+    fan = pairs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i"), "ehr", "user_id"
+    ).select(
+        F.expr("timestampadd(HOUR, i, ehr)").alias("hr"), "user_id"
+    )
+    return (
+        fan.join(hours, "hr")
+        .groupBy("hr")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

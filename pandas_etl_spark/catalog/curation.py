@@ -590,3 +590,60 @@ def _leakage_safe_split_oracle() -> str:
 from pandas_etl_spark.catalog.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["leakage_safe_split"] = _leakage_safe_split_oracle()
+
+
+@query(
+    "nucleus_select_per_source",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source, {_DD_QUALITY} AS quality FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, quality,
+               sum(quality) OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum,
+               sum(quality) OVER (PARTITION BY source) AS total
+        FROM q
+    )
+    SELECT doc_id, source, round(quality, 6) AS quality,
+           round(cum / total, 6) AS cum_share
+    FROM r WHERE (cum - quality) / total < 0.8
+    """,
+)
+def q_nucleus_select_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) curation per source: keep each domain's
+    best-quality documents until 80% of the domain's total quality mass
+    is covered (the crossing document included) — the budgeted
+    keep-the-best-of-every-domain policy between a hard gate and a
+    global top-k. One shuffle on source feeds both the running and the
+    total window; the boundary comparison is engine-stable because both
+    engines fold the running sum in the SAME deterministic
+    (quality desc, doc_id) order."""
+    from pandas_etl_spark.functions.text import quality_score
+    from pyspark.sql import Window as W
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    q = docs.select("doc_id", "source", quality_score("text").alias("quality"))
+    w_run = (
+        W.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_tot = W.partitionBy("source")
+    r = q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.sum("quality").over(w_run).alias("cum"),
+        F.sum("quality").over(w_tot).alias("total"),
+    )
+    return r.filter(
+        (F.col("cum") - F.col("quality")) / F.col("total") < 0.8
+    ).select(
+        "doc_id",
+        "source",
+        F.round("quality", 6).alias("quality"),
+        F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
+    )

@@ -1,0 +1,74 @@
+"""Physical-plan introspection and linting.
+
+The SURVEY blueprint's ``plans/`` component: programmatic access to the
+properties this engine optimizes for — pushdown, pruning, broadcast
+choices, Python-boundary crossings — so scale hygiene is checkable in
+code (tests, CI, pipeline preflight) instead of by eyeballing
+``explain`` output. tests/test_plans.py pins specific query shapes;
+this module provides the generic tooling and a repo-wide red-flag lint.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+# Substrings whose presence in a physical plan is a scale bug in THIS
+# codebase (each has a sanctioned alternative):
+# - CartesianProduct: an unhinted cross product — O(n*m) shuffle-free
+#   explosion; every deliberate pair generation here is bucketed or
+#   broadcast.
+# - BatchEvalPython: a row-at-a-time Python UDF on the hot path; the
+#   sanctioned Python boundary is Arrow-batched (ArrowEvalPython /
+#   mapInPandas / applyInPandas).
+RED_FLAGS: dict[str, str] = {
+    "CartesianProduct": "unbounded cross product (bucket or broadcast instead)",
+    "BatchEvalPython": "row-at-a-time Python UDF (use a pandas_udf)",
+}
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """``explain('formatted')`` as a string (Spark only prints it)."""
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def plan_summary(df: DataFrame) -> dict[str, object]:
+    """Count the plan features that matter at scale. Keys:
+    scans/exchanges/broadcast_joins/sortmerge_joins/python_evals/
+    codegen_spans plus the pushed filters and read schemas per scan."""
+    plan = formatted_plan(df)
+    # codegen spans appear as *(n) markers on the executed plan; under
+    # AQE they only materialize after an action has finalized the plan,
+    # so codegen_spans is 0 on a never-executed frame — run the frame
+    # first when auditing codegen coverage
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    return {
+        "scans": len(schemas),
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        "arrow_python_evals": plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas"),
+        "row_python_evals": plan.count("BatchEvalPython"),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", executed))),
+        "pushed_filters": [p for p in pushed if p],
+        "read_schemas": schemas,
+    }
+
+
+def lint(df: DataFrame) -> list[str]:
+    """Red-flag lint of the physical plan: returns human-readable
+    violations (empty list = clean). Cheap — builds the plan, runs
+    nothing."""
+    plan = formatted_plan(df)
+    return [
+        f"{flag}: {why}" for flag, why in RED_FLAGS.items() if flag in plan
+    ]

@@ -306,3 +306,60 @@ def test_semantic_dedup_anti_join_broadcasts_at_runtime(spark, sf_dir):
         if "LeftAnti" in l and "BroadcastHashJoin" in l
     ]
     assert final_anti, executed
+
+
+def test_plan_lint_clean_across_entire_catalog(spark, sf_dir):
+    """Repo-wide scale-hygiene sweep (pandas_etl_spark.plans.lint):
+    NO registered query may plan a CartesianProduct or a row-at-a-time
+    Python UDF — the two red flags with sanctioned alternatives
+    everywhere in this codebase. Queries whose DELIBERATE semantics are
+    a cross product (capped brute-force baselines, how='cross'
+    operators) are exempted by name with the reason inline."""
+    from pandas_etl_spark.plans import lint
+
+    exempt = {
+        # capped brute-force correctness baselines (documented O(n²)
+        # anchors for the bucketed scale paths)
+        "embedding_neardup_exact",
+        "semantic_dedup_checked",
+        "ann_cosine_topk_exact",
+        # cross-join semantics requested by the operator itself
+        "cross_join_pairs",
+    }
+    failures = []
+    for name, fn in QUERIES.items():
+        if name in exempt:
+            continue
+        try:
+            problems = lint(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 - sweep collects
+            failures.append(f"{name}: lint crashed: {str(e)[:120]}")
+            continue
+        if problems:
+            failures.append(f"{name}: {problems}")
+    assert not failures, "\n".join(failures)
+
+
+def test_plan_summary_reports_pushdown(spark, sf_dir):
+    from pandas_etl_spark.plans import plan_summary
+
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE: codegen spans exist only on the finalized plan
+    s = plan_summary(df)
+    assert s["scans"] == 1
+    assert s["row_python_evals"] == 0
+    assert any("l_shipdate" in p for p in s["pushed_filters"])
+    assert s["codegen_spans"] >= 1
+
+
+def test_plan_lint_flags_row_udf(spark):
+    from pyspark.sql.functions import udf
+
+    from pandas_etl_spark.plans import lint
+
+    bad = udf(lambda x: x + 1, "long")
+    df = spark.range(10).select(bad("id").alias("x"))
+    assert any("BatchEvalPython" in p for p in lint(df))
+    assert any("CartesianProduct" in p for p in lint(
+        spark.range(3).crossJoin(spark.range(1000).hint("shuffle_replicate_nl"))
+    ))

@@ -32,6 +32,11 @@ NOTES = {
     "lang_confusion": "Text never shuffles: lang_id evaluates in the scan projection; one hash aggregate to the |langs|-squared grid; share window over the tiny grid.",
     "semantic_dedup_checked": "n_cells=1 SemDeDup baseline: broadcast self-pair on the capped id range, cosine filter, left-anti back onto the corpus. The static plan below shows SortMergeJoin LeftAnti; at runtime AQE converts it to BroadcastHashJoin LeftAnti because the drop list is a small id-only aggregate (asserted in tests/test_plans.py::test_semantic_dedup_anti_join_broadcasts_at_runtime). The hint is deliberately left to AQE: the drop-list size scales with the duplicate count, so a hard broadcast hint would be wrong at 100 TB dup rates.",
     "winnow_pairs": "Winnowed-fingerprint inverted index: df-capped buckets, in-bucket i<j pair generation, one shuffle on the fingerprint.",
+    "segment_dedup": "C4-style segment dedup: JVM-array segmentation in the scan projection; ONE shuffle keyed on segment text serves the rank-1 keep; reassembly reuses the same grouping.",
+    "pagerank_trade_graph": "Edge construction is the only fact shuffle (dims broadcast); each iteration joins the aggregated edge table against ranks and re-aggregates by dst — lineage cut per round by localCheckpoint.",
+    "cdc_apply_latest": "One key shuffle collapses the ops log (max_by, no window/sort); the MERGE full-outer join reuses the key partitioning; deletes travel key-only into a broadcast-able anti join.",
+    "skew_zipf_join_salted": "Fact shuffles on (k, salt) so the 58%-hot key spreads over 8 reducers; the dim replicates 8x via explode before its shuffle — the documented price of salting (SCALE.md crossover: prefer an engaged AQE split).",
+    "active_users_trailing_24h": "Distinct (hour,user) collapse FIRST (the only data-sized shuffle); the 24x fan-out replicates the collapsed frame, not raw events; per-bucket distinct count completes it.",
 }
 
 

@@ -911,3 +911,78 @@ def q_active_users_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hr")
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "peak_concurrency",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR extract(epoch FROM ts)
+                            - extract(epoch FROM lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS session_id,
+               ts
+        FROM flagged
+    ),
+    iv AS (
+        SELECT min(ts) AS s, max(ts) + INTERVAL 1800 SECOND AS e
+        FROM sess GROUP BY user_id, session_id
+    ),
+    deltas AS (
+        SELECT s AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT e AS t, -1 AS d FROM iv
+    ),
+    running AS (
+        SELECT t, sum(d) OVER (ORDER BY t, d
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS live
+        FROM deltas
+    )
+    SELECT CAST(max(live) AS BIGINT) AS peak_concurrent_sessions
+    FROM running
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions (gaps-and-islands sweep line):
+    sessionize per user (30-min gap + grace), emit +1/-1 boundary
+    deltas, running-sum the time-ordered deltas, take the max — the
+    capacity-planning number. The only data-sized shuffle is the
+    user_id sessionization; the sweep runs over 2 rows PER SESSION
+    (orders of magnitude smaller than events), and the final max is a
+    1-row reduce. Ends sort before starts at the same instant (d=-1
+    first) so back-to-back sessions never double-count."""
+    from pyspark.sql import Window as W
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = ts_seconds("ts")
+    gap = ts_s - F.lag(ts_s).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    ws = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(ws))
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr("INTERVAL 1800 SECOND")).alias("e"),
+    )
+    deltas = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    wr = W.orderBy("t", "d").rowsBetween(W.unboundedPreceding, 0)
+    running = deltas.select(F.sum("d").over(wr).alias("live"))
+    return running.agg(
+        F.max("live").cast("bigint").alias("peak_concurrent_sessions")
+    )

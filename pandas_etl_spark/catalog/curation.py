@@ -647,3 +647,66 @@ def q_nucleus_select_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("quality", 6).alias("quality"),
         F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
     )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_mktsegment, c_nationkey, count(*) AS group_size
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(group_size AS BIGINT) AS group_size,
+           group_size < 5 AS violates_k5
+    FROM g
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit: group sizes over the quasi-identifier pair
+    (segment, nation) with k=5 violation flags — rows in a violating
+    group are re-identifiable by their quasi-identifiers, the check run
+    before any per-group data release (and the structural complement of
+    the regex-level pii_redact gate). One shuffle to the QI grid; at
+    100 TB the grid is |segments|x|nations|, not data-sized."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return g.select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.col("group_size").cast("bigint").alias("group_size"),
+        (F.col("group_size") < 5).alias("violates_k5"),
+    )
+
+
+@query(
+    "group_sample_n",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                AS BIGINT) % {_MODULUS}, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_group_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-per-group downsample: 20 docs per source, chosen
+    by md5-hash order (uniform, reproducible across runs/engines —
+    rand() is neither) with doc_id tie-break. The bounded
+    every-stratum-represented sample for eyeballing, labeling budgets,
+    and per-domain evals; one shuffle on the group key."""
+    from pyspark.sql import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = W.partitionBy("source").orderBy(_bucket("doc_id", _MODULUS), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )

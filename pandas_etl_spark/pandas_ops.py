@@ -563,6 +563,65 @@ class Table:
             ) from e
         return path
 
+    # ------------------------------------------------------------------
+    # Spark-native extensions on the pandas-flavored surface: the r5
+    # warehouse/curation operators, exposed so YAML pipelines call them
+    # as bound methods (F14 generic dispatch) without preFlight imports.
+
+    def cdc_apply(
+        self,
+        ops: "Table | DataFrame",
+        keys: list[str],
+        seq_cols: list[str],
+        op_col: str = "op",
+        delete_op: str = "D",
+    ) -> "Table":
+        """Apply a CDC ops log onto this snapshot
+        (operators/upsert.cdc_apply)."""
+        from pandas_etl_spark.operators.upsert import cdc_apply as _cdc
+
+        return Table(
+            _cdc(self._df, _unwrap(ops), keys, seq_cols, op_col, delete_op)
+        )
+
+    def snapshot_diff(
+        self,
+        new: "Table | DataFrame",
+        keys: list[str],
+        compare_cols: list[str] | None = None,
+    ) -> "Table":
+        """Key-level added/removed/changed diff against ``new``
+        (operators/upsert.snapshot_diff)."""
+        from pandas_etl_spark.operators.upsert import snapshot_diff as _diff
+
+        return Table(_diff(self._df, _unwrap(new), keys, compare_cols))
+
+    def segment_dedup(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        words_per_segment: int = 10,
+    ) -> "Table":
+        """C4-style corpus-wide segment dedup
+        (functions/text.segment_dedup)."""
+        from pandas_etl_spark.functions.text import segment_dedup as _sd
+
+        return Table(_sd(self._df, text_col, id_col, words_per_segment))
+
+    def pagerank(
+        self,
+        src: str = "src",
+        dst: str = "dst",
+        weight: str | None = None,
+        iters: int = 3,
+        damping: float = 0.85,
+    ) -> "Table":
+        """Treat this frame as an edge table and rank nodes
+        (operators/graph.pagerank)."""
+        from pandas_etl_spark.operators.graph import pagerank as _pr
+
+        return Table(_pr(self._df, src, dst, weight, iters, damping))
+
 
 class ColumnGrouped:
     """pandas ``groupby(axis='columns')``: columns grouped by a mapping,

@@ -555,3 +555,54 @@ def test_boolean_yaml_key_gets_clear_error(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="YAML parses bare on/off"):
         p.run()
+
+
+def test_r5_operators_as_yaml_bound_methods(spark, sf_dir, tmp_path):
+    """The r5 warehouse/curation operators run as Table bound methods in
+    YAML pipelines (F14 generic dispatch) — snapshot_diff and
+    segment_dedup here, no preFlight imports needed."""
+    out = str(tmp_path / "diff")
+    p = Pipeline(
+        yamlData=f"""
+        steps:
+        - name: old
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/orders.parquet
+        - name: new
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/orders.parquet
+        - name: diff
+          function: ${{ steps['old'].output.snapshot_diff }}
+          args:
+            new: ${{ steps['new'].output.assign(o_totalprice=steps['new'].output['o_totalprice'].alias('x')) }}
+            keys: [o_orderkey]
+        - ${{ steps['diff'].output.to_parquet }}:
+            path: {out}
+        """,
+        spark=spark,
+    )
+    p.run()
+    # identical snapshots -> empty diff
+    assert spark.read.parquet(out).count() == 0
+
+    p2 = Pipeline(
+        yamlData=f"""
+        steps:
+        - name: docs
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/documents.parquet
+        - name: seg
+          function: ${{ steps['docs'].output.segment_dedup }}
+          args:
+            text_col: text
+            id_col: doc_id
+        """,
+        spark=spark,
+    )
+    p2.run()
+    seg = p2.steps["seg"].output
+    assert set(seg.df.columns) == {"id", "text_dedup", "n_kept", "n_segments"}
+    assert seg.df.count() > 0

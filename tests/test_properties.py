@@ -483,3 +483,56 @@ def test_merge_ordered_global_ffill_is_distributed(spark):
     assert all(
         (rv is None) == (t % 11 != 0) for t, (_lv, rv) in rows.items()
     )
+
+
+@st.composite
+def cdc_logs(draw):
+    """Random base snapshot + ops log with unique (key, seq)."""
+    base_keys = draw(st.lists(st.integers(0, 20), min_size=0, max_size=10, unique=True))
+    base = pd.DataFrame(
+        {"k": base_keys, "v": [f"b{k}" for k in base_keys]}
+    )
+    n_ops = draw(st.integers(0, 30))
+    seen = set()
+    rows = []
+    for _ in range(n_ops):
+        k = draw(st.integers(0, 25))
+        seq = draw(st.integers(0, 50))
+        if (k, seq) in seen:
+            continue
+        seen.add((k, seq))
+        op = draw(st.sampled_from(["U", "U", "D"]))
+        rows.append((k, f"u{k}s{seq}" if op == "U" else None, op, seq))
+    ops = pd.DataFrame(rows, columns=["k", "v", "op", "seq"])
+    return base, ops
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=cdc_logs())
+def test_cdc_apply_matches_sequential_reference(spark, data):
+    """cdc_apply (one-shot collapse + merge) ≡ the trivially-correct
+    sequential reference that replays ops one by one in seq order."""
+    from pandas_etl_spark.operators.upsert import cdc_apply
+
+    base, ops = data
+    state = {int(r.k): r.v for r in base.itertuples()}
+    for r in ops.sort_values(["seq", "k"]).itertuples():
+        if r.op == "D":
+            state.pop(int(r.k), None)
+        else:
+            state[int(r.k)] = r.v
+    got_df = cdc_apply(
+        spark.createDataFrame(base, "k long, v string"),
+        spark.createDataFrame(ops, "k long, v string, op string, seq long")
+        if len(ops)
+        else spark.createDataFrame([], "k long, v string, op string, seq long"),
+        keys=["k"],
+        seq_cols=["seq"],
+    )
+    got = {int(r["k"]): r["v"] for r in got_df.collect()}
+    assert got == state

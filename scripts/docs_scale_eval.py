@@ -35,6 +35,8 @@ QUERIES_TO_TIME = [
     "doc_stats",
     "quality_score",
     "tfidf_top_terms",
+    "segment_dedup",
+    "ngram_containment_pairs",
 ]
 
 

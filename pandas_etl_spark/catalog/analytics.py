@@ -231,23 +231,12 @@ def q_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs and sort IN the row (sort_array) before joining — bounded
     by session length, one shuffle on user_id shared by the session
     windows and the final aggregate."""
-    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
-    from pyspark.sql import Window as W
+    from pandas_etl_spark.functions.sessions import with_session_ids
 
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_s = ts_seconds("ts")  # NTZ-robust (VERDICT r4 #6)
-    gap = ts_s - F.lag(ts_s).over(w)
-    flagged = ev.select(
-        "user_id", "ts", "event_id", "event_type", "value",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
-    )
-    ws = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    sess = flagged.withColumn(
-        "session_id", F.sum("new_sess").over(ws).cast("bigint")
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    sess = with_session_ids(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        gap_s=1800,
     )
     line = F.concat(F.col("event_type"), F.lit(": "), F.col("value").cast("string"))
     turns = F.sort_array(
@@ -917,7 +906,7 @@ def q_active_users_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "peak_concurrency",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR extract(epoch FROM ts)
                             - extract(epoch FROM lag(ts) OVER w) > 1800
@@ -927,7 +916,7 @@ def q_active_users_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                             AND CURRENT ROW) AS session_id,
                ts
@@ -963,17 +952,10 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     first) so back-to-back sessions never double-count."""
     from pyspark.sql import Window as W
 
+    from pandas_etl_spark.functions.sessions import with_session_ids
+
     ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_s = ts_seconds("ts")
-    gap = ts_s - F.lag(ts_s).over(w)
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
-    )
-    ws = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
-    sess = flagged.withColumn("session_id", F.sum("new_sess").over(ws))
+    sess = with_session_ids(ev, gap_s=1800)
     iv = sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s"),
         (F.max("ts") + F.expr("INTERVAL 1800 SECOND")).alias("e"),

@@ -1316,7 +1316,8 @@ _SKEW_ORACLE = """
     ),
     fact AS (
         SELECT least((SELECT dim_n FROM p),
-                     CAST(floor(pow(1.0 - ((i * 2654435761) % 2147483648)
+                     CAST(floor(pow(1.0 - (((i % 2147483648) * 2654435761)
+                                           % 2147483648)
                                           / 2147483648.0, -0.8)) AS BIGINT)) AS k,
                i % 1000 AS v
         FROM nums
@@ -1329,25 +1330,40 @@ _SKEW_ORACLE = """
 """
 
 
+_SKEW_EVENT_ROWS: dict[str, int] = {}
+
+
+def _events_row_count(sf_dir: str) -> int:
+    """events row count from parquet FOOTER metadata — sizing the
+    synthetic skew frames must not launch a Spark job every time the
+    query is merely built (review r5 #4: plans.lint and the robustness
+    sweeps call every builder; two count jobs per sweep invocation)."""
+    if sf_dir not in _SKEW_EVENT_ROWS:
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        path = f"{sf_dir}/events.parquet"
+        files = (
+            sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+            if _os.path.isdir(path)
+            else [path]
+        )
+        _SKEW_EVENT_ROWS[sf_dir] = sum(
+            _pq.ParquetFile(f).metadata.num_rows for f in files
+        )
+    return _SKEW_EVENT_ROWS[sf_dir]
+
+
 def _skew_fact_and_dim(spark: SparkSession, sf_dir: str):
-    n_events = load_table(spark, sf_dir, "events").count()
-    n, dim_n = 50 * n_events, 2 * n_events
-    u = (F.col("id") * F.lit(2654435761)) % F.lit(2147483648) / F.lit(2147483648.0)
-    fact = spark.range(1, n + 1).select(
-        F.least(
-            F.lit(dim_n), F.floor(F.pow(F.lit(1.0) - u, F.lit(-0.8))).cast("bigint")
-        ).alias("k"),
-        (F.col("id") % 1000).alias("v"),
-    )
+    from pandas_etl_spark.operators.skew import zipf_fact_dim
+
+    n_events = _events_row_count(sf_dir)
     # 120-byte pad puts the dim past the 10 MB broadcast threshold at
     # bench scale (200k rows) -> a real shuffled join whose hot key
     # lands on one reducer unless split/salted
-    dim = spark.range(1, dim_n + 1).select(
-        F.col("id").alias("k"),
-        (F.col("id") % 50).alias("attr"),
-        F.rpad(F.lit("x"), 120, "x").alias("pad"),
-    )
-    return fact, dim
+    return zipf_fact_dim(spark, 50 * n_events, 2 * n_events, exponent=0.8)
 
 
 @query("skew_zipf_join_plain", oracle=_SKEW_ORACLE)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.functions.sessions import with_session_ids
 from pandas_etl_spark.functions.timeparse import ts_seconds
 from pandas_etl_spark.sources import load_table
 from pandas_etl_spark.streaming import read_events_stream, run_stream_to_table
@@ -23,7 +24,7 @@ _GAP_S = 1800  # 30-minute session gap
     "sessionize",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR extract(epoch FROM ts) - extract(epoch FROM lag(ts) OVER w) > {_GAP_S}
                     THEN 1 ELSE 0 END AS new_sess
@@ -32,7 +33,7 @@ _GAP_S = 1800  # 30-minute session gap
     ),
     sess AS (
         SELECT user_id, ts, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_id
         FROM flagged
@@ -46,21 +47,13 @@ _GAP_S = 1800  # 30-minute session gap
     """,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization: lag-gap flag + running sum = session id —
-    the classic two-window plan (single shuffle on user_id; both windows
-    and the final groupBy share the partitioning)."""
+    """Batch sessionization via the shared lag/cumsum core
+    (functions/sessions.with_session_ids — review r5 #7 de-duplicated
+    the three hand-copied variants and restored the event_id tie-break
+    the cumsum window had lost): single shuffle on user_id shared by
+    both windows and the final groupBy."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_s = ts_seconds("ts")  # NTZ-robust (VERDICT r4 #6)
-    gap = ts_s - F.lag(ts_s).over(w)
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "value",
-        F.when(gap.isNull() | (gap > _GAP_S), 1).otherwise(0).alias("new_sess"),
-    )
-    ws = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
-    sess = flagged.withColumn("session_id", F.sum("new_sess").over(ws).cast("bigint"))
+    sess = with_session_ids(ev, gap_s=_GAP_S)
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
@@ -73,7 +66,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_agg",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR extract(epoch FROM ts) - extract(epoch FROM lag(ts) OVER w) > {_GAP_S}
                     THEN 1 ELSE 0 END AS new_sess
@@ -82,7 +75,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_id
         FROM flagged
@@ -420,7 +413,7 @@ def q_stream_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR extract(epoch FROM ts) - extract(epoch FROM lag(ts) OVER w) > {_GAP_S}
                     THEN 1 ELSE 0 END AS new_sess
@@ -429,7 +422,7 @@ def q_stream_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_id
         FROM flagged

@@ -37,17 +37,27 @@ def pagerank(
     the update. ``localCheckpoint`` truncates lineage each round so the
     plan does not grow with ``iters`` (the connected-components
     lesson). Deterministic: no sampling, no rand."""
+    # Materialize the graph frames ONCE: every iteration (and the
+    # nodes.count() below) would otherwise re-execute the full upstream
+    # edge construction — for pagerank_trade_graph that is a 5-way fact
+    # join re-run per round (review r5 #2). localCheckpoint also cuts
+    # the lineage the iterations would stack on top of.
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
-    )
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
-    outdeg = e.groupBy(F.col("src").alias("node")).agg(F.sum("w").alias("tw"))
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.sum("w").alias("tw"))
+        .localCheckpoint()
+    )
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))

@@ -83,3 +83,37 @@ def salted_join(
     )
     out = lsalted.join(rrep, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def zipf_fact_dim(spark, n_fact: int, n_dim: int, exponent: float = 0.8,
+                  pad_bytes: int = 120):
+    """Deterministic zipf-keyed synthetic (fact, dim) pair for skew
+    studies — the ONE builder behind the skew_zipf_join_* catalog pair
+    and scripts/skew_stress_eval.py (review r5 #8: two hand-copies of
+    these expressions would silently invalidate the SCALE.md
+    comparison).
+
+    The uniform driver is ``((i % 2^31) * 2654435761) % 2^31`` — the
+    mod-BEFORE-multiply form is residue-identical to ``(i * c) % 2^31``
+    (modular arithmetic) but keeps the intermediate ≤ (2^31-1)·c <
+    2^63 for ANY row count, where the naive product overflows int64
+    once n_fact exceeds ~3.5e9 (review r5 #6: DuckDB would raise,
+    non-ANSI Spark would silently wrap). P[k=1] = 1 - 2^(-1/exponent).
+    The ``pad_bytes`` filler pushes the dim past the broadcast
+    threshold at bench scale so the join genuinely shuffles."""
+    u = (
+        (F.col("id") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(2147483648) / F.lit(2147483648.0)
+    fact = spark.range(1, n_fact + 1).select(
+        F.least(
+            F.lit(n_dim),
+            F.floor(F.pow(F.lit(1.0) - u, F.lit(-exponent))).cast("bigint"),
+        ).alias("k"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    dim = spark.range(1, n_dim + 1).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).alias("attr"),
+        F.rpad(F.lit("x"), pad_bytes, "x").alias("pad"),
+    )
+    return fact, dim

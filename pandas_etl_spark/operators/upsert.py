@@ -65,14 +65,14 @@ def cdc_collapse(
     ops: DataFrame,
     keys: list[str],
     seq_cols: list[str],
-    op_col: str = "op",
 ) -> DataFrame:
     """Collapse a CDC ops log to the LATEST op per key: ``max_by`` on the
     sequence struct — one shuffle on the keys, no window/sort. The log
     must be (keys, seq) unique (every real CDC source — an LSN, a
     binlog position, a kafka (partition, offset) — guarantees this);
     ties would otherwise pick an unspecified row. Emits one row per key
-    with the winning row's full payload including ``op_col``."""
+    with the winning row's full payload (op column included — it rides
+    in the payload struct, so no op-column parameter is needed here)."""
     payload = [c for c in ops.columns if c not in set(keys)]
     latest = ops.groupBy(*keys).agg(
         F.max_by(
@@ -106,7 +106,7 @@ def cdc_apply(
     wire. A delete for an absent key is a no-op, an update for an
     absent key inserts (standard CDC idempotency rules, so replaying a
     compacted log converges)."""
-    latest = cdc_collapse(ops, keys, seq_cols, op_col)
+    latest = cdc_collapse(ops, keys, seq_cols)
     upserts = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
     deletes = latest.filter(F.col(op_col) == delete_op).select(*keys)
     return upsert(base, upserts, keys).join(deletes, keys, "left_anti")

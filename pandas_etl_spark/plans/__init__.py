@@ -41,6 +41,16 @@ def plan_summary(df: DataFrame) -> dict[str, object]:
     scans/exchanges/broadcast_joins/sortmerge_joins/python_evals/
     codegen_spans plus the pushed filters and read schemas per scan."""
     plan = formatted_plan(df)
+    # Formatted explain prints every operator TWICE — once in the tree
+    # ('+- Exchange (4)') and once as a detail header ('(4) Exchange') —
+    # so operator counts must come from the tree section only or they
+    # double (found live in review: a 1-exchange plan reported 2). After
+    # execution AQE additionally prints BOTH '== Final Plan ==' and
+    # '== Initial Plan ==' trees; count the final one only.
+    # ReadSchema/PushedFilters live only in the detail section.
+    tree = re.split(r"\n\(\d+\) ", plan, maxsplit=1)[0]
+    if "== Final Plan ==" in tree:
+        tree = tree.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
     # codegen spans appear as *(n) markers on the executed plan; under
     # AQE they only materialize after an action has finalized the plan,
     # so codegen_spans is 0 on a never-executed frame — run the frame
@@ -50,14 +60,14 @@ def plan_summary(df: DataFrame) -> dict[str, object]:
     schemas = re.findall(r"ReadSchema: (\S+)", plan)
     return {
         "scans": len(schemas),
-        "exchanges": len(re.findall(r"\bExchange\b", plan)),
-        "broadcast_joins": plan.count("BroadcastHashJoin"),
-        "sortmerge_joins": plan.count("SortMergeJoin"),
-        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
-        "arrow_python_evals": plan.count("ArrowEvalPython")
-        + plan.count("MapInPandas")
-        + plan.count("FlatMapGroupsInPandas"),
-        "row_python_evals": plan.count("BatchEvalPython"),
+        "exchanges": len(re.findall(r"\bExchange\b", tree)),
+        "broadcast_joins": tree.count("BroadcastHashJoin"),
+        "sortmerge_joins": tree.count("SortMergeJoin"),
+        "shuffled_hash_joins": tree.count("ShuffledHashJoin"),
+        "arrow_python_evals": tree.count("ArrowEvalPython")
+        + tree.count("MapInPandas")
+        + tree.count("FlatMapGroupsInPandas"),
+        "row_python_evals": tree.count("BatchEvalPython"),
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", executed))),
         "pushed_filters": [p for p in pushed if p],
         "read_schemas": schemas,

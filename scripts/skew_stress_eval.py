@@ -44,19 +44,11 @@ EXPONENTS = [0.5, 0.8, 1.2]  # P[k=1] = 1 - 2^(-1/e) ≈ 75%, 58%, 44%
 
 
 def build(spark, e: float):
-    u = (F.col("id") * F.lit(2654435761)) % F.lit(2147483648) / F.lit(2147483648.0)
-    fact = spark.range(1, N_FACT + 1).select(
-        F.least(
-            F.lit(N_DIM), F.floor(F.pow(F.lit(1.0) - u, F.lit(-e))).cast("bigint")
-        ).alias("k"),
-        (F.col("id") % 1000).alias("v"),
-    )
-    dim = spark.range(1, N_DIM + 1).select(
-        F.col("id").alias("k"),
-        (F.col("id") % 50).alias("attr"),
-        F.rpad(F.lit("x"), 120, "x").alias("pad"),
-    )
-    return fact, dim
+    # shared builder with the catalog pair (review r5 #8) — the study
+    # and the oracle-checked queries exercise the exact same shapes
+    from pandas_etl_spark.operators.skew import zipf_fact_dim
+
+    return zipf_fact_dim(spark, N_FACT, N_DIM, exponent=e)
 
 
 def agg(joined):

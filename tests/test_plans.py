@@ -322,10 +322,9 @@ def test_plan_lint_clean_across_entire_catalog(spark, sf_dir):
         # anchors for the bucketed scale paths)
         "embedding_neardup_exact",
         "semantic_dedup_checked",
-        "ann_cosine_topk_exact",
-        # cross-join semantics requested by the operator itself
-        "cross_join_pairs",
     }
+    # a misspelled exemption would rot silently (review r5 #5)
+    assert exempt <= set(QUERIES), exempt - set(QUERIES)
     failures = []
     for name, fn in QUERIES.items():
         if name in exempt:
@@ -363,3 +362,18 @@ def test_plan_lint_flags_row_udf(spark):
     assert any("CartesianProduct" in p for p in lint(
         spark.range(3).crossJoin(spark.range(1000).hint("shuffle_replicate_nl"))
     ))
+
+
+def test_plan_summary_counts_operators_once(spark):
+    """Formatted explain lists each operator in the tree AND as a detail
+    header, and post-execution AQE prints Final + Initial trees; the
+    summary must count each physical operator exactly once (review r5:
+    a 1-exchange plan reported exchanges=2)."""
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.plans import plan_summary
+
+    df = spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
+    assert plan_summary(df)["exchanges"] == 1  # pre-execution
+    df.collect()
+    assert plan_summary(df)["exchanges"] == 1  # AQE-finalized

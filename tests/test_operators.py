@@ -1024,3 +1024,28 @@ def test_segment_dedup_semantics(spark):
     assert (got[1]["n_kept"], got[1]["n_segments"]) == (2, 2)
     assert got[2]["text_dedup"] == seg_c
     assert (got[2]["n_kept"], got[2]["n_segments"]) == (1, 2)
+
+
+def test_sessionize_deterministic_on_duplicate_timestamps(spark):
+    """Review r5 #3: with duplicate (user, ts) rows the cumsum window
+    must use the same (ts, event_id) total order as the gap-flag window
+    or session assignment is tie-order-dependent. Events e2/e3 share a
+    timestamp where e3 opens a new session (gap > 30 min from e2 is
+    false, from e1 true...): pin the exact assignment."""
+    import datetime as dt
+
+    from pandas_etl_spark.functions.sessions import with_session_ids
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 10, t0),                                   # session 1
+        (1, 11, t0 + dt.timedelta(seconds=3600)),      # gap 1h -> session 2
+        (1, 12, t0 + dt.timedelta(seconds=3600)),      # same ts, ordered after 11
+        (1, 13, t0 + dt.timedelta(seconds=9000)),      # gap 1.5h -> session 3
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in with_session_ids(df, gap_s=1800).collect()
+    }
+    assert got == {10: 1, 11: 2, 12: 2, 13: 3}

@@ -968,3 +968,30 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running.agg(
         F.max("live").cast("bigint").alias("peak_concurrent_sessions")
     )
+
+
+@query("active_users_trailing_24h_approx")
+def q_active_users_trailing_24h_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate twin of active_users_trailing_24h: same bounded
+    fan-out frame, but the per-bucket reduction is HyperLogLog
+    (approx_count_distinct, rsd=2%) instead of exact distinct — at
+    100 TB this is the cheap path because the HLL sketch partial-merges
+    map-side (a few KB per partition crosses the wire) where exact
+    distinct shuffles every (hour, user) pair. Rows-only driver check
+    (HLL estimates are engine-specific); the error bound vs the exact
+    twin is asserted in tests/test_operators.py."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    pairs = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("ehr"), "user_id"
+    ).distinct()
+    hours = pairs.select(F.col("ehr").alias("hr")).distinct()
+    fan = pairs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i"), "ehr", "user_id"
+    ).select(F.expr("timestampadd(HOUR, i, ehr)").alias("hr"), "user_id")
+    return (
+        fan.join(hours, "hr")
+        .groupBy("hr")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("active_users_est")
+        )
+    )

@@ -1049,3 +1049,23 @@ def test_sessionize_deterministic_on_duplicate_timestamps(spark):
         for r in with_session_ids(df, gap_s=1800).collect()
     }
     assert got == {10: 1, 11: 2, 12: 2, 13: 3}
+
+
+def test_active_users_hll_within_error_of_exact(spark):
+    """The HLL sliding-distinct twin must track the exact fan-out count
+    within a few rsd at every hour (rsd=2%; allow 6% slack for the
+    small-cardinality regime)."""
+    from pandas_etl_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["hr"]: r["active_users"]
+        for r in QUERIES["active_users_trailing_24h"](spark, sf).collect()
+    }
+    est = {
+        r["hr"]: r["active_users_est"]
+        for r in QUERIES["active_users_trailing_24h_approx"](spark, sf).collect()
+    }
+    assert set(exact) == set(est)
+    for hr, n in exact.items():
+        assert abs(est[hr] - n) <= max(3, 0.06 * n), (hr, n, est[hr])

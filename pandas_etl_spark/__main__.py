@@ -41,6 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="key=value",
         help="extra Spark conf",
     )
+    parser.add_argument(
+        "--explain",
+        action="store_true",
+        help=(
+            "dry run: build every step's plan but skip sink/checkpoint "
+            "writes, printing a per-sink plan audit (scans, exchanges, "
+            "join strategies, pushdown, red-flag lint) instead"
+        ),
+    )
     return parser
 
 
@@ -58,7 +67,16 @@ def main(argv: list[str] | None = None) -> int:
         overrideVariables=parse_command_line_variables(args.var),
         spark=spark,
     )
-    pipeline.run()
+    if args.explain:
+        from pandas_etl_spark.pandas_ops import EXPLAIN_ONLY
+
+        token = EXPLAIN_ONLY.set(True)
+        try:
+            pipeline.run()
+        finally:
+            EXPLAIN_ONLY.reset(token)
+    else:
+        pipeline.run()
     return 0
 
 

@@ -22,6 +22,39 @@ from pyspark.sql import functions as F
 
 from pandas_etl_spark.sources import io as _io
 
+# --explain dry-run support (pipeline CLI): when set, Table sinks skip
+# their write action and print a plan lint + summary instead — the only
+# actions in a lazy pipeline live at the sinks, so gating them here
+# turns a full pipeline run into a plan audit.
+import contextvars as _contextvars
+
+EXPLAIN_ONLY: _contextvars.ContextVar[bool] = _contextvars.ContextVar(
+    "pandas_etl_spark_explain_only", default=False
+)
+
+
+def _explain_sink(df: DataFrame, kind: str, target: str) -> bool:
+    """When EXPLAIN_ONLY is set: print the sink's plan audit and return
+    True (caller skips the write)."""
+    if not EXPLAIN_ONLY.get():
+        return False
+    from pandas_etl_spark.plans import lint, plan_summary
+
+    s = plan_summary(df)
+    print(f"EXPLAIN sink {kind} -> {target}")
+    print(
+        f"  scans={s['scans']} exchanges={s['exchanges']} "
+        f"broadcast_joins={s['broadcast_joins']} "
+        f"sortmerge_joins={s['sortmerge_joins']} "
+        f"arrow_python={s['arrow_python_evals']} "
+        f"row_python={s['row_python_evals']}"
+    )
+    for p in s["pushed_filters"]:
+        print(f"  pushed: {p}")
+    for violation in lint(df):
+        print(f"  LINT: {violation}")
+    return True
+
 _NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long"}
 
 
@@ -485,12 +518,18 @@ class Table:
 
     def to_csv(self, path_or_buf: str, index: bool = False, header: bool = True) -> str:
         """``index`` accepted for parity; there is no index (SURVEY §1.1)."""
+        if _explain_sink(self._df, "csv", path_or_buf):
+            return path_or_buf
         return _io.to_csv(self._df, path_or_buf, header=header)
 
     def to_parquet(self, path: str, partition_by: list[str] | None = None) -> str:
+        if _explain_sink(self._df, "parquet", path):
+            return path
         return _io.to_parquet(self._df, path, partition_by=partition_by)
 
     def to_orc(self, path: str, partition_by: list[str] | None = None) -> str:
+        if _explain_sink(self._df, "orc", path):
+            return path
         return _io.to_orc(self._df, path, partition_by=partition_by)
 
     def to_parquet_sorted(
@@ -498,6 +537,8 @@ class Table:
     ) -> str:
         """Range-clustered write (sources.io.to_parquet_sorted) — exposed
         here so YAML pipeline steps can emit skip-friendly layouts."""
+        if _explain_sink(self._df, "parquet_sorted", path):
+            return path
         return _io.to_parquet_sorted(self._df, path, sort_cols, n_files=n_files)
 
     def to_parquet_zorder(
@@ -506,6 +547,8 @@ class Table:
         """Z-order clustered write (sources.layout.to_parquet_zorder)."""
         from pandas_etl_spark.sources.layout import to_parquet_zorder
 
+        if _explain_sink(self._df, "parquet_zorder", path):
+            return path
         return to_parquet_zorder(self._df, path, cols, bits=bits, n_files=n_files)
 
     def to_table_bucketed(
@@ -531,6 +574,8 @@ class Table:
         )
 
     def to_sql(self, name: str, con: Any, if_exists: str = "fail", index: bool = False) -> None:
+        if _explain_sink(self._df, "jdbc", name):
+            return
         options = con.jdbc_options() if hasattr(con, "jdbc_options") else con
         _io.to_sql(self._df, name, options, if_exists=if_exists)
 

@@ -232,6 +232,10 @@ class Pipeline:
             raise ValueError(
                 f"saveProgress set but step output is {type(output).__name__}, not a table"
             )
+        from pandas_etl_spark.pandas_ops import _explain_sink
+
+        if _explain_sink(df, "checkpoint", path):  # --explain dry run
+            return
         ext = path.rsplit(".", 1)[-1].lower()
         from pandas_etl_spark.sources import io as _io
 

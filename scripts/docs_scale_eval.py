@@ -82,13 +82,22 @@ def main() -> None:
     from pandas_etl_spark.catalog import QUERIES
     from pandas_etl_spark.session import get_spark
 
+    # override via env: DOCS_SCALE_SIZES="50000,500000" DOCS_SCALE_QUERIES="a,b"
+    sizes = [
+        int(x) for x in os.environ.get("DOCS_SCALE_SIZES", "5000,50000").split(",")
+    ]
+    queries = (
+        os.environ["DOCS_SCALE_QUERIES"].split(",")
+        if "DOCS_SCALE_QUERIES" in os.environ
+        else QUERIES_TO_TIME
+    )
     spark = get_spark("docs-scale")
     base = tempfile.mkdtemp(prefix="docs_scale_")
-    small = gen_corpus(5_000, os.path.join(base, "x1"))
-    big = gen_corpus(50_000, os.path.join(base, "x10"))
+    small = gen_corpus(sizes[0], os.path.join(base, "x1"))
+    big = gen_corpus(sizes[1], os.path.join(base, "x10"))
 
-    print(f"{'query':22s} {'5k warm':>8s} {'50k warm':>9s} {'ratio':>6s}")
-    for name in QUERIES_TO_TIME:
+    print(f"{'query':22s} {sizes[0]:>7d}w {sizes[1]:>8d}w {'ratio':>6s}", flush=True)
+    for name in queries:
         row = []
         for sf_dir in (small, big):
             samples = []
@@ -101,7 +110,8 @@ def main() -> None:
                 spark.catalog.clearCache()
             row.append(min(samples[1:]))  # warm
         print(
-            f"{name:22s} {row[0]:>8.2f} {row[1]:>9.2f} {row[1] / row[0]:>6.1f}x"
+            f"{name:22s} {row[0]:>8.2f} {row[1]:>9.2f} {row[1] / row[0]:>6.1f}x",
+            flush=True,
         )
 
 

@@ -259,3 +259,39 @@ def test_doc_counts_match_registry():
         assert m, line
         assert int(m.group(1)) == len(QUERIES), line
         assert int(m.group(2)) == len(ORACLES), line
+
+
+def test_cli_explain_dry_run(tmp_path):
+    """``--explain`` audits every sink's plan without writing anything —
+    the pre-flight a user runs before pointing a pipeline at 100 TB."""
+    import subprocess
+    import sys
+
+    out_csv = tmp_path / "out.csv"
+    yaml_file = tmp_path / "run.yaml"
+    yaml_file.write_text(
+        f"""
+steps:
+- pd.read_csv:
+    filepath_or_buffer: ./tests/data/test.csv
+- name: grouped
+  function: ${{ steps['pd.read_csv'].output.groupby }}
+  args:
+    by: AB
+- name: reduced
+  function: ${{ steps['grouped'].output.max }}
+- name: sink
+  function: ${{ steps['reduced'].output.to_csv }}
+  args:
+    path_or_buf: {out_csv}
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "pandas_etl_spark", "--file", str(yaml_file),
+         "--explain", "--conf", "spark.sql.shuffle.partitions=4"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "EXPLAIN sink csv" in proc.stdout
+    assert "exchanges=" in proc.stdout
+    assert not out_csv.exists()  # nothing written

@@ -172,3 +172,33 @@ def to_table_bucketed(
         writer = writer.option("path", path)
     writer.mode(mode).format("parquet").saveAsTable(table)
     return table
+
+
+def to_parquet_auto(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet with the file count derived from Catalyst's size
+    estimate: ceil(estimated_bytes / target) output files (min 1).
+
+    The spill-aware default the manual ``repartition(n)`` guess gets
+    wrong in both directions: a 100 TB frame written with the parent's
+    partitioning emits however many shuffle partitions the last
+    exchange had (tiny files at high parallelism), while a driver-side
+    count-then-decide costs an extra action. The optimizer's
+    ``sizeInBytes`` estimate is free (no job) — coarse for complex
+    plans (it propagates from scan stats), but file sizing only needs
+    order-of-magnitude accuracy, and the estimate tightens to near-
+    exact under AQE-finalized upstream exchanges. Returns the file
+    count chosen."""
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    n_files = max(1, -(-est // target_file_bytes))
+    # cap at the current partition count: repartition UP only fans out
+    # the write without more data
+    n_files = min(n_files, max(df.rdd.getNumPartitions(), 1)) if est else 1
+    df.repartition(n_files).write.mode(mode).parquet(path)
+    return n_files

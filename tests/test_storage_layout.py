@@ -312,3 +312,25 @@ def test_compact_to_single_file_when_target_exceeds_total(spark, sf_dir, tmp_pat
     assert n == 1
     assert len(glob.glob(out + "/*.parquet")) == 1
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_to_parquet_auto_sizes_from_estimate(spark, tmp_path):
+    """File count tracks the optimizer's size estimate: a small frame
+    collapses to 1 file; a tiny target splits the same frame into more
+    files (bounded by its partition count)."""
+    import glob
+
+    from pandas_etl_spark.sources.layout import to_parquet_auto
+
+    df = spark.range(0, 200_000, 1, 8).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    )
+    one = str(tmp_path / "one")
+    n1 = to_parquet_auto(df, one, target_file_bytes=1 << 30)
+    assert n1 == 1
+    assert len(glob.glob(one + "/part-*.parquet")) == 1
+
+    many = str(tmp_path / "many")
+    n2 = to_parquet_auto(df, many, target_file_bytes=64 << 10)
+    assert n2 > 1
+    assert len(glob.glob(many + "/part-*.parquet")) == n2

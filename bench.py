@@ -71,6 +71,12 @@ EXTENDED = [
     "bm25_search_topk",
     "skew_zipf_join_plain",
     "skew_zipf_join_salted",
+    "segment_dedup",
+    "ngram_containment_pairs",
+    "pagerank_trade_graph",
+    "cdc_apply_latest",
+    "active_users_trailing_24h",
+    "peak_concurrency",
 ]
 
 

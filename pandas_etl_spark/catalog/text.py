@@ -1047,3 +1047,17 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity that doc-level dedup cannot reach."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return tx.segment_dedup(d, "text", "doc_id", words_per_segment=10)
+
+
+@query("heavy_hitters_cms")
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch estimates beside the exact heavy hitters
+    (operators/frequent.cms_heavy_hitters): the whole token stream
+    collapses into one few-KB mergeable sketch; estimates carry the
+    one-sided CMS guarantee n <= n_est <= n + eps*N (tested).
+    Rows-only driver check (sketch hashing is engine-specific)."""
+    from pandas_etl_spark.operators.frequent import cms_heavy_hitters
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(tx.tokens("text")).alias("word"))
+    return cms_heavy_hitters(toks, "word", theta=0.002)

@@ -79,3 +79,43 @@ def frequent_tokens(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= threshold)
     )
+
+
+def cms_heavy_hitters(
+    tokens: DataFrame,
+    col: str = "word",
+    theta: float = 0.001,
+    eps: float = 1e-4,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min-sketch twin of :func:`frequent_tokens`: one
+    ``count_min_sketch`` aggregate compresses the WHOLE token stream to
+    a few-KB sketch (partial-merged map-side — nothing token-sized ever
+    shuffles), the exact pass then supplies the candidate set and the
+    sketch its estimates. Output (word, n, n_est) where the CMS
+    guarantee holds: ``n <= n_est <= n + eps*N`` with probability
+    ``confidence`` — asserted in tests.
+
+    At 100 TB the sketch path answers "how hot is key X" for ANY x
+    post-hoc without re-scanning; the exact operator remains the
+    arbiter for the reported heavy-hitter SET (a CMS can only
+    overestimate, so using it to select the set admits false
+    positives)."""
+    sk_row = tokens.agg(
+        F.count_min_sketch(
+            col, F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
+        ).alias("sk")
+    ).first()
+    exact = frequent_tokens(tokens, col, theta)
+    spark = tokens.sparkSession
+    if sk_row is None or sk_row["sk"] is None:
+        return exact.withColumn("n_est", F.col("n"))
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row["sk"])
+    )
+    rows = exact.collect()  # bounded: <= 1/theta heavy hitters by definition
+    out = [(r[col], r["n"], int(cms.estimateCount(r[col]))) for r in rows]
+    return spark.createDataFrame(
+        out, f"{col} string, n bigint, n_est bigint"
+    )

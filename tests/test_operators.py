@@ -1069,3 +1069,19 @@ def test_active_users_hll_within_error_of_exact(spark):
     assert set(exact) == set(est)
     for hr, n in exact.items():
         assert abs(est[hr] - n) <= max(3, 0.06 * n), (hr, n, est[hr])
+
+
+def test_cms_heavy_hitters_bounds(spark):
+    """CMS estimates are one-sided: n <= n_est <= n + eps*N (w.p.
+    confidence; deterministic here via fixed seed)."""
+    from pandas_etl_spark.operators.frequent import cms_heavy_hitters
+
+    rows = [("hot",)] * 500 + [("warm",)] * 120 + [(f"cold{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "word string")
+    n_total = len(rows)
+    got = {r["word"]: (r["n"], r["n_est"])
+           for r in cms_heavy_hitters(df, "word", theta=0.05, eps=1e-3).collect()}
+    assert set(got) == {"hot", "warm"}
+    for w, (n, est) in got.items():
+        assert n <= est <= n + max(1, int(1e-3 * n_total) + 1), (w, n, est)
+    assert got["hot"][0] == 500 and got["warm"][0] == 120

@@ -377,3 +377,38 @@ def test_plan_summary_counts_operators_once(spark):
     assert plan_summary(df)["exchanges"] == 1  # pre-execution
     df.collect()
     assert plan_summary(df)["exchanges"] == 1  # AQE-finalized
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark's runtime row-level filtering: a selective dim filter
+    injects a bloom_filter_agg subquery whose might_contain() guards
+    the fact scan — rows for never-joining keys drop BEFORE the
+    shuffle. Engages automatically at real scale (the default
+    applicationSideScanSizeThreshold is 10 GB); thresholds are lowered
+    here to demonstrate and pin the capability at test volume."""
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -564,6 +564,8 @@ class Table:
         the bucket key need no Exchange."""
         from pandas_etl_spark.sources.layout import to_table_bucketed
 
+        if _explain_sink(self._df, "bucketed_table", table):
+            return table
         return to_table_bucketed(
             self._df,
             table,
@@ -592,6 +594,8 @@ class Table:
         collect: more than ``max_rows`` rows raises rather than silently
         truncating or OOMing the driver. Gated on openpyxl like
         read_excel."""
+        if _explain_sink(self._df, "excel", path):
+            return path
         pdf = self._df.limit(max_rows + 1).toPandas()
         if len(pdf) > max_rows:
             raise ValueError(

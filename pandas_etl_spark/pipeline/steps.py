@@ -255,9 +255,20 @@ class _Steps:
                     if bar:
                         bar.update(1)
                 else:
+                    # propagate the caller's contextvars into worker
+                    # threads (fresh copy per task — a Context can only
+                    # be entered once): without this, --explain's
+                    # EXPLAIN_ONLY flag reads as default-False in
+                    # concurrent waves and sinks would WRITE during a
+                    # dry run (review r5b #1)
+                    import contextvars
+
                     with concurrent.futures.ThreadPoolExecutor() as executor:
                         futures = {
-                            executor.submit(timed, s): s for s in to_submit
+                            executor.submit(
+                                contextvars.copy_context().run, timed, s
+                            ): s
+                            for s in to_submit
                         }
                         for fut in concurrent.futures.as_completed(futures):
                             fut.result()  # propagate step errors (reference swallows them)

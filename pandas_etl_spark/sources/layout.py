@@ -188,17 +188,22 @@ def to_parquet_auto(
     partitioning emits however many shuffle partitions the last
     exchange had (tiny files at high parallelism), while a driver-side
     count-then-decide costs an extra action. The optimizer's
-    ``sizeInBytes`` estimate is free (no job) — coarse for complex
-    plans (it propagates from scan stats), but file sizing only needs
-    order-of-magnitude accuracy, and the estimate tightens to near-
-    exact under AQE-finalized upstream exchanges. Returns the file
-    count chosen."""
+    ``sizeInBytes`` estimate is free — NO job, no ``df.rdd`` (which
+    under AQE materializes every intermediate stage, review r5b #3) —
+    and coarse for complex plans, but file sizing only needs
+    order-of-magnitude accuracy.
+
+    ``coalesce`` merges down shuffle-free (the requested count is a
+    CAP: fewer files result when the frame has fewer partitions), with
+    one exception: tiny targets (< 8 files) use ``repartition`` because
+    coalesce propagates its parallelism limit UPSTREAM — coalesce(1)
+    would run the whole computation on one task (the classic trap;
+    compact_parquet can coalesce freely because its upstream is a bare
+    scan). Returns the requested file cap."""
     est = int(
         df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
-    n_files = max(1, -(-est // target_file_bytes))
-    # cap at the current partition count: repartition UP only fans out
-    # the write without more data
-    n_files = min(n_files, max(df.rdd.getNumPartitions(), 1)) if est else 1
-    df.repartition(n_files).write.mode(mode).parquet(path)
+    n_files = max(1, -(-est // target_file_bytes)) if est else 1
+    shaped = df.repartition(n_files) if n_files < 8 else df.coalesce(n_files)
+    shaped.write.mode(mode).parquet(path)
     return n_files

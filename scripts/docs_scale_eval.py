@@ -91,15 +91,23 @@ def main() -> None:
         if "DOCS_SCALE_QUERIES" in os.environ
         else QUERIES_TO_TIME
     )
+    if len(sizes) < 2:
+        raise SystemExit(
+            "DOCS_SCALE_SIZES needs >= 2 comma-separated sizes to form a "
+            "scaling ratio (review r5b #8)"
+        )
     spark = get_spark("docs-scale")
     base = tempfile.mkdtemp(prefix="docs_scale_")
-    small = gen_corpus(sizes[0], os.path.join(base, "x1"))
-    big = gen_corpus(sizes[1], os.path.join(base, "x10"))
+    dirs = [
+        gen_corpus(n, os.path.join(base, f"n{n}")) for n in sizes
+    ]
 
-    print(f"{'query':22s} {sizes[0]:>7d}w {sizes[1]:>8d}w {'ratio':>6s}", flush=True)
+    header = f"{'query':22s}" + "".join(f" {n:>8d}w" for n in sizes)
+    header += "".join(f" {'r' + str(i):>6s}" for i in range(1, len(sizes)))
+    print(header, flush=True)
     for name in queries:
         row = []
-        for sf_dir in (small, big):
+        for sf_dir in dirs:
             samples = []
             for run in range(3):
                 t0 = time.perf_counter()
@@ -109,10 +117,11 @@ def main() -> None:
                 samples.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
             row.append(min(samples[1:]))  # warm
-        print(
-            f"{name:22s} {row[0]:>8.2f} {row[1]:>9.2f} {row[1] / row[0]:>6.1f}x",
-            flush=True,
+        line = f"{name:22s}" + "".join(f" {t:>8.2f}" for t in row)
+        line += "".join(
+            f" {row[i] / row[i - 1]:>5.1f}x" for i in range(1, len(row))
         )
+        print(line, flush=True)
 
 
 if __name__ == "__main__":

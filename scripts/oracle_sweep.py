@@ -37,6 +37,12 @@ def main() -> int:
         n for n in QUERIES
         if n in ORACLES and (not needles or any(s in n for s in needles))
     ]
+    if not names:
+        print(
+            f"oracle_sweep: no oracle query matches {needles!r} — "
+            "refusing to report an empty sweep as green"
+        )
+        return 2
     fails = 0
     t0 = time.time()
     for n in names:

@@ -1051,13 +1051,13 @@ def test_sessionize_deterministic_on_duplicate_timestamps(spark):
     assert got == {10: 1, 11: 2, 12: 2, 13: 3}
 
 
-def test_active_users_hll_within_error_of_exact(spark):
+def test_active_users_hll_within_error_of_exact(spark, sf_dir):
     """The HLL sliding-distinct twin must track the exact fan-out count
     within a few rsd at every hour (rsd=2%; allow 6% slack for the
     small-cardinality regime)."""
     from pandas_etl_spark.catalog import QUERIES
 
-    sf = "/root/testdata/sf0.01"
+    sf = sf_dir
     exact = {
         r["hr"]: r["active_users"]
         for r in QUERIES["active_users_trailing_24h"](spark, sf).collect()

@@ -322,6 +322,13 @@ def test_plan_lint_clean_across_entire_catalog(spark, sf_dir):
         # anchors for the bucketed scale paths)
         "embedding_neardup_exact",
         "semantic_dedup_checked",
+        # driver-coordinated multi-phase operators whose catalog result
+        # is a driver-local frame: linting their LocalRelation is
+        # vacuous and building them runs the full computation
+        # (review r5b #4); their distributed constituents are linted
+        # through bpe_token_stats/heavy_hitters respectively
+        "bpe_learn_merges",
+        "heavy_hitters_cms",
     }
     # a misspelled exemption would rot silently (review r5 #5)
     assert exempt <= set(QUERIES), exempt - set(QUERIES)

@@ -295,3 +295,45 @@ steps:
     assert "EXPLAIN sink csv" in proc.stdout
     assert "exchanges=" in proc.stdout
     assert not out_csv.exists()  # nothing written
+
+
+def test_cli_explain_dry_run_concurrent_wave(tmp_path):
+    """Review r5b #1: two INDEPENDENT sink branches land in one
+    wavefront wave and run on ThreadPoolExecutor workers — the
+    EXPLAIN_ONLY contextvar must propagate into those threads or the
+    dry run silently writes real output."""
+    import subprocess
+    import sys
+
+    out_a = tmp_path / "a_parquet"
+    out_b = tmp_path / "b_parquet"
+    yaml_file = tmp_path / "run.yaml"
+    yaml_file.write_text(
+        f"""
+steps:
+- name: load_a
+  function: pd.read_csv
+  args:
+    filepath_or_buffer: ./tests/data/test.csv
+- name: load_b
+  function: pd.read_csv
+  args:
+    filepath_or_buffer: ./tests/data/test.csv
+- name: sink_a
+  function: ${{ steps['load_a'].output.to_parquet }}
+  args:
+    path: {out_a}
+- name: sink_b
+  function: ${{ steps['load_b'].output.to_parquet }}
+  args:
+    path: {out_b}
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "pandas_etl_spark", "--file", str(yaml_file),
+         "--explain", "--conf", "spark.sql.shuffle.partitions=4"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert proc.stdout.count("EXPLAIN sink parquet") == 2
+    assert not out_a.exists() and not out_b.exists()

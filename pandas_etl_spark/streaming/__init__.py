@@ -268,3 +268,51 @@ def cdc_apply_sink(
         )
 
     return sink
+
+
+def read_snapshot_version(spark, snapshot_path: str, version: int | None = None):
+    """Time-travel read over the ``v{n}`` versioned-snapshot convention
+    that :func:`cdc_apply_sink` writes: latest version by default, or a
+    pinned historical ``version``. Raises FileNotFoundError when the
+    directory holds no versions (or the pinned one is absent) — never
+    silently reads an empty frame."""
+    import os
+
+    versions = sorted(
+        int(d[1:]) for d in (
+            os.listdir(snapshot_path) if os.path.isdir(snapshot_path) else []
+        )
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    if version is None:
+        if not versions:
+            raise FileNotFoundError(f"no snapshot versions under {snapshot_path}")
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"snapshot v{version} not in {snapshot_path} (have {versions})"
+        )
+    return spark.read.parquet(os.path.join(snapshot_path, f"v{version}"))
+
+
+def vacuum_snapshot_versions(snapshot_path: str, keep_last: int = 2) -> list[int]:
+    """Retention for the versioned-snapshot convention: delete all but
+    the newest ``keep_last`` version directories (the compaction step a
+    long-running CDC sink needs, or every batch leaks a full snapshot
+    copy). Returns the versions removed. ``keep_last >= 1`` is
+    enforced — vacuuming everything would destroy the table."""
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = sorted(
+        int(d[1:]) for d in (
+            os.listdir(snapshot_path) if os.path.isdir(snapshot_path) else []
+        )
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(snapshot_path, f"v{v}"))
+    return doomed

@@ -313,3 +313,36 @@ def test_dedup_ingest_sink_keeps_corpus_clean(spark, tmp_path, indexed):
 
     kept = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
     assert kept == {1, 2, 5}
+
+
+def test_snapshot_versioning_lifecycle(spark, tmp_path):
+    """cdc_apply_sink writes v{n}; read_snapshot_version time-travels;
+    vacuum keeps the newest k and refuses keep_last=0."""
+    import pytest as _pytest
+
+    from pandas_etl_spark.operators.upsert import cdc_apply
+    from pandas_etl_spark.streaming import (
+        read_snapshot_version,
+        vacuum_snapshot_versions,
+    )
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    state = base
+    # simulate three committed versions
+    for i, (k, v, op) in enumerate([(2, "b", "U"), (1, None, "D"), (3, "c", "U")]):
+        ops = spark.createDataFrame([(k, v, op, i)], "k long, v string, op string, seq long")
+        state = cdc_apply(state, ops, ["k"], ["seq"])
+        state.write.parquet(f"{snap}/v{i}")
+        state = spark.read.parquet(f"{snap}/v{i}")
+    assert {r["k"] for r in read_snapshot_version(spark, snap).collect()} == {2, 3}
+    assert {r["k"] for r in read_snapshot_version(spark, snap, 0).collect()} == {1, 2}
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot_version(spark, snap, 9)
+    with _pytest.raises(ValueError):
+        vacuum_snapshot_versions(snap, keep_last=0)
+    removed = vacuum_snapshot_versions(snap, keep_last=1)
+    assert removed == [0, 1]
+    assert {r["k"] for r in read_snapshot_version(spark, snap).collect()} == {2, 3}
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot_version(spark, snap, 0)  # vacuumed away

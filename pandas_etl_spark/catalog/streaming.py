@@ -671,3 +671,74 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not versions:  # empty source: no micro-batch ever committed
         return base
     return spark.read.parquet(os.path.join(snap, f"v{versions[-1]}"))
+
+
+@query(
+    "stream_quality_gate",
+    oracle="""
+    WITH tagged AS (
+        SELECT *,
+               (CASE WHEN NOT coalesce(value >= 0, FALSE)
+                     THEN 1 ELSE 0 END
+              + CASE WHEN NOT coalesce(event_type IN
+                         ('view','click','purchase','signup'), FALSE)
+                     THEN 1 ELSE 0 END) AS n_viol
+        FROM events
+    )
+    SELECT n_viol > 0 AS quarantined,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 6) AS total_value
+    FROM tagged GROUP BY quarantined
+    """,
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion quality gate end-to-end
+    (streaming.quality_gate_sink + operators/quality.split_by_rules):
+    the event stream splits per micro-batch into clean appends and a
+    quarantine dir carrying violated_rules. Returns the 2-row
+    good/quarantined census; the oracle recomputes the same split
+    row-logic in batch SQL — valid because the stream drains fully and
+    the gate drops nothing."""
+    import os
+    import tempfile
+
+    from pandas_etl_spark.streaming import quality_gate_sink
+
+    tmp = tempfile.mkdtemp(prefix="stream_qgate_")
+    good, quar = os.path.join(tmp, "good"), os.path.join(tmp, "quarantine")
+    rules = [
+        ("value_nonneg", "value >= 0"),
+        ("known_type", "event_type IN ('view','click','purchase','signup')"),
+    ]
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(quality_gate_sink(good, quar, rules))
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def _read(path, quarantined):
+        try:
+            d = spark.read.parquet(path)
+        except Exception:
+            return None
+        return d.agg(
+            F.lit(quarantined).alias("quarantined"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+
+    parts = [p for p in (_read(good, False), _read(quar, True)) if p is not None]
+    if not parts:
+        return spark.createDataFrame(
+            [], "quarantined boolean, n_rows bigint, total_value double"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.filter(F.col("n_rows") > 0)

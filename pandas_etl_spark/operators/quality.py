@@ -125,3 +125,28 @@ def winsorize(
             ((v < F.col("__lo")) | (v > F.col("__hi"))).alias("was_clipped"),
         )
     )
+
+
+def split_by_rules(
+    df: DataFrame, rules: list[tuple[str, str]]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level twin of :func:`check_rules`: partition ``df`` into
+    (passing, quarantined) frames, where a row quarantines when ANY
+    rule evaluates false-or-null for it. The quarantine side carries a
+    ``violated_rules`` array naming the failed rules — the triage
+    column an ops queue needs. Both frames are narrow projections of
+    one scan (no shuffle, no Python)."""
+    if not rules:
+        raise ValueError("split_by_rules: at least one rule required")
+    flags = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(F.expr(expr), F.lit(False)), F.lit(name))
+                for name, expr in rules
+            ]
+        )
+    )
+    tagged = df.withColumn("violated_rules", flags)
+    good = tagged.filter(F.size("violated_rules") == 0).drop("violated_rules")
+    bad = tagged.filter(F.size("violated_rules") > 0)
+    return good, bad

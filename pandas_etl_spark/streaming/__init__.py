@@ -316,3 +316,27 @@ def vacuum_snapshot_versions(snapshot_path: str, keep_last: int = 2) -> list[int
     for v in doomed:
         shutil.rmtree(os.path.join(snapshot_path, f"v{v}"))
     return doomed
+
+
+def quality_gate_sink(
+    good_path: str,
+    quarantine_path: str,
+    rules: list[tuple[str, str]],
+):
+    """foreachBatch sink gating a stream on declarative expectations
+    (operators/quality.split_by_rules): per micro-batch, passing rows
+    append to ``good_path`` and violating rows append to
+    ``quarantine_path`` with their ``violated_rules`` triage column —
+    the quarantine-not-crash ingestion posture (a bad producer deploy
+    must not stall the pipeline, and the bad rows must stay queryable
+    for triage/replay). Idempotent-enough under micro-batch replay for
+    append sinks when upstream dedup (dedup_ingest_sink /
+    dropDuplicatesWithinWatermark) guards the good path."""
+    from pandas_etl_spark.operators.quality import split_by_rules
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        good, bad = split_by_rules(batch_df, rules)
+        good.write.mode("append").parquet(good_path)
+        bad.write.mode("append").parquet(quarantine_path)
+
+    return sink

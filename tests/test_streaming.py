@@ -346,3 +346,41 @@ def test_snapshot_versioning_lifecycle(spark, tmp_path):
     assert {r["k"] for r in read_snapshot_version(spark, snap).collect()} == {2, 3}
     with _pytest.raises(FileNotFoundError):
         read_snapshot_version(spark, snap, 0)  # vacuumed away
+
+
+def test_quality_gate_sink_quarantines(spark, tmp_path, sf_dir):
+    """Streaming ingest with a quality gate: bad rows land in the
+    quarantine dir with their violated_rules column; good rows append
+    clean; nothing is dropped (good + bad = input)."""
+    import os
+
+    from pandas_etl_spark.streaming import quality_gate_sink, read_events_stream
+
+    good, quar = str(tmp_path / "good"), str(tmp_path / "quarantine")
+    rules = [
+        ("value_nonneg", "value >= 0"),
+        ("known_type", "event_type IN ('view','click','purchase','signup')"),
+    ]
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(quality_gate_sink(good, quar, rules))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_in = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    g = spark.read.parquet(good) if os.path.isdir(good) else None
+    b = spark.read.parquet(quar)
+    n_good = g.count() if g is not None else 0
+    n_bad = b.count()
+    assert n_good + n_bad == n_in
+    assert n_bad > 0  # fixture contains 'error' events -> known_type fails
+    assert "violated_rules" in b.columns
+    bad_rules = {r0 for r in b.select("violated_rules").collect() for r0 in r[0]}
+    assert "known_type" in bad_rules
+    if g is not None:
+        assert set(g.columns) == set(stream.schema.fieldNames())

@@ -1061,3 +1061,38 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = d.select(F.explode(tx.tokens("text")).alias("word"))
     return cms_heavy_hitters(toks, "word", theta=0.002)
+
+
+@query(
+    "feature_hash_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest({_DD_TOKENS}) AS term FROM documents
+    )
+    SELECT id,
+           CAST(CAST('0x' || substring(md5(term), 1, 8) AS BIGINT) % 64
+                AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM toks
+    GROUP BY 1, 2
+    """,
+)
+def q_feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): tokens hash into a
+    fixed 64-bucket feature space — the unbounded-vocabulary-to-
+    fixed-width featurizer (sklearn HashingVectorizer / Spark ML
+    HashingTF shape) with a PORTABLE md5 bucket function so the whole
+    transform is oracle-checkable. Long output (id, bucket, tf): one
+    token-explode aggregate, no vocabulary state, no second pass —
+    the property that makes feature hashing the streaming/100 TB
+    featurizer (a CountVectorizer needs a fitted vocab broadcast)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.col("doc_id").alias("id"), F.explode(tx.tokens("text")).alias("term")
+    )
+    bucket = F.expr(
+        "cast(cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint) % 64 as int)"
+    )
+    return toks.groupBy("id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )

@@ -995,3 +995,102 @@ def q_active_users_trailing_24h_approx(spark: SparkSession, sf_dir: str) -> Data
             F.approx_count_distinct("user_id", rsd=0.02).alias("active_users_est")
         )
     )
+
+
+@query(
+    "psi_value_drift",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(value) AS lo, max(value) AS hi,
+               min(ts) AS t0, max(ts) AS t1
+        FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               least(9, greatest(0, CAST(floor((value - b.lo)
+                   / (nullif(b.hi - b.lo, 0) / 10.0)) AS INTEGER))) AS bin,
+               CASE WHEN extract(epoch FROM ts) <
+                         extract(epoch FROM b.t0)
+                         + (extract(epoch FROM b.t1)
+                            - extract(epoch FROM b.t0)) / 2
+                    THEN 'a' ELSE 'b' END AS period
+        FROM events, bounds b
+    ),
+    cells AS (
+        SELECT event_type, bin, period, count(*) AS n
+        FROM binned GROUP BY 1, 2, 3
+    ),
+    shares AS (
+        SELECT event_type, bin,
+               (coalesce(sum(CASE WHEN period = 'a' THEN n END), 0) + 1.0)
+                   / (sum(sum(CASE WHEN period = 'a' THEN n END))
+                          OVER (PARTITION BY event_type) + 10.0) AS pa,
+               (coalesce(sum(CASE WHEN period = 'b' THEN n END), 0) + 1.0)
+                   / (sum(sum(CASE WHEN period = 'b' THEN n END))
+                          OVER (PARTITION BY event_type) + 10.0) AS pb
+        FROM cells GROUP BY event_type, bin
+    )
+    SELECT event_type, round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+    FROM shares GROUP BY event_type
+    """,
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check: the value distribution of
+    each event type compared between the first and second half of the
+    time range (10 equi-width bins, add-one smoothing so empty bins
+    don't blow up the log) — the standard ML-ops input-drift monitor
+    (PSI > 0.2 conventionally = significant shift). One pass bins
+    against a broadcast 1-row bounds frame; shares and the PSI fold run
+    on the |types|x10 grid, never on the raw stream."""
+    from pyspark.sql import Window as W
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    b = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.min(ts_seconds("ts")).alias("t0"),
+        F.max(ts_seconds("ts")).alias("t1"),
+    )
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0)) / 10.0)
+                ).cast("int"),
+            ),
+        ).alias("bin"),
+        F.when(
+            ts_seconds("ts") < F.col("t0") + (F.col("t1") - F.col("t0")) / 2, "a"
+        )
+        .otherwise("b")
+        .alias("period"),
+    )
+    cells = binned.groupBy("event_type", "bin", "period").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = W.partitionBy("event_type")
+    na = F.sum(F.when(F.col("period") == "a", F.col("n"))).alias("na")
+    nb = F.sum(F.when(F.col("period") == "b", F.col("n"))).alias("nb")
+    per_bin = cells.groupBy("event_type", "bin").agg(na, nb)
+    shares = per_bin.select(
+        "event_type",
+        "bin",
+        (
+            (F.coalesce(F.col("na"), F.lit(0)) + 1.0)
+            / (F.sum(F.coalesce(F.col("na"), F.lit(0))).over(wt) + 10.0)
+        ).alias("pa"),
+        (
+            (F.coalesce(F.col("nb"), F.lit(0)) + 1.0)
+            / (F.sum(F.coalesce(F.col("nb"), F.lit(0))).over(wt) + 10.0)
+        ).alias("pb"),
+    )
+    return shares.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
+            6,
+        ).alias("psi")
+    )

@@ -1516,3 +1516,78 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_pairs():
+    return [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+
+
+@query(
+    "corr_matrix",
+    oracle=f"""
+    WITH m AS (
+        SELECT {", ".join(f"avg({c}) AS m_{c}" for c in _CORR_COLS)}
+        FROM lineitem
+    ),
+    s AS (
+        SELECT
+            {", ".join(f"sum(({a} - m.m_{a}) * ({b} - m.m_{b})) AS s_{a}_{b}"
+                       for a, b in _corr_pairs())},
+            {", ".join(f"sum(({c} - m.m_{c}) * ({c} - m.m_{c})) AS s_{c}_{c}"
+                       for c in _CORR_COLS)}
+        FROM lineitem, m
+    )
+    SELECT col_a, col_b, corr FROM (
+        {" UNION ALL ".join(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"round(s_{a}_{b} / sqrt(s_{a}_{a} * s_{b}_{b}), 6) AS corr FROM s"
+            for a, b in _corr_pairs())}
+    )
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the lineitem measures — the
+    profiling matrix feature selection starts from. Deliberately
+    TWO-pass (means broadcast, then centered cross-products) instead of
+    the one-pass n*Sxy - Sx*Sy form or Spark's corr(): the raw-moment
+    formula cancels two ~1e18 terms (catastrophic at oracle precision)
+    and corr()'s Welford merge order drifts per engine, while centered
+    sums are bit-stable at 6 decimals. Long (col_a, col_b, corr)
+    output; cross-products all evaluate in ONE aggregate over the
+    second scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    means = li.agg(
+        *[F.avg(c).alias(f"m_{c}") for c in _CORR_COLS]
+    )
+    centered_aggs = [
+        F.sum(
+            (F.col(a) - F.col(f"m_{a}")) * (F.col(b) - F.col(f"m_{b}"))
+        ).alias(f"s_{a}_{b}")
+        for a, b in _corr_pairs()
+    ] + [
+        F.sum(
+            (F.col(c) - F.col(f"m_{c}")) * (F.col(c) - F.col(f"m_{c}"))
+        ).alias(f"s_{c}_{c}")
+        for c in _CORR_COLS
+    ]
+    s = li.crossJoin(F.broadcast(means)).agg(*centered_aggs)
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.round(
+                F.col(f"s_{a}_{b}")
+                / F.sqrt(F.col(f"s_{a}_{a}") * F.col(f"s_{b}_{b}")),
+                6,
+            ).alias("corr"),
+        )
+        for a, b in _corr_pairs()
+    ]
+    return s.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -117,6 +117,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("rank", "rnk")
 
 
+@query("ann_pq_topk")
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN: product-quantization codes + per-query distance
+    lookup tables, shortlist by asymmetric distance, exact-cosine
+    re-rank (functions/similarity.ann_pq_topk). Completes the ANN
+    family (brute/LSH/IVF/PQ). Rows-only driver check; recall vs
+    brute force asserted in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ann_pq_topk(
+        emb, queries, k=_TOPK, m=8, codes_k=32
+    ).withColumnRenamed("rank", "rnk")
+
+
 @query("embedding_neardup_lsh")
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH blocked near-dup pairs (rows-only driver check)."""

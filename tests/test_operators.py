@@ -111,6 +111,31 @@ class TestLshRecall:
         recall = len(exact_pairs & ivf) / len(exact_pairs)
         assert recall >= 0.5, f"recall {recall}"
 
+    def test_ann_pq_recall_vs_bruteforce(self, spark, sf_dir):
+        """ADC shortlist + exact re-rank must recover most true cosine
+        neighbors; with a generous rerank_factor the shortlist almost
+        always contains the true top-k."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact_pairs = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.cosine_topk(emb, queries, k=3).collect()
+        }
+        pq = sim.ann_pq_topk(
+            emb, queries, k=3, m=8, codes_k=32, rerank_factor=16
+        ).collect()
+        pq_pairs = {(r.query_id, r.neighbor_id) for r in pq}
+        recall = len(exact_pairs & pq_pairs) / len(exact_pairs)
+        assert recall >= 0.5, f"recall {recall}"
+        # schema parity with the other ANN paths + exact per-query k
+        by_q: dict = {}
+        for r in pq:
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
     def test_semantic_dedup_invariants(self, spark, sf_dir):
         """SemDeDup keep/drop invariants on the clustered path:
         (a) no surviving within-cell pair at/above the threshold;

@@ -29,6 +29,7 @@ from pandas_etl_spark.operators.sampling import (
     _threshold,
     dataset_split,
     mixture_sample,
+    shuffle_shards,
 )
 from pandas_etl_spark.sources import load_table
 from pandas_etl_spark.sources.io import ensure_parallelism
@@ -709,4 +710,32 @@ def q_group_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
         .drop("rn")
+    )
+
+
+@query(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               md5(concat('42:', CAST(doc_id AS VARCHAR))) AS hh
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST('0x' || substring(hh, 1, 8) AS BIGINT) % 8 AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY CAST('0x' || substring(hh, 1, 8) AS BIGINT) % 8
+               ORDER BY hh, doc_id) AS BIGINT) AS shard_pos
+    FROM h
+    """,
+)
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded training-order shuffle
+    (operators/sampling.shuffle_shards): reproducible epoch permutation
+    as (shard, shard_pos) — per-shard window sorts on the md5 of
+    (seed, doc_id), never a global single-partition sort; membership
+    and order survive any repartitioning of the input."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return shuffle_shards(d, "doc_id", n_shards=8, seed=42).select(
+        "doc_id", "shard", "shard_pos"
     )

@@ -562,6 +562,48 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_logprob_score",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id AS id, {_DD_TOKENS} AS l FROM documents
+    ),
+    toks AS (
+        SELECT id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM docs
+    ),
+    counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM counts ORDER BY n DESC, tok LIMIT 1000),
+    mapped AS (
+        SELECT id, pos,
+               CASE WHEN v.tok IS NOT NULL THEN t.tok
+                    ELSE chr(0) || 'unk' END AS m
+        FROM toks t LEFT JOIN vocab v USING (tok)
+    ),
+    big AS (
+        SELECT a.id, a.m AS w1, b.m AS w2
+        FROM mapped a JOIN mapped b ON a.id = b.id AND b.pos = a.pos + 1
+    ),
+    c1h AS (SELECT w1, count(*) AS ch FROM big GROUP BY w1),
+    c12 AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2)
+    SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((CAST(cb AS DOUBLE) + 1)
+                        / (CAST(ch AS DOUBLE) + 1001))), 6) AS avg_logprob
+    FROM big JOIN c12 USING (w1, w2) JOIN c1h USING (w1)
+    GROUP BY id
+    """,
+)
+def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (functions/text.bigram_logprob): the
+    CCNet-style fluency signal one order above unigram_logprob_score —
+    token soup with a normal unigram profile still scores low. Bounded
+    broadcast count tables (≤(V+1)² bigrams), one (id,pos)-keyed
+    self-join shuffle."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return tx.bigram_logprob(d, "text", "doc_id", vocab_size=1000).select(
+        F.col("id").alias("doc_id"), "n_bigrams", "avg_logprob"
+    )
+
+
+@query(
     "pmi_cooccur",
     oracle=f"""
     WITH toks AS (

@@ -449,6 +449,71 @@ def unigram_logprob(
     )
 
 
+_UNK = "\x00unk"  # collides with no whitespace-tokenizer output
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document average bigram log-probability — the CCNet-style LM
+    quality filter one order up from ``unigram_logprob``: fluent text
+    scores high, shuffled/boilerplate token soup scores low even when
+    its unigram distribution looks normal.
+
+    Model: add-one-smoothed bigram LM over the corpus's own top-
+    ``vocab_size`` unigram vocabulary; out-of-vocabulary tokens
+    collapse to a single ``<unk>`` symbol, giving V+1 symbol types, so
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V+1) with c(w1,·) the bigram-
+    history count. Docs with fewer than two tokens emit no row.
+
+    Plan: one token-count shuffle + distributed top-V (as unigram);
+    bigrams from a positional self-join keyed on (id, pos) — a single
+    id-keyed shuffle, never a global sort; both count tables are
+    BOUNDED by construction (≤ V+1 histories, ≤ (V+1)² bigrams — ~1M
+    rows at V=1000) and broadcast back onto the bigram stream. Output:
+    (id, n_bigrams, avg_logprob rounded to 6)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = counts.orderBy(F.desc("n"), F.asc("tok")).limit(vocab_size).select("tok")
+    mapped = (
+        toks.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "tok", "left")
+        .select(
+            "id",
+            "pos",
+            F.when(F.col("_in").isNotNull(), F.col("tok"))
+            .otherwise(F.lit(_UNK))
+            .alias("m"),
+        )
+    )
+    a = mapped.select("id", "pos", F.col("m").alias("w1"))
+    b = mapped.select("id", (F.col("pos") - 1).alias("pos"), F.col("m").alias("w2"))
+    big = a.join(b, ["id", "pos"]).select("id", "w1", "w2")
+    c1h = big.groupBy("w1").agg(F.count(F.lit(1)).alias("ch"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    denom_add = vocab_size + 1  # V vocab symbols + <unk>
+    scored = (
+        big.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1h), "w1")
+        .select(
+            "id",
+            F.log(
+                (F.col("cb") + 1).cast("double")
+                / (F.col("ch") + denom_add).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str = "text",

@@ -128,3 +128,39 @@ def mixture_sample(
         enriched.filter(_bucket(key, _MODULUS) < F.col("__thresh"))
         .drop("__thresh")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: str,
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic sharded corpus shuffle — the reproducible
+    training-order primitive: every row gets a ``shard`` in
+    [0, n_shards) and a 1-based ``shard_pos`` within its shard, both
+    functions ONLY of (seed, key). Reading shards in order yields the
+    same globally-shuffled training order on every run, engine, and
+    partitioning of the input (unlike ``df.orderBy(rand(seed))``,
+    whose RNG stream is partition-dependent), and a seed change is a
+    fresh epoch permutation.
+
+    Order is by the md5 hex of ``"{seed}:{key}"`` (ties — impossible
+    for distinct keys — break on the key). Scale shape: the shard id
+    is the shuffle/write-partition key, so ordering is ``n_shards``
+    independent per-shard window sorts (one hash shuffle), never a
+    single-partition global sort; at 100 TB, size n_shards so a shard
+    fits an executor's sort spill budget (e.g. 10k shards × 10 GB).
+    Portable: DuckDB computes the identical order via
+    ``md5(concat(seed, ':', CAST(key AS VARCHAR)))``."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key).cast("string")))
+    out = df.withColumn("_h", h).withColumn(
+        "shard",
+        F.expr("cast(conv(substring(_h, 1, 8), 16, 10) as bigint)")
+        % F.lit(n_shards),
+    )
+    w = Window.partitionBy("shard").orderBy(F.asc("_h"), F.asc(key))
+    return (
+        out.withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+        .drop("_h")
+    )

@@ -115,6 +115,35 @@ class TestSplits:
         # under-represented strata keep everything (w·N/n ≥ 1)
         assert new["de"] == orig["de"]
 
+    def test_shuffle_shards_stable_and_complete(self, spark, sf_dir):
+        """shuffle_shards: (shard, shard_pos) is a function of
+        (seed, key) only — invariant under repartitioning; positions
+        are exactly 1..n per shard; a seed change permutes."""
+        from pandas_etl_spark.operators.sampling import shuffle_shards
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = shuffle_shards(docs, "doc_id", n_shards=4, seed=7).select(
+            "doc_id", "shard", "shard_pos"
+        )
+        b = shuffle_shards(docs.repartition(13), "doc_id", n_shards=4, seed=7).select(
+            "doc_id", "shard", "shard_pos"
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        # dense 1..n positions within every shard
+        per = a.groupBy("shard").agg(
+            F.count("*").alias("n"),
+            F.min("shard_pos").alias("lo"),
+            F.max("shard_pos").alias("hi"),
+            F.countDistinct("shard_pos").alias("d"),
+        )
+        for r in per.collect():
+            assert (r.lo, r.hi, r.d) == (1, r.n, r.n), r
+        # different seed ⇒ different permutation (overwhelmingly)
+        c = shuffle_shards(docs, "doc_id", n_shards=4, seed=8).select(
+            "doc_id", "shard", "shard_pos"
+        )
+        assert a.exceptAll(c).count() > 0
+
     def test_mixture_drops_unlisted_strata(self, spark):
         df = spark.createDataFrame(
             [(i, "a" if i % 2 else "b") for i in range(100)], ["id", "s"]

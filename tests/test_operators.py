@@ -1110,3 +1110,18 @@ def test_cms_heavy_hitters_bounds(spark):
     for w, (n, est) in got.items():
         assert n <= est <= n + max(1, int(1e-3 * n_total) + 1), (w, n, est)
     assert got["hot"][0] == 500 and got["warm"][0] == 120
+
+
+def test_bigram_logprob_discriminates_fluency(spark):
+    """A token-soup doc with the SAME unigram profile as the fluent
+    corpus must score lower under the bigram LM (the signal
+    unigram_logprob cannot see)."""
+    from pandas_etl_spark.functions.text import bigram_logprob
+
+    fluent = "a b c d e f " * 10
+    soup = "f d b e c a " * 10  # same unigrams, alien bigrams
+    rows = [(i, fluent) for i in range(10)] + [(99, soup)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: r.avg_logprob for r in bigram_logprob(df, vocab_size=10).collect()}
+    fluent_scores = [v for k, v in out.items() if k != 99]
+    assert out[99] < min(fluent_scores), out

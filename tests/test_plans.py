@@ -212,6 +212,15 @@ def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bigram_logprob_broadcasts_counts(spark, sf_dir):
+    """Both bounded count tables (≤V+1 histories, ≤(V+1)² bigrams) and
+    the vocabulary must broadcast back onto the bigram stream — only
+    the (id,pos) positional self-join may shuffle it."""
+    plan = plan_of(spark, sf_dir, "bigram_logprob_score")
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+
+
 def test_dedup_incremental_anti_joins_no_cartesian(spark, sf_dir):
     """Stop-shingle filtering compiles to two anti joins (NOT broadcast-
     hinted: the stop set grows with corpus size per Heaps' law — AQE

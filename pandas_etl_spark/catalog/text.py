@@ -1106,6 +1106,42 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, lang = 'en' AS t,
+               CAST('0x' || substring(md5(term), 1, 8) AS BIGINT) % 1024 AS b
+        FROM (SELECT doc_id, lang, unnest({_DD_TOKENS}) AS term FROM documents)
+    ),
+    counts AS (
+        SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr
+        FROM toks GROUP BY b
+    ),
+    totals AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts)
+    SELECT id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ln((CAST(ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))
+                        / (CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)))),
+                 6) AS log_ratio
+    FROM toks JOIN counts USING (b) CROSS JOIN totals
+    WHERE NOT t
+    GROUP BY id
+    """,
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (functions/text.dsir_importance):
+    hashed-unigram log-likelihood ratio of every non-English doc
+    against the English target distribution — the importance-
+    resampling data-selection score. Two bounded broadcast frames
+    (1024-bucket counts + 1-row totals), one token shuffle."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return tx.dsir_importance(
+        d, F.col("lang") == "en", "text", "doc_id", n_buckets=1024
+    ).select(F.col("id").alias("id"), "n_tokens", "log_ratio")
+
+
+@query(
     "feature_hash_counts",
     oracle=f"""
     WITH toks AS (

@@ -514,6 +514,72 @@ def bigram_logprob(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023 — public method): score every NON-target document by the
+    log-likelihood ratio of its hashed-unigram features under the
+    target vs raw distributions; high scorers look like the target
+    domain and are the ones importance resampling keeps.
+
+    Features are the hashing trick with the PORTABLE md5 bucket
+    (same convention as feature_hash_counts), so the whole transform
+    is oracle-checkable. Both bag-of-buckets distributions are add-one
+    smoothed over ``n_buckets`` cells.
+
+    Plan: one token explode; the two distributions are ONE bounded
+    aggregate (≤ n_buckets rows — target/raw counted side by side) and
+    a 1-row totals frame, both broadcast back onto the token stream;
+    one groupBy(id) sum. No vocabulary state, no second corpus pass.
+    Output: (id, n_tokens, log_ratio rounded to 6) for raw docs —
+    ``log_ratio`` is the DSIR importance log-weight."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        is_target.alias("t"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).withColumn(
+        "b",
+        F.expr(
+            "cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint)"
+        )
+        % F.lit(n_buckets),
+    )
+    counts = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("t"), 1).otherwise(0)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    scored = (
+        toks.filter(~F.col("t"))
+        .join(F.broadcast(counts), "b")
+        .join(F.broadcast(totals))
+        .select(
+            "id",
+            F.log(
+                (
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("nt") + n_buckets).cast("double")
+                )
+                / (
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("nr") + n_buckets).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("lr"), 6).alias("log_ratio"),
+    )
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str = "text",

@@ -1125,3 +1125,22 @@ def test_bigram_logprob_discriminates_fluency(spark):
     out = {r.id: r.avg_logprob for r in bigram_logprob(df, vocab_size=10).collect()}
     fluent_scores = [v for k, v in out.items() if k != 99]
     assert out[99] < min(fluent_scores), out
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """A raw doc sharing the target distribution's tokens must get a
+    higher importance log-weight than one with disjoint tokens."""
+    from pandas_etl_spark.functions.text import dsir_importance
+
+    rows = (
+        [(i, "the of and to in", True) for i in range(20)]
+        + [(100, "the of and to in", False)]
+        + [(101, "der und das zu im", False)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    out = {
+        r.id: r.log_ratio
+        for r in dsir_importance(df, F.col("is_t"), n_buckets=64).collect()
+    }
+    assert set(out) == {100, 101}
+    assert out[100] > out[101], out

@@ -77,6 +77,10 @@ EXTENDED = [
     "cdc_apply_latest",
     "active_users_trailing_24h",
     "peak_concurrency",
+    "ann_pq_topk",
+    "bigram_logprob_score",
+    "dsir_importance_weights",
+    "corpus_shuffle_shards",
 ]
 
 

@@ -45,6 +45,43 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+_TOPK_SALT = 64
+
+
+def salted_topk(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    k: int,
+    salt_col: str = "neighbor_id",
+    salt_buckets: int = _TOPK_SALT,
+) -> DataFrame:
+    """Two-stage per-key top-k that never sorts a key's full candidate
+    stream in ONE task: stage 1 ranks within (key, salt) — key·salt
+    parallel window partitions, each ~1/salt of the key's rows — and
+    keeps k per salt; stage 2 ranks the surviving key·salt·k rows per
+    key (tiny). The global top-k is a subset of the per-salt top-k's
+    union, so the result is EXACTLY the single-window top-k, including
+    tie-breaks (``order_cols`` must be a total order). Appends a
+    bigint ``rank`` column.
+
+    The single-window form partitions N scored rows into only |keys|
+    tasks — with few keys (e.g. 5 ANN queries over a 100 TB corpus)
+    one task sorts N/5 rows. Salting bounds per-task input at
+    N/(keys·salt) regardless of key count."""
+    s = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets))
+    w1 = W.partitionBy(key_col, "_salt").orderBy(*order_cols)
+    w2 = W.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_salt", s)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .drop("_salt", "_r1")
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -55,9 +92,10 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` is a small frame (query_id, query_vec); it is broadcast —
-    the corpus never shuffles. Top-k per query uses a row_number window
-    partitioned by query (deterministic tie-break on neighbor id).
-    Self-matches (same id) are excluded.
+    the corpus never shuffles for scoring. Top-k per query is the
+    salted two-stage window (``salted_topk``): with Q queries over N
+    vectors no single task ever sorts N/Q rows (deterministic
+    tie-break on neighbor id). Self-matches (same id) are excluded.
     """
     q = F.broadcast(queries)
     sim = (
@@ -70,12 +108,9 @@ def cosine_topk(
             F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("cosine_sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return salted_topk(
+        sim, "query_id", [F.desc("cosine_sim"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
@@ -735,14 +770,12 @@ def ann_pq_topk(
             ).alias("adc_dist"),
         )
     )
-    w_short = W.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id")
-    )
-    shortlist = (
-        adc.withColumn("_r", F.row_number().over(w_short))
-        .filter(F.col("_r") <= k * rerank_factor)
-        .select("query_id", "neighbor_id")
-    )
+    shortlist = salted_topk(
+        adc,
+        "query_id",
+        [F.asc("adc_dist"), F.asc("neighbor_id")],
+        k * rerank_factor,
+    ).select("query_id", "neighbor_id")
     # Exact re-rank: broadcast the Q·k·rerank_factor shortlist against
     # the corpus (corpus streams, no shuffle), then top-k by cosine.
     cand = corpus.select(

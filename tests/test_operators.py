@@ -1144,3 +1144,31 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     }
     assert set(out) == {100, 101}
     assert out[100] > out[101], out
+
+
+def test_salted_topk_equals_single_window(spark):
+    """The two-stage salted top-k must be bit-identical to the single
+    per-key window, including tie-breaks."""
+    from pyspark.sql import Window as W
+
+    from pandas_etl_spark.functions.similarity import salted_topk
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).alias("key"),
+        F.col("id").alias("nid"),
+        # scores with deliberate ties: only 40 distinct values
+        (F.pmod(F.xxhash64("id"), F.lit(40)).cast("double")).alias("score"),
+    )
+    order = [F.desc("score"), F.asc("nid")]
+    got = {
+        (r.key, r.nid, r.rank)
+        for r in salted_topk(df, "key", order, 25, salt_col="nid").collect()
+    }
+    w = W.partitionBy("key").orderBy(*order)
+    want = {
+        (r.key, r.nid, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 25)
+        .collect()
+    }
+    assert got == want

@@ -219,12 +219,9 @@ def ann_lsh_topk(
             F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias("cosine_sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return salted_topk(
+        sim, "query_id", [F.desc("cosine_sim"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
 _KMEANS_SAMPLE_TARGET = 100_000
@@ -361,12 +358,9 @@ def ann_ivf_topk(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return salted_topk(
+        cand, "query_id", [F.desc("cosine_sim"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
 def embedding_neardup_pairs(

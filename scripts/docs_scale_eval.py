@@ -37,6 +37,8 @@ QUERIES_TO_TIME = [
     "tfidf_top_terms",
     "segment_dedup",
     "ngram_containment_pairs",
+    "bigram_logprob_score",
+    "corpus_shuffle_shards",
 ]
 
 

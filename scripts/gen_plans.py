@@ -37,6 +37,10 @@ NOTES = {
     "cdc_apply_latest": "One key shuffle collapses the ops log (max_by, no window/sort); the MERGE full-outer join reuses the key partitioning; deletes travel key-only into a broadcast-able anti join.",
     "skew_zipf_join_salted": "Fact shuffles on (k, salt) so the 58%-hot key spreads over 8 reducers; the dim replicates 8x via explode before its shuffle — the documented price of salting (SCALE.md crossover: prefer an engaged AQE split).",
     "active_users_trailing_24h": "Distinct (hour,user) collapse FIRST (the only data-sized shuffle); the 24x fan-out replicates the collapsed frame, not raw events; per-bucket distinct count completes it.",
+    "ann_pq_topk": "PQ-ADC: corpus reduced to m-int codes (Arrow-batched encode against driver-fit codebooks); ADC score = m JVM array lookups into broadcast per-query LUTs; salted two-stage top-k shortlist (no single-task sort); exact re-rank streams the corpus against the broadcast shortlist.",
+    "bigram_logprob_score": "Top-V vocab + both bigram count tables (bounded at (V+1)^2 rows) broadcast back onto the bigram stream; the only corpus-sized shuffles are the token count and the (id,pos) positional self-join.",
+    "dsir_importance_weights": "Hashed-unigram target/raw distributions in ONE bounded 1024-row aggregate + 1-row totals, both broadcast; a single token explode feeds counting and scoring.",
+    "corpus_shuffle_shards": "Deterministic training-order shuffle: md5-derived shard is the ONLY shuffle key; per-shard window sorts (n_shards parallel tasks), never a global single-partition sort.",
 }
 
 

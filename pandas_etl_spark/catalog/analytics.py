@@ -1094,3 +1094,54 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi")
     )
+
+@query(
+    "bootstrap_ci_mean_price",
+    oracle="""
+    WITH rows_b AS (
+        SELECT l_returnflag AS g,
+               CAST(l_extendedprice AS DOUBLE) AS x,
+               concat(CAST(l_orderkey AS VARCHAR), '-',
+                      CAST(l_linenumber AS VARCHAR)) AS k,
+               unnest(generate_series(0, 47)) AS b
+        FROM lineitem
+    ),
+    wtd AS (
+        SELECT g, b, x,
+               CAST('0x' || substring(md5(concat('42:', k, ':',
+                    CAST(b AS VARCHAR))), 1, 8) AS BIGINT)
+                 / 4294967296.0 AS u
+        FROM rows_b
+    ),
+    w AS (SELECT g, b, x, CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238463 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 WHEN u < 0.999916758850712 THEN 6 ELSE 7 END AS w FROM wtd),
+    rep AS (SELECT g, b, sum(w * x) / sum(w) AS m FROM w GROUP BY g, b),
+    pt AS (SELECT l_returnflag AS g,
+                  round(avg(CAST(l_extendedprice AS DOUBLE)), 6) AS mean_value
+           FROM lineitem GROUP BY l_returnflag)
+    SELECT pt.g AS l_returnflag, pt.mean_value,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM rep JOIN pt USING (g)
+    GROUP BY pt.g, pt.mean_value
+    """,
+)
+def q_bootstrap_ci_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for per-flag mean extended price
+    (operators/bootstrap.poisson_bootstrap_ci): 48 deterministic
+    Poisson(1)-weighted replicates in ONE corpus pass (map-side combine
+    collapses the replicate explode to |groups|*48 partial sums); CI =
+    exact interpolated percentiles over the replicate means."""
+    from pandas_etl_spark.operators.bootstrap import poisson_bootstrap_ci
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return poisson_bootstrap_ci(
+        li,
+        "l_extendedprice",
+        ["l_returnflag"],
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        n_replicates=48,
+    )

@@ -1,0 +1,96 @@
+"""Poisson bootstrap — uncertainty estimation at data sizes where the
+classical multinomial bootstrap is impossible (public method: Chamandy
+et al., "Estimating Uncertainty for Massive Data Streams", 2012).
+
+The multinomial bootstrap needs a global resample of N rows per
+replicate — a full shuffle times B. The Poisson approximation gives
+each row an independent Poisson(1) weight per replicate, so all B
+replicates compute in ONE pass with map-side partial aggregation: the
+shuffle carries only (group, replicate) partial sums, never data rows.
+
+Weights are drawn DETERMINISTICALLY from the md5 of (seed, key,
+replicate) via the inverse Poisson(1) CDF, so a replicate is
+reproducible across runs, partitionings, and engines — the same
+portable-hash convention as operators/sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# cumulative Poisson(1) pmf: P(W <= k) for k = 0..6; weights cap at 7
+# (tail mass 8.3e-5). Literals exact to the double so the SQL oracle's
+# CASE compares identically.
+_POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+]
+
+
+def _poisson_weight(u: Column) -> Column:
+    """Inverse-CDF draw of a Poisson(1) variate from u ∈ [0, 1)."""
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    key: Column,
+    n_replicates: int = 48,
+    alpha: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the MEAN of
+    ``value_col``: B Poisson-weighted replicate means, CI = exact
+    interpolated (alpha/2, 1-alpha/2) percentiles across replicates.
+
+    ``key`` must be a string-typed unique row key (drives the
+    deterministic weight stream). Output: group_cols + (mean_value,
+    ci_lo, ci_hi) rounded to 6.
+
+    Scale shape: explode(B) is collapsed by map-side combine — the
+    shuffle carries |groups|·B partial-sum rows per task, not data; the
+    final percentile runs over B rows per group. One corpus pass
+    regardless of B."""
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("b")
+    rows = df.select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("x"),
+        key.alias("k"),
+    ).select(*group_cols, "x", "k", b)
+    u = (
+        F.expr(
+            f"cast(conv(substring(md5(concat('{seed}:', k, ':', "
+            "cast(b as string))), 1, 8), 16, 10) as bigint)"
+        )
+        / F.lit(4294967296.0)
+    )
+    rep = (
+        rows.withColumn("w", _poisson_weight(u))
+        .groupBy(*group_cols, "b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("s"),
+            F.sum("w").alias("n"),
+        )
+        .select(*group_cols, (F.col("s") / F.col("n")).alias("m"))
+    )
+    ci = rep.groupBy(*group_cols).agg(
+        F.round(F.expr(f"percentile(m, {alpha / 2!r})"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(m, {1 - alpha / 2!r})"), 6).alias("ci_hi"),
+    )
+    point = df.groupBy(*group_cols).agg(
+        F.round(F.avg(F.col(value_col).cast("double")), 6).alias("mean_value")
+    )
+    return point.join(ci, group_cols).select(
+        *group_cols, "mean_value", "ci_lo", "ci_hi"
+    )

@@ -1172,3 +1172,30 @@ def test_salted_topk_equals_single_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """The replicate-percentile CI must bracket the point estimate and
+    have positive width; weights are deterministic so the whole result
+    is stable across runs."""
+    from pandas_etl_spark.operators.bootstrap import poisson_bootstrap_ci
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    out = poisson_bootstrap_ci(
+        li, "l_extendedprice", ["l_returnflag"], key, n_replicates=24
+    ).collect()
+    assert out
+    for r in out:
+        assert r.ci_lo < r.ci_hi, r
+        assert r.ci_lo <= r.mean_value <= r.ci_hi, r
+    again = poisson_bootstrap_ci(
+        li.repartition(13), "l_extendedprice", ["l_returnflag"], key, n_replicates=24
+    ).collect()
+    assert {(r.l_returnflag, r.ci_lo, r.ci_hi) for r in again} == {
+        (r.l_returnflag, r.ci_lo, r.ci_hi) for r in out
+    }

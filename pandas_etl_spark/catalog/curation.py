@@ -739,3 +739,78 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(d, "doc_id", n_shards=8, seed=42).select(
         "doc_id", "shard", "shard_pos"
     )
+
+
+def _dd_quality() -> str:
+    """DuckDB mirror of functions.text.quality_score (imported from the
+    text catalog module so both stay in lockstep)."""
+    from pandas_etl_spark.catalog.text import _DD_NTOK, _DD_PUNCT, _dd_hits
+
+    return (
+        f"0.4 * least(CAST({_DD_NTOK} AS DOUBLE) / 20.0, 1.0)"
+        f" + 0.3 * (1.0 - least(({_DD_PUNCT}) * 5, 1.0))"
+        f" + 0.3 * least((CAST({_dd_hits('en')} AS DOUBLE)"
+        f" / greatest({_DD_NTOK}, 1)) * 10, 1.0)"
+    )
+
+
+_DD_QUALITY = _dd_quality()
+
+
+@query(
+    "curriculum_order",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, {_DD_QUALITY} AS quality FROM documents
+    ),
+    c AS (SELECT quantile_cont(quality, 0.25) AS p25,
+                 quantile_cont(quality, 0.5)  AS p50,
+                 quantile_cont(quality, 0.75) AS p75 FROM q),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN quality >= p75 THEN 0
+                    WHEN quality >= p50 THEN 1
+                    WHEN quality >= p25 THEN 2
+                    ELSE 3 END AS stage
+        FROM q, c
+    ),
+    h AS (
+        SELECT doc_id, stage,
+               md5(concat('42:', CAST(doc_id AS VARCHAR))) AS hh
+        FROM s
+    )
+    SELECT doc_id, stage,
+           CAST('0x' || substring(hh, 1, 8) AS BIGINT) % 4 AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY stage,
+                   CAST('0x' || substring(hh, 1, 8) AS BIGINT) % 4
+               ORDER BY hh, doc_id) AS BIGINT) AS shard_pos
+    FROM h
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: quartile-bucket docs by quality score
+    (stage 0 = cleanest first), then a deterministic shard shuffle
+    WITHIN each stage — reading (stage, shard, shard_pos) in order is
+    a reproducible easy-to-hard curriculum. Cutpoints come from one
+    1-row percentile frame broadcast into a CASE (the qcut shape — no
+    global sort); the per-stage permutation is shuffle_shards with
+    stage as an extra partition key."""
+    from pandas_etl_spark.functions.text import quality_score
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    q = d.select("doc_id", quality_score("text").alias("quality"))
+    cut = q.agg(
+        F.expr("percentile(quality, array(0.25, 0.5, 0.75))").alias("p")
+    )
+    s = q.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        F.when(F.col("quality") >= F.col("p")[2], 0)
+        .when(F.col("quality") >= F.col("p")[1], 1)
+        .when(F.col("quality") >= F.col("p")[0], 2)
+        .otherwise(3)
+        .alias("stage"),
+    )
+    return shuffle_shards(s, "doc_id", n_shards=4, seed=42, by=("stage",)).select(
+        "doc_id", "stage", "shard", "shard_pos"
+    )

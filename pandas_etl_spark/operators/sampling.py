@@ -135,6 +135,7 @@ def shuffle_shards(
     key: str,
     n_shards: int = 8,
     seed: int = 42,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic sharded corpus shuffle — the reproducible
     training-order primitive: every row gets a ``shard`` in
@@ -152,14 +153,16 @@ def shuffle_shards(
     single-partition global sort; at 100 TB, size n_shards so a shard
     fits an executor's sort spill budget (e.g. 10k shards × 10 GB).
     Portable: DuckDB computes the identical order via
-    ``md5(concat(seed, ':', CAST(key AS VARCHAR)))``."""
+    ``md5(concat(seed, ':', CAST(key AS VARCHAR)))``. ``by`` adds
+    extra partition columns so the permutation is independent per
+    group (e.g. per curriculum stage)."""
     h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key).cast("string")))
     out = df.withColumn("_h", h).withColumn(
         "shard",
         F.expr("cast(conv(substring(_h, 1, 8), 16, 10) as bigint)")
         % F.lit(n_shards),
     )
-    w = Window.partitionBy("shard").orderBy(F.asc("_h"), F.asc(key))
+    w = Window.partitionBy(*by, "shard").orderBy(F.asc("_h"), F.asc(key))
     return (
         out.withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
         .drop("_h")

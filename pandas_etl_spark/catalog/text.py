@@ -1091,6 +1091,21 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.segment_dedup(d, "text", "doc_id", words_per_segment=10)
 
 
+@query("segment_neardup")
+def q_segment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style segment-level NEAR-dup removal
+    (functions/text.segment_neardup_dedup): MinHash-LSH over 20-word
+    segments drops lightly-edited boilerplate paragraphs exact
+    segment_dedup misses (exact copies subsumed — identical
+    signatures always collide). Rows-only driver check (xxhash64
+    signatures are engine-specific); keep/drop semantics pinned in
+    tests/test_operators.py."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return tx.segment_neardup_dedup(
+        d, "text", "doc_id", words_per_segment=20, threshold=0.5
+    )
+
+
 @query("heavy_hitters_cms")
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch estimates beside the exact heavy hitters

@@ -920,3 +920,76 @@ def segment_dedup(
         .join(per_doc_total, "id")
         .select("id", "text_dedup", "n_kept", "n_segments")
     )
+
+
+_SEG_IDX_BITS = 20  # uid = id << 20 | seg_idx
+
+
+def segment_neardup_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_segment: int = 20,
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Segment-level NEAR-duplicate removal — the Dolma-style paragraph
+    dedup one notch past :func:`segment_dedup`'s exact form: a segment
+    is dropped when MinHash-LSH finds an earlier (lower (doc, position))
+    segment within ``threshold`` estimated Jaccard, so lightly-edited
+    boilerplate paragraphs vanish too (exact copies collide with
+    identical signatures, so exact dedup is subsumed). Keep rule is the
+    same deterministic keep-lowest-id used by the embedding SemDeDup
+    path. Returns (id, text_dedup, n_kept, n_segments) like
+    segment_dedup.
+
+    Scale shape: segments inherit minhash_lsh_pairs' plan (one
+    groupBy(segment) signature aggregate, banded LSH candidate
+    generation, id-only pair shuffle); the drop set joins back as a
+    LeftAnti on the packed segment uid. Segment position packs into
+    the uid's low 20 bits (docs are bounded at 2^20 segments — ~10M
+    words at the default width; raise the shift for longer docs)."""
+    from pandas_etl_spark.functions.dedup import minhash_lsh_pairs
+
+    arr = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(arr) / F.lit(float(words_per_segment))).cast("int")
+    segs_expr = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(arr, i * words_per_segment + 1, words_per_segment), " "
+        ),
+    )
+    segs = (
+        df.select(F.col(id_col).alias("id"), segs_expr.alias("segs"))
+        .select("id", F.posexplode("segs").alias("seg_idx", "seg"))
+        .withColumn(
+            "uid",
+            F.shiftleft(F.col("id").cast("bigint"), _SEG_IDX_BITS)
+            + F.col("seg_idx"),
+        )
+    )
+    pairs = minhash_lsh_pairs(
+        segs.select("uid", "seg"),
+        text_col="seg",
+        id_col="uid",
+        k=shingle_k,
+        threshold=threshold,
+    )
+    drops = pairs.select(F.col("id_b").alias("uid")).distinct()
+    kept = segs.join(drops, "uid", "left_anti")
+    per_doc_total = segs.groupBy("id").agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s.getField("seg"),
+                ),
+                " ",
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(per_doc_total, "id")
+        .select("id", "text_dedup", "n_kept", "n_segments")
+    )

@@ -1199,3 +1199,30 @@ def test_poisson_bootstrap_ci_brackets_mean(spark, sf_dir):
     assert {(r.l_returnflag, r.ci_lo, r.ci_hi) for r in again} == {
         (r.l_returnflag, r.ci_lo, r.ci_hi) for r in out
     }
+
+
+def test_segment_neardup_drops_edited_boilerplate(spark):
+    """Near-dup segment removal: exact repeats AND one-word-edited
+    copies of an earlier segment vanish; novel segments survive; docs
+    reduced to nothing disappear (C4 semantics)."""
+    from pandas_etl_spark.functions.text import segment_neardup_dedup
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    pert = base.replace("echo", "zulu")  # 1 of 20 words changed
+    uniq = (
+        "one two three four five six seven eight nine ten "
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    )
+    rows = [
+        (0, base + " " + uniq),  # first occurrences: everything kept
+        (1, base + " " + base),  # exact repeats of (0, seg0)
+        (2, pert + " " + uniq),  # near-dup of (0, seg0) + exact of (0, seg1)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: r for r in segment_neardup_dedup(df, words_per_segment=20).collect()}
+    assert set(out) == {0}, out
+    assert out[0].n_kept == 2 and out[0].n_segments == 2
+    assert out[0].text_dedup == base + " " + uniq

@@ -657,6 +657,87 @@ class Table:
 
         return Table(_sd(self._df, text_col, id_col, words_per_segment))
 
+    def segment_neardup_dedup(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        words_per_segment: int = 20,
+        threshold: float = 0.5,
+    ) -> "Table":
+        """Segment-level NEAR-dup removal via MinHash-LSH
+        (functions/text.segment_neardup_dedup)."""
+        from pandas_etl_spark.functions.text import (
+            segment_neardup_dedup as _snd,
+        )
+
+        return Table(
+            _snd(self._df, text_col, id_col, words_per_segment, threshold)
+        )
+
+    def bigram_logprob(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        vocab_size: int = 1000,
+    ) -> "Table":
+        """Bigram-LM fluency score (functions/text.bigram_logprob)."""
+        from pandas_etl_spark.functions.text import bigram_logprob as _blp
+
+        return Table(_blp(self._df, text_col, id_col, vocab_size))
+
+    def dsir_importance(
+        self,
+        target_expr: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_buckets: int = 1024,
+    ) -> "Table":
+        """DSIR importance log-weights vs the rows matching
+        ``target_expr`` (functions/text.dsir_importance)."""
+        from pandas_etl_spark.functions.text import dsir_importance as _dsir
+
+        return Table(
+            _dsir(self._df, F.expr(target_expr), text_col, id_col, n_buckets)
+        )
+
+    def shuffle_shards(
+        self,
+        key: str,
+        n_shards: int = 8,
+        seed: int = 42,
+        by: list[str] | None = None,
+    ) -> "Table":
+        """Deterministic sharded training-order shuffle
+        (operators/sampling.shuffle_shards)."""
+        from pandas_etl_spark.operators.sampling import shuffle_shards as _sh
+
+        return Table(
+            _sh(self._df, key, n_shards, seed, tuple(by or ()))
+        )
+
+    def bootstrap_ci(
+        self,
+        value_col: str,
+        group_cols: list[str],
+        key_expr: str,
+        n_replicates: int = 48,
+        alpha: float = 0.05,
+    ) -> "Table":
+        """Poisson-bootstrap CI for grouped means
+        (operators/bootstrap.poisson_bootstrap_ci)."""
+        from pandas_etl_spark.operators.bootstrap import poisson_bootstrap_ci
+
+        return Table(
+            poisson_bootstrap_ci(
+                self._df,
+                value_col,
+                group_cols,
+                F.expr(key_expr),
+                n_replicates,
+                alpha,
+            )
+        )
+
     def pagerank(
         self,
         src: str = "src",

@@ -606,3 +606,46 @@ def test_r5_operators_as_yaml_bound_methods(spark, sf_dir, tmp_path):
     seg = p2.steps["seg"].output
     assert set(seg.df.columns) == {"id", "text_dedup", "n_kept", "n_segments"}
     assert seg.df.count() > 0
+
+
+def test_late_r5_operators_as_yaml_bound_methods(spark, sf_dir):
+    """The late-r5 operators run as Table bound methods in YAML
+    pipelines: bigram LM scoring, DSIR weighting, the deterministic
+    shard shuffle, and the Poisson-bootstrap CI — F14 generic
+    dispatch, no preFlight imports."""
+    p = Pipeline(
+        yamlData=f"""
+        steps:
+        - name: docs
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/documents.parquet
+        - name: lm
+          function: ${{ steps['docs'].output.bigram_logprob }}
+        - name: dsir
+          function: ${{ steps['docs'].output.dsir_importance }}
+          args:
+            target_expr: lang = 'en'
+        - name: shuf
+          function: ${{ steps['docs'].output.shuffle_shards }}
+          args:
+            key: doc_id
+            n_shards: 4
+        - name: ci
+          function: ${{ steps['docs'].output.bootstrap_ci }}
+          args:
+            value_col: n_chars
+            group_cols: [lang]
+            key_expr: cast(doc_id as string)
+            n_replicates: 16
+        """,
+        spark=spark,
+    )
+    p.run()
+    assert set(p.steps["lm"].output.df.columns) == {"id", "n_bigrams", "avg_logprob"}
+    assert set(p.steps["dsir"].output.df.columns) == {"id", "n_tokens", "log_ratio"}
+    shuf = p.steps["shuf"].output.df
+    assert {"shard", "shard_pos"} <= set(shuf.columns)
+    assert shuf.count() == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    ci = p.steps["ci"].output.df.collect()
+    assert ci and all(r.ci_lo <= r.mean_value <= r.ci_hi for r in ci)

@@ -95,12 +95,14 @@ _PRIORITY = [
     "pivot_margins",
     "pipeline_yaml_engine",
 ]
-# r6 rotation pool (oracle-backed, never driver-checked as of r5): 82
-# queries remain — the r5 additions (cdc_apply_latest, stream_cdc_apply,
-# segment_dedup, ngram_containment_pairs, pagerank_trade_graph,
-# retrieval_ndcg_tfidf, the analytics batch, skew pair, nucleus/k-anon/
-# group-sample) plus the older misc/analytics tail (winnow/pmi/udtf,
-# profile/describe/rank_methods, salted_*, embedding_centroids/outliers,
+# r6 rotation pool (oracle-backed, never driver-checked as of r5):
+# the r5 additions (cdc_apply_latest, stream_cdc_apply, segment_dedup,
+# ngram_containment_pairs, pagerank_trade_graph, retrieval_ndcg_tfidf,
+# the analytics batch, skew pair, nucleus/k-anon/group-sample, and the
+# late-r5 block: bigram_logprob_score, dsir_importance_weights,
+# corpus_shuffle_shards, bootstrap_ci_mean_price, curriculum_order)
+# plus the older misc/analytics tail (winnow/pmi/udtf, profile/
+# describe/rank_methods, salted_*, embedding_centroids/outliers,
 # funnel/ab_test, …). Swap them into the 35 rotating slots next round;
 # compute the live pool with:
 #   [q for q in QUERIES if q in ORACLES

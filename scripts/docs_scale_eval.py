@@ -39,6 +39,8 @@ QUERIES_TO_TIME = [
     "ngram_containment_pairs",
     "bigram_logprob_score",
     "corpus_shuffle_shards",
+    "segment_neardup",
+    "curriculum_order",
 ]
 
 

@@ -81,6 +81,9 @@ EXTENDED = [
     "bigram_logprob_score",
     "dsir_importance_weights",
     "corpus_shuffle_shards",
+    "bootstrap_ci_mean_price",
+    "curriculum_order",
+    "segment_neardup",
 ]
 
 

@@ -1591,3 +1591,34 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for a, b in _corr_pairs()
     ]
     return s.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+@query(
+    "table_manifest_checksum",
+    oracle="""
+    WITH h AS (
+        SELECT CAST('0x' || substring(md5(concat_ws(chr(31),
+                   CAST(doc_id AS VARCHAR), lang, source,
+                   CAST(n_chars AS VARCHAR))), 1, 15) AS BIGINT) AS rh,
+               doc_id
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(rh) AS xor_hash,
+           min(doc_id) AS key_min,
+           max(doc_id) AS key_max
+    FROM h
+    """,
+)
+def q_table_manifest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-release manifest fingerprint
+    (operators/checksum.table_checksum): order-insensitive XOR of
+    portable per-row md5 hashes + row count + key range, re-derivable
+    on any engine to verify an exported copy. One pass, map-side
+    combine only."""
+    from pandas_etl_spark.operators.checksum import table_checksum
+
+    d = load_table(spark, sf_dir, "documents")
+    return table_checksum(
+        d, ["doc_id", "lang", "source", "n_chars"], key_col="doc_id"
+    )

@@ -1226,3 +1226,30 @@ def test_segment_neardup_drops_edited_boilerplate(spark):
     assert set(out) == {0}, out
     assert out[0].n_kept == 2 and out[0].n_segments == 2
     assert out[0].text_dedup == base + " " + uniq
+
+
+def test_table_checksum_detects_corruption_and_ignores_order(spark, sf_dir):
+    """The fingerprint is invariant under repartitioning but changes on
+    any single-value corruption; n_rows catches row loss."""
+    from pandas_etl_spark.operators.checksum import table_checksum
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    a = table_checksum(docs, cols, key_col="doc_id").first()
+    b = table_checksum(docs.repartition(17), cols, key_col="doc_id").first()
+    assert (a.n_rows, a.xor_hash, a.key_min, a.key_max) == (
+        b.n_rows,
+        b.xor_hash,
+        b.key_min,
+        b.key_max,
+    )
+    corrupted = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == a.key_min, F.col("n_chars") + 1).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    c = table_checksum(corrupted, cols, key_col="doc_id").first()
+    assert c.n_rows == a.n_rows and c.xor_hash != a.xor_hash
+    d = table_checksum(docs.filter(F.col("doc_id") != a.key_min), cols).first()
+    assert d.n_rows == a.n_rows - 1

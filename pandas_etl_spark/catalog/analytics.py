@@ -1095,25 +1095,44 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("psi")
     )
 
+from pandas_etl_spark.operators.bootstrap import (  # noqa: E402
+    _P40 as _BP,
+    _POISSON1_CDF as _BCDF,
+    _perm_params as _bparams,
+)
+
+_B_REPS = 48
+_B_A = "[" + ", ".join(str(a) for a, _ in _bparams(_B_REPS, 42)) + "]"
+_B_C = "[" + ", ".join(str(c) for _, c in _bparams(_B_REPS, 42)) + "]"
+_B_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_BCDF))
+    + " ELSE 7 END"
+)
+
+
 @query(
     "bootstrap_ci_mean_price",
-    oracle="""
-    WITH rows_b AS (
+    oracle=f"""
+    WITH rows_h AS (
         SELECT l_returnflag AS g,
                CAST(l_extendedprice AS DOUBLE) AS x,
-               concat(CAST(l_orderkey AS VARCHAR), '-',
-                      CAST(l_linenumber AS VARCHAR)) AS k,
-               unnest(generate_series(0, 47)) AS b
+               CAST('0x' || substring(md5(concat(
+                   CAST(l_orderkey AS VARCHAR), '-',
+                   CAST(l_linenumber AS VARCHAR))), 1, 10) AS BIGINT) AS h
         FROM lineitem
+    ),
+    rows_b AS (
+        SELECT g, x, h, unnest(generate_series(0, {_B_REPS - 1})) AS b
+        FROM rows_h
     ),
     wtd AS (
         SELECT g, b, x,
-               CAST('0x' || substring(md5(concat('42:', k, ':',
-                    CAST(b AS VARCHAR))), 1, 8) AS BIGINT)
-                 / 4294967296.0 AS u
+               ((h * ({_B_A})[b + 1] + ({_B_C})[b + 1]) % {_BP})
+                 / CAST({_BP} AS DOUBLE) AS u
         FROM rows_b
     ),
-    w AS (SELECT g, b, x, CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238463 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 WHEN u < 0.999916758850712 THEN 6 ELSE 7 END AS w FROM wtd),
+    w AS (SELECT g, b, x, {_B_CASE} AS w FROM wtd),
     rep AS (SELECT g, b, sum(w * x) / sum(w) AS m FROM w GROUP BY g, b),
     pt AS (SELECT l_returnflag AS g,
                   round(avg(CAST(l_extendedprice AS DOUBLE)), 6) AS mean_value
@@ -1128,9 +1147,11 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bootstrap_ci_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for per-flag mean extended price
     (operators/bootstrap.poisson_bootstrap_ci): 48 deterministic
-    Poisson(1)-weighted replicates in ONE corpus pass (map-side combine
-    collapses the replicate explode to |groups|*48 partial sums); CI =
-    exact interpolated percentiles over the replicate means."""
+    Poisson(1)-weighted replicates in ONE corpus pass — one md5 per
+    ROW, per-replicate uniforms from exact-int64 affine permutations
+    (the per-(row,replicate) md5 form measured 38s at sf0.1; this one
+    ~5s); map-side combine collapses the replicate explode to
+    |groups|*48 partial sums; CI = exact interpolated percentiles."""
     from pandas_etl_spark.operators.bootstrap import poisson_bootstrap_ci
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1143,5 +1164,5 @@ def q_bootstrap_ci_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("-"),
             F.col("l_linenumber").cast("string"),
         ),
-        n_replicates=48,
+        n_replicates=_B_REPS,
     )

@@ -52,3 +52,71 @@ def table_checksum(
     if key_col is not None:
         aggs += [F.min(key_col).alias("key_min"), F.max(key_col).alias("key_max")]
     return df.withColumn("_rh", row_hash(cols)).agg(*aggs)
+
+
+_PORTABLE_TYPES = ("bigint", "int", "smallint", "tinyint", "string", "boolean", "date")
+
+
+def to_parquet_with_manifest(
+    df: DataFrame,
+    path: str,
+    cols: list[str] | None = None,
+    key_col: str | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Parquet write + embedded integrity manifest: after writing, the
+    data is RE-READ from disk and fingerprinted (the manifest covers
+    what actually landed, not the plan), and the manifest JSON lands at
+    ``<path>/_manifest/`` — an underscore-prefixed subdir, which
+    Hadoop-convention readers skip, so ``spark.read.parquet(path)``
+    still works untouched. FS-agnostic: the manifest is written through
+    Spark, so the same code works on HDFS/S3, not just local disk.
+
+    ``cols`` defaults to every column with an engine-portable string
+    form (ints/strings/bools/dates — floats and timestamps format
+    differently across engines and must be opted in pre-cast)."""
+    import json
+
+    df.write.mode(mode).parquet(path)
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    if cols is None:
+        cols = [c for c, t in written.dtypes if t in _PORTABLE_TYPES]
+        if not cols:
+            raise ValueError("no portable columns to fingerprint; pass cols=")
+    cols = sorted(cols)  # canonical order — encoding is order-sensitive
+    row = table_checksum(written, cols, key_col).first()
+    manifest = {
+        "columns": cols,
+        "key_col": key_col,
+        "n_rows": row["n_rows"],
+        "xor_hash": row["xor_hash"],
+    }
+    if key_col is not None:
+        manifest["key_min"] = row["key_min"]
+        manifest["key_max"] = row["key_max"]
+    (
+        spark.createDataFrame([(json.dumps(manifest, sort_keys=True),)], "v string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(f"{path}/_manifest")
+    )
+    return manifest
+
+
+def verify_manifest(spark, path: str) -> dict:
+    """Re-derive the fingerprint of ``path`` and compare against its
+    embedded manifest. Returns the manifest dict plus ``ok`` and, on
+    mismatch, the recomputed values under ``actual_*``."""
+    import json
+
+    manifest = json.loads(spark.read.text(f"{path}/_manifest").first()["value"])
+    data = spark.read.parquet(path)
+    row = table_checksum(data, manifest["columns"], manifest.get("key_col")).first()
+    ok = row["n_rows"] == manifest["n_rows"] and row["xor_hash"] == manifest["xor_hash"]
+    out = dict(manifest)
+    out["ok"] = ok
+    if not ok:
+        out["actual_n_rows"] = row["n_rows"]
+        out["actual_xor_hash"] = row["xor_hash"]
+    return out

@@ -527,6 +527,23 @@ class Table:
             return path
         return _io.to_parquet(self._df, path, partition_by=partition_by)
 
+    def to_parquet_with_manifest(
+        self,
+        path: str,
+        cols: list[str] | None = None,
+        key_col: str | None = None,
+    ) -> str:
+        """Parquet write + embedded integrity manifest
+        (operators/checksum.to_parquet_with_manifest)."""
+        from pandas_etl_spark.operators.checksum import (
+            to_parquet_with_manifest as _tpm,
+        )
+
+        if _explain_sink(self._df, "parquet_with_manifest", path):
+            return path
+        _tpm(self._df, path, cols=cols, key_col=key_col)
+        return path
+
     def to_orc(self, path: str, partition_by: list[str] | None = None) -> str:
         if _explain_sink(self._df, "orc", path):
             return path

@@ -1253,3 +1253,41 @@ def test_table_checksum_detects_corruption_and_ignores_order(spark, sf_dir):
     assert c.n_rows == a.n_rows and c.xor_hash != a.xor_hash
     d = table_checksum(docs.filter(F.col("doc_id") != a.key_min), cols).first()
     assert d.n_rows == a.n_rows - 1
+
+
+def test_parquet_manifest_roundtrip_and_tamper(spark, sf_dir, tmp_path):
+    """to_parquet_with_manifest embeds a fingerprint the reader can
+    re-derive; verify passes on the intact copy and fails after a
+    tampered rewrite. The _manifest subdir must not break plain
+    parquet reads of the same path."""
+    from pandas_etl_spark.operators.checksum import (
+        to_parquet_with_manifest,
+        verify_manifest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = str(tmp_path / "release")
+    m = to_parquet_with_manifest(docs, path, key_col="doc_id")
+    assert m["n_rows"] == docs.count()
+    assert spark.read.parquet(path).count() == docs.count()  # _manifest skipped
+    assert verify_manifest(spark, path)["ok"]
+    # tamper: rewrite the data files with one value changed, keep manifest
+    tampered = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == m["key_min"], F.col("n_chars") + 1).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    tampered.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    import shutil, os
+
+    for f in os.listdir(str(tmp_path / "release")):
+        if f.endswith(".parquet"):
+            os.remove(str(tmp_path / "release" / f))
+    for f in os.listdir(str(tmp_path / "t")):
+        if f.endswith(".parquet"):
+            shutil.copy(str(tmp_path / "t" / f), str(tmp_path / "release" / f))
+    res = verify_manifest(spark, path)
+    assert not res["ok"] and res["actual_xor_hash"] != res["xor_hash"]

@@ -8,10 +8,10 @@ each row an independent Poisson(1) weight per replicate, so all B
 replicates compute in ONE pass with map-side partial aggregation: the
 shuffle carries only (group, replicate) partial sums, never data rows.
 
-Weights are drawn DETERMINISTICALLY from the md5 of (seed, key,
-replicate) via the inverse Poisson(1) CDF, so a replicate is
-reproducible across runs, partitionings, and engines — the same
-portable-hash convention as operators/sampling.
+Weights are drawn DETERMINISTICALLY: one md5 of the row key (the
+portable-hash convention of operators/sampling), then one exact-int64
+affine permutation per replicate feeds the inverse Poisson(1) CDF —
+reproducible across runs, partitionings, and engines.
 """
 
 from __future__ import annotations
@@ -19,9 +19,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# cumulative Poisson(1) pmf: P(W <= k) for k = 0..6; weights cap at 7
-# (tail mass 8.3e-5). Literals exact to the double so the SQL oracle's
-# CASE compares identically.
 _P40 = 1099511627689  # prime > 2^40 — same modulus as the portable MinHash
 
 
@@ -40,6 +37,9 @@ def _perm_params(n: int, seed: int) -> list[tuple[int, int]]:
     return out
 
 
+# cumulative Poisson(1) pmf: P(W <= k) for k = 0..6; weights cap at 7
+# (tail mass 8.3e-5). Literals exact to the double so the SQL oracle's
+# CASE compares identically.
 _POISSON1_CDF = [
     0.36787944117144233,
     0.7357588823428847,
@@ -88,33 +88,33 @@ def poisson_bootstrap_ci(
     params = _perm_params(n_replicates, seed)
     a_arr = F.array(*[F.lit(a) for a, _ in params])
     c_arr = F.array(*[F.lit(c) for _, c in params])
-    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("b")
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__b")
     rows = df.select(
         *group_cols,
-        F.col(value_col).cast("double").alias("x"),
+        F.col(value_col).cast("double").alias("__x"),
         F.conv(F.substring(F.md5(key.cast("string")), 1, 10), 16, 10)
         .cast("bigint")
-        .alias("h"),
-    ).select(*group_cols, "x", "h", b)
+        .alias("__h"),
+    ).select(*group_cols, "__x", "__h", b)
     u = (
         (
-            F.col("h") * F.element_at(a_arr, F.col("b") + 1)
-            + F.element_at(c_arr, F.col("b") + 1)
+            F.col("__h") * F.element_at(a_arr, F.col("__b") + 1)
+            + F.element_at(c_arr, F.col("__b") + 1)
         )
         % F.lit(_P40)
     ) / F.lit(float(_P40))
     rep = (
-        rows.withColumn("w", _poisson_weight(u))
-        .groupBy(*group_cols, "b")
+        rows.withColumn("__w", _poisson_weight(u))
+        .groupBy(*group_cols, "__b")
         .agg(
-            F.sum(F.col("w") * F.col("x")).alias("s"),
-            F.sum("w").alias("n"),
+            F.sum(F.col("__w") * F.col("__x")).alias("__s"),
+            F.sum("__w").alias("__n"),
         )
-        .select(*group_cols, (F.col("s") / F.col("n")).alias("m"))
+        .select(*group_cols, (F.col("__s") / F.col("__n")).alias("__m"))
     )
     ci = rep.groupBy(*group_cols).agg(
-        F.round(F.expr(f"percentile(m, {alpha / 2!r})"), 6).alias("ci_lo"),
-        F.round(F.expr(f"percentile(m, {1 - alpha / 2!r})"), 6).alias("ci_hi"),
+        F.round(F.expr(f"percentile(__m, {alpha / 2!r})"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(__m, {1 - alpha / 2!r})"), 6).alias("ci_hi"),
     )
     point = df.groupBy(*group_cols).agg(
         F.round(F.avg(F.col(value_col).cast("double")), 6).alias("mean_value")

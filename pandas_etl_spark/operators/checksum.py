@@ -47,11 +47,11 @@ def table_checksum(
     one pass, the shuffle carries one partial row per task."""
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
-        F.expr("bit_xor(_rh)").alias("xor_hash"),
+        F.expr("bit_xor(__row_h)").alias("xor_hash"),
     ]
     if key_col is not None:
         aggs += [F.min(key_col).alias("key_min"), F.max(key_col).alias("key_max")]
-    return df.withColumn("_rh", row_hash(cols)).agg(*aggs)
+    return df.withColumn("__row_h", row_hash(cols)).agg(*aggs)
 
 
 _PORTABLE_TYPES = ("bigint", "int", "smallint", "tinyint", "string", "boolean", "date")

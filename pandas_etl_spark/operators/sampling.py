@@ -157,13 +157,13 @@ def shuffle_shards(
     extra partition columns so the permutation is independent per
     group (e.g. per curriculum stage)."""
     h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key).cast("string")))
-    out = df.withColumn("_h", h).withColumn(
+    out = df.withColumn("__shuffle_h", h).withColumn(
         "shard",
-        F.expr("cast(conv(substring(_h, 1, 8), 16, 10) as bigint)")
+        F.expr("cast(conv(substring(__shuffle_h, 1, 8), 16, 10) as bigint)")
         % F.lit(n_shards),
     )
-    w = Window.partitionBy(*by, "shard").orderBy(F.asc("_h"), F.asc(key))
+    w = Window.partitionBy(*by, "shard").orderBy(F.asc("__shuffle_h"), F.asc(key))
     return (
         out.withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
-        .drop("_h")
+        .drop("__shuffle_h")
     )

@@ -100,7 +100,8 @@ _PRIORITY = [
 # ngram_containment_pairs, pagerank_trade_graph, retrieval_ndcg_tfidf,
 # the analytics batch, skew pair, nucleus/k-anon/group-sample, and the
 # late-r5 block: bigram_logprob_score, dsir_importance_weights,
-# corpus_shuffle_shards, bootstrap_ci_mean_price, curriculum_order)
+# corpus_shuffle_shards, bootstrap_ci_mean_price, curriculum_order,
+# table_manifest_checksum; plus rows-only ann_pq_topk / segment_neardup)
 # plus the older misc/analytics tail (winnow/pmi/udtf, profile/
 # describe/rank_methods, salted_*, embedding_centroids/outliers,
 # funnel/ab_test, …). Swap them into the 35 rotating slots next round;

@@ -41,6 +41,9 @@ NOTES = {
     "bigram_logprob_score": "Top-V vocab + both bigram count tables (bounded at (V+1)^2 rows) broadcast back onto the bigram stream; the only corpus-sized shuffles are the token count and the (id,pos) positional self-join.",
     "dsir_importance_weights": "Hashed-unigram target/raw distributions in ONE bounded 1024-row aggregate + 1-row totals, both broadcast; a single token explode feeds counting and scoring.",
     "corpus_shuffle_shards": "Deterministic training-order shuffle: md5-derived shard is the ONLY shuffle key; per-shard window sorts (n_shards parallel tasks), never a global single-partition sort.",
+    "segment_neardup": "Paragraph MinHash: JVM-array segmentation in the scan projection feeds the banded-LSH signature aggregate; candidate and drop traffic is (band,bucket)/uid-only; the final anti join restores surviving segments.",
+    "bootstrap_ci_mean_price": "One md5 per ROW (not per replicate); the 48-replicate explode collapses via map-side combine to |groups|*48 partial sums before the only shuffle; percentile runs on 48 rows per group.",
+    "table_manifest_checksum": "Pure map-side combine: per-row md5 XOR + count + min/max fold in one pass; the shuffle carries one partial row per task.",
 }
 
 

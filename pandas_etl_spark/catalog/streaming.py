@@ -742,3 +742,67 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.filter(F.col("n_rows") > 0)
+
+
+@query("stream_manifest_ingest")
+def q_stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion with an incrementally XOR-merged integrity
+    manifest (operators/checksum.manifest_ingest_sink): documents
+    arrive in two micro-batches, each appends and folds its
+    fingerprint into the manifest in O(batch); the query then runs the
+    full ``verify_manifest`` recompute and returns (n_input, n_rows,
+    verified) — proving incremental ≡ cold fingerprint. Rows-only
+    driver check (summary row); replay-skip and tamper cases covered
+    in tests/test_operators.py."""
+    import os
+    import tempfile
+
+    from pandas_etl_spark.operators.checksum import (
+        manifest_ingest_sink,
+        verify_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_manifest_")
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "release")
+    docs.filter(F.pmod("doc_id", F.lit(2)) == 0).coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    docs.filter(F.pmod("doc_id", F.lit(2)) == 1).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    now = 1_700_000_000
+    for sub, t in (("b0", now - 100), ("b1", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            manifest_ingest_sink(
+                out, ["doc_id", "lang", "source", "n_chars"], key_col="doc_id"
+            )
+        )
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = verify_manifest(spark, out)
+    return spark.createDataFrame(
+        [(docs.count(), res["n_rows"], bool(res["ok"]))],
+        "n_input long, n_rows long, verified boolean",
+    )

@@ -120,3 +120,63 @@ def verify_manifest(spark, path: str) -> dict:
         out["actual_n_rows"] = row["n_rows"]
         out["actual_xor_hash"] = row["xor_hash"]
     return out
+
+
+def manifest_ingest_sink(path: str, cols: list[str], key_col: str | None = None):
+    """``foreachBatch`` sink: append each micro-batch as parquet and
+    incrementally update the embedded manifest by XOR-MERGING the
+    batch fingerprint — the mergeability XOR buys: per-batch cost is
+    O(batch), never a full-table rescan, yet the manifest always equals
+    what a cold ``table_checksum`` of the whole table would produce.
+
+    Replay-safe: the manifest records ``last_batch_id`` and a replayed
+    epoch is skipped (an XOR double-apply would cancel the batch out).
+    The data-append and manifest-write pair is NOT atomic — a crash
+    between them leaves a manifest behind the data, which is exactly
+    the drift ``verify_manifest`` exists to flag; re-running
+    ``to_parquet_with_manifest``-style full fingerprinting repairs it.
+    """
+    import json
+
+    cs = sorted(cols)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            manifest = json.loads(
+                spark.read.text(f"{path}/_manifest").first()["value"]
+            )
+        except Exception:
+            manifest = {
+                "columns": cs,
+                "key_col": key_col,
+                "n_rows": 0,
+                "xor_hash": 0,
+                "last_batch_id": -1,
+            }
+        if batch_id <= manifest["last_batch_id"]:
+            return  # replayed epoch: already applied
+        row = table_checksum(batch_df, cs, key_col).first()
+        if row["n_rows"] > 0:
+            batch_df.write.mode("append").parquet(path)
+            manifest["n_rows"] += row["n_rows"]
+            manifest["xor_hash"] ^= row["xor_hash"]
+            if key_col is not None:
+                lo, hi = manifest.get("key_min"), manifest.get("key_max")
+                manifest["key_min"] = (
+                    row["key_min"] if lo is None else min(lo, row["key_min"])
+                )
+                manifest["key_max"] = (
+                    row["key_max"] if hi is None else max(hi, row["key_max"])
+                )
+        manifest["last_batch_id"] = batch_id
+        (
+            spark.createDataFrame(
+                [(json.dumps(manifest, sort_keys=True),)], "v string"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(f"{path}/_manifest")
+        )
+
+    return _sink

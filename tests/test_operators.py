@@ -1291,3 +1291,31 @@ def test_parquet_manifest_roundtrip_and_tamper(spark, sf_dir, tmp_path):
             shutil.copy(str(tmp_path / "t" / f), str(tmp_path / "release" / f))
     res = verify_manifest(spark, path)
     assert not res["ok"] and res["actual_xor_hash"] != res["xor_hash"]
+
+
+def test_manifest_ingest_sink_incremental_equals_cold(spark, sf_dir, tmp_path):
+    """XOR-merged per-batch manifests must equal the cold full-table
+    fingerprint; a replayed batch id is skipped (no double-apply)."""
+    from pandas_etl_spark.operators.checksum import (
+        manifest_ingest_sink,
+        table_checksum,
+        verify_manifest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "rel")
+    sink = manifest_ingest_sink(path, ["doc_id", "lang", "n_chars"], key_col="doc_id")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay: must be a no-op
+    res = verify_manifest(spark, path)
+    assert res["ok"] and res["n_rows"] == docs.count()
+    cold = table_checksum(
+        spark.read.parquet(path), sorted(["doc_id", "lang", "n_chars"]), "doc_id"
+    ).first()
+    assert cold["xor_hash"] == res["xor_hash"]
+    assert (res["key_min"], res["key_max"]) == (cold["key_min"], cold["key_max"])

@@ -1622,3 +1622,81 @@ def q_table_manifest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_checksum(
         d, ["doc_id", "lang", "source", "n_chars"], key_col="doc_id"
     )
+
+
+@query(
+    "fk_discovery",
+    oracle="""
+    WITH pair1 AS (
+        SELECT 'lineitem' AS child_table, 'l_orderkey' AS child_col,
+               'orders' AS parent_table, 'o_orderkey' AS parent_col,
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem
+                WHERE l_orderkey IS NOT NULL) AS n_child_distinct,
+               (SELECT count(*) FROM
+                   (SELECT DISTINCT l_orderkey FROM lineitem
+                    WHERE l_orderkey IS NOT NULL) c
+                   JOIN (SELECT DISTINCT o_orderkey FROM orders
+                         WHERE o_orderkey IS NOT NULL) p
+                   ON c.l_orderkey = p.o_orderkey) AS n_contained,
+               (SELECT count(o_orderkey) = count(DISTINCT o_orderkey)
+                FROM orders) AS parent_unique
+    ),
+    pair2 AS (
+        SELECT 'orders', 'o_custkey', 'customer', 'c_custkey',
+               (SELECT count(DISTINCT o_custkey) FROM orders
+                WHERE o_custkey IS NOT NULL),
+               (SELECT count(*) FROM
+                   (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_custkey IS NOT NULL) c
+                   JOIN (SELECT DISTINCT c_custkey FROM customer
+                         WHERE c_custkey IS NOT NULL) p
+                   ON c.o_custkey = p.c_custkey),
+               (SELECT count(c_custkey) = count(DISTINCT c_custkey)
+                FROM customer)
+    ),
+    pair3 AS (
+        SELECT 'customer', 'c_nationkey', 'region', 'r_regionkey',
+               (SELECT count(DISTINCT c_nationkey) FROM customer
+                WHERE c_nationkey IS NOT NULL),
+               (SELECT count(*) FROM
+                   (SELECT DISTINCT c_nationkey FROM customer
+                    WHERE c_nationkey IS NOT NULL) c
+                   JOIN (SELECT DISTINCT r_regionkey FROM region
+                         WHERE r_regionkey IS NOT NULL) p
+                   ON c.c_nationkey = p.r_regionkey),
+               (SELECT count(r_regionkey) = count(DISTINCT r_regionkey)
+                FROM region)
+    ),
+    u AS (
+        SELECT * FROM pair1 UNION ALL SELECT * FROM pair2
+        UNION ALL SELECT * FROM pair3
+    )
+    SELECT child_table, child_col, parent_table, parent_col,
+           CAST(n_child_distinct AS BIGINT) AS n_child_distinct,
+           CAST(n_contained AS BIGINT) AS n_contained,
+           round(CAST(n_contained AS DOUBLE)
+                 / greatest(n_child_distinct, 1), 6) AS containment,
+           parent_unique
+    FROM u
+    """,
+)
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery (operators/profile.fk_containment)
+    over three candidate key pairs: two true FK edges (lineitem→orders,
+    orders→customer — containment 1.0, unique parents) and one decoy
+    (c_nationkey→r_regionkey — partial containment: 25 nations, 5
+    regions). Distinct-keys-only wire traffic; the schema-discovery
+    twin of profile_columns."""
+    from pandas_etl_spark.operators.profile import fk_containment
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    r = load_table(spark, sf_dir, "region")
+    return fk_containment(
+        [
+            (li, "lineitem", "l_orderkey", o, "orders", "o_orderkey"),
+            (o, "orders", "o_custkey", c, "customer", "c_custkey"),
+            (c, "customer", "c_nationkey", r, "region", "r_regionkey"),
+        ]
+    )

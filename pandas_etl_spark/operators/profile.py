@@ -46,3 +46,66 @@ def profile_columns(
     return one.select(F.explode(entries).alias("p")).select(
         "p.col", "p.n_rows", "p.n_nulls", "p.n_distinct"
     )
+
+
+def fk_containment(
+    pairs: list[tuple["DataFrame", str, str, "DataFrame", str, str]],
+) -> "DataFrame":
+    """Inclusion-dependency (foreign-key) discovery over declared
+    candidate pairs — the schema-profiling step data catalogs run to
+    propose join keys: for each (child df, child name, child col,
+    parent df, parent name, parent col) report how much of the child's
+    key space the parent covers and whether the parent side is unique.
+
+    containment = |distinct(child) ∩ distinct(parent)| /
+    |distinct(child)| — 1.0 plus parent uniqueness ⇒ a valid FK→PK
+    edge; values near 0 rule the pair out.
+
+    Scale shape: per pair, ONE distinct-aggregate per side (shuffle on
+    the key), then a key-keyed join of the two distinct sets — wire
+    traffic is distinct keys only, never table rows; the per-pair
+    4-number summaries union into one tiny frame."""
+    from pyspark.sql import functions as F
+
+    outs = []
+    for child, child_name, child_col, parent, parent_name, parent_col in pairs:
+        c = child.select(F.col(child_col).alias("__k")).filter(
+            F.col("__k").isNotNull()
+        ).distinct()
+        p = parent.select(F.col(parent_col).alias("__k")).filter(
+            F.col("__k").isNotNull()
+        )
+        p_stats = p.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct("__k").alias("__nd"),
+        )
+        pd_ = p.distinct()
+        joined = c.join(pd_.withColumn("__hit", F.lit(1)), "__k", "left")
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("n_child_distinct"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contained"),
+        )
+        row = (
+            agg.crossJoin(F.broadcast(p_stats))
+            .select(
+                F.lit(child_name).alias("child_table"),
+                F.lit(child_col).alias("child_col"),
+                F.lit(parent_name).alias("parent_table"),
+                F.lit(parent_col).alias("parent_col"),
+                F.col("n_child_distinct").cast("bigint"),
+                F.col("n_contained").cast("bigint"),
+                F.round(
+                    F.col("n_contained").cast("double")
+                    / F.greatest(F.col("n_child_distinct"), F.lit(1)).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("containment"),
+                (F.col("__n") == F.col("__nd")).alias("parent_unique"),
+            )
+        )
+        outs.append(row)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

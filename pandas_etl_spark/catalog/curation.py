@@ -814,3 +814,73 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(s, "doc_id", n_shards=4, seed=42, by=("stage",)).select(
         "doc_id", "stage", "shard", "shard_pos"
     )
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ), r AS (
+        SELECT *, sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        FROM w1
+    ), h AS (
+        SELECT user_id, version, min(event_type) AS event_type,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM r GROUP BY user_id, version
+    ), hist AS (
+        SELECT user_id, CAST(version AS BIGINT) AS version, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                   AS valid_to
+        FROM h
+    ), facts AS (
+        SELECT event_id, user_id, ts + INTERVAL 30 MINUTE AS ts FROM events
+    )
+    SELECT f.event_id, f.user_id, f.ts, hist.version,
+           hist.event_type AS attr_at_ts
+    FROM facts f
+    LEFT JOIN hist
+      ON f.user_id = hist.user_id AND hist.valid_from <= f.ts
+         AND (hist.valid_to IS NULL OR f.ts < hist.valid_to)
+    """,
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2) join — the warehouse lookup every SCD2
+    dimension exists FOR: each fact (here the event stream shifted
+    +30min) resolves to the dimension version valid at its timestamp.
+    Planned as an AS-OF join per key (one shuffle, union-tag + running
+    last — operators/asof.py), NOT an inequality range join, which
+    Spark would execute as a broadcast nested loop at scale. Versions
+    whose validity interval is empty (same-timestamp run boundaries)
+    are pre-dropped so the as-of pick matches the range semantics
+    exactly — the oracle IS the range-predicate join."""
+    from pandas_etl_spark.operators import asof_join
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    hist = scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+    facts = ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"),
+    )
+    # drop empty-interval versions (valid_from == valid_to): the range
+    # join can never select them, so the as-of pick must not either
+    dim = (
+        hist.filter(
+            F.col("valid_to").isNull() | (F.col("valid_from") != F.col("valid_to"))
+        )
+        .select(
+            "user_id",
+            F.col("valid_from").alias("ts"),
+            "version",
+            F.col("event_type").alias("attr_at_ts"),
+        )
+    )
+    out = asof_join(facts, dim, on="ts", by="user_id")
+    return out.select("event_id", "user_id", "ts", "version", "attr_at_ts")

@@ -1166,3 +1166,79 @@ def q_bootstrap_ci_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         n_replicates=_B_REPS,
     )
+
+
+@query(
+    "attribution_linear",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS wnum
+        FROM events
+    ),
+    touches AS (
+        SELECT DISTINCT user_id, wnum, event_type FROM w
+        WHERE event_type <> 'purchase'
+    ),
+    n AS (SELECT user_id, wnum, count(*) AS n_touch FROM touches GROUP BY 1, 2),
+    p AS (SELECT user_id, wnum, event_id, value FROM w
+          WHERE event_type = 'purchase')
+    SELECT coalesce(t.event_type, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           round(sum(p.value / coalesce(n.n_touch, 1)), 6) AS attributed_value
+    FROM p
+    LEFT JOIN n USING (user_id, wnum)
+    LEFT JOIN touches t USING (user_id, wnum)
+    GROUP BY 1
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the equal-credit complement of
+    attribution_last_touch: each purchase splits its value evenly
+    across the DISTINCT touch types seen since the user's previous
+    purchase ('direct' when none). Window ids from one running
+    purchase-count window (frame ends at -1: a purchase closes its own
+    window and never credits itself); everything after the single
+    user_id shuffle is (user, window)-keyed joins of tiny per-window
+    aggregates."""
+    from pyspark.sql import Window as W
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wnum = F.coalesce(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w),
+        F.lit(0),
+    )
+    ev2 = ev.withColumn("wnum", wnum)
+    touches = (
+        ev2.filter(F.col("event_type") != "purchase")
+        .select("user_id", "wnum", "event_type")
+        .distinct()
+    )
+    n = touches.groupBy("user_id", "wnum").agg(F.count(F.lit(1)).alias("n_touch"))
+    p = ev2.filter(F.col("event_type") == "purchase").select(
+        "user_id", "wnum", "event_id", "value"
+    )
+    j = p.join(n, ["user_id", "wnum"], "left").join(
+        touches, ["user_id", "wnum"], "left"
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("event_type"), F.lit("direct")).alias("channel"),
+            (F.col("value") / F.coalesce(F.col("n_touch"), F.lit(1))).alias("credit"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.round(F.sum("credit"), 6).alias("attributed_value"),
+        )
+    )

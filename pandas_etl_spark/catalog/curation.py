@@ -884,3 +884,46 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = asof_join(facts, dim, on="ts", by="user_id")
     return out.select("event_id", "user_id", "ts", "version", "attr_at_ts")
+
+
+@query(
+    "unicode_normalize",
+    oracle=r"""
+    WITH m AS (
+        SELECT doc_id AS id,
+               text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+                   AS raw
+        FROM documents
+    ), n AS (
+        SELECT id, raw,
+               trim(regexp_replace(regexp_replace(
+                   nfc_normalize(raw),
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                   '\s+', ' ', 'g')) AS text_norm
+        FROM m
+    )
+    SELECT id,
+           CAST(length(raw) AS BIGINT)       AS n_chars_in,
+           CAST(length(text_norm) AS BIGINT) AS n_chars_out,
+           text_norm <> raw                  AS changed,
+           text_norm
+    FROM n
+    """,
+)
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time unicode normalization (functions/text.normalize_text):
+    NFC composition (the one justified pandas_udf — no Catalyst
+    builtin), control strip, whitespace collapse. The fixture is pure
+    ASCII, so the query appends a DECOMPOSED suffix (e+U+0301,
+    i+U+0308) on BOTH engines, making the NFC step observable in the
+    hash: composed output is 2 code points shorter and `changed` is
+    true on every row. Cross-engine check is Python unicodedata vs
+    DuckDB's utf8proc nfc_normalize — two independent NFC
+    implementations agreeing bit-for-bit. Pure map, no shuffle."""
+    from pandas_etl_spark.functions.text import normalize_text
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = d.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" cafe\u0301 nai\u0308ve"))
+    )
+    return normalize_text(d, "text", "doc_id")

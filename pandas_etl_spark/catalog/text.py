@@ -1055,6 +1055,51 @@ def q_retrieval_ndcg_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_span_dedup",
+    oracle="""
+    WITH tok AS (SELECT doc_id AS id, string_split(text, ' ') AS t
+                 FROM documents),
+    p AS (SELECT id, unnest(generate_series(0, len(t) - 8)) AS pos, t
+          FROM tok),
+    w AS (SELECT id, pos,
+            CAST('0x' || substring(
+                md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15) AS BIGINT)
+                AS gh
+          FROM p),
+    o AS (SELECT gh, min(id) AS owner FROM w GROUP BY gh),
+    dup AS (SELECT w.id, w.pos FROM w JOIN o USING (gh)
+            WHERE w.id > o.owner),
+    cov AS (SELECT DISTINCT id, idx FROM
+            (SELECT id, pos + unnest(generate_series(0, 7)) AS idx
+             FROM dup)),
+    tp AS (SELECT id, unnest(generate_series(0, len(t) - 1)) AS idx, t
+           FROM tok),
+    tpv AS (SELECT id, idx, t[idx+1] AS tokv FROM tp),
+    kept AS (SELECT tpv.id, tpv.idx, tpv.tokv FROM tpv LEFT JOIN cov
+             ON tpv.id = cov.id AND tpv.idx = cov.idx
+             WHERE cov.idx IS NULL),
+    kagg AS (SELECT id, string_agg(tokv, ' ' ORDER BY idx) AS text_dedup,
+                    count(*) AS n_kept FROM kept GROUP BY id)
+    SELECT tok.id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - coalesce(kagg.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(kagg.text_dedup, '') AS text_dedup
+    FROM tok LEFT JOIN kagg USING (id)
+    """,
+)
+def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-2022 exact duplicated-substring removal
+    (functions/text.exact_span_dedup, 8-token rolling windows):
+    a window occurring in an earlier doc is cut from the later one,
+    overlapping windows merging into maximal spans via coverage union
+    — the rolling windows catch duplicated runs at ANY offset, which
+    aligned segment_dedup cannot. One (gram-hash, id, pos) shuffle
+    with map-side min(id) ownership; token filtering is per-row JVM
+    higher-order functions, no token-level shuffle."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return tx.exact_span_dedup(d, "text", "doc_id", k=8)
+
+
+@query(
     "segment_dedup",
     oracle="""
     WITH arr AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),

@@ -993,3 +993,131 @@ def segment_neardup_dedup(
         .join(per_doc_total, "id")
         .select("id", "text_dedup", "n_kept", "n_segments")
     )
+
+
+def exact_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact duplicated-SPAN removal — the suffix-array substring dedup
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") re-expressed as a rolling-window plan: every
+    ``k``-token window that also occurs in an earlier document (lower
+    id; the corpus-wide first holder is the *owner*) is cut out of the
+    later document, overlapping windows merging into maximal removed
+    spans via position-coverage union. Unlike :func:`segment_dedup`'s
+    aligned fixed segments, the windows ROLL, so a duplicated run at
+    any offset is caught — the property that makes the suffix-array
+    method effective — while remaining a pure DataFrame plan.
+
+    Plan shape (100 TB): one shuffle of (gram-hash, id, pos) rows —
+    the hash is a 60-bit md5 prefix, id-only wire width — with a
+    map-side-combinable ``min(id)`` ownership aggregate, then one
+    per-doc ``collect_list`` of duplicate start positions (bounded by
+    tokens-per-doc). Token filtering happens per-row in JVM
+    higher-order functions: position ``i`` survives iff no duplicate
+    window start ``s`` covers it (``s <= i < s+k``) — O(n_tokens ×
+    n_dup_windows) per row inside codegen, no token-level shuffle.
+
+    Returns (id, n_tokens, n_removed, text_dedup). The owner document
+    of every span is untouched; fully-duplicated later documents
+    collapse to empty text (C4/Lee-et-al semantics).
+    """
+    arr = F.split(F.col(text_col), " ")
+    d = df.select(F.col(id_col).alias("id"), arr.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    starts = F.when(
+        F.col("n") >= k, F.sequence(F.lit(0), F.col("n") - k)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.array_join(F.slice(F.col("toks"), i + 1, k), " "),
+    )
+    w = d.select("id", F.posexplode(grams).alias("pos", "g")).select(
+        "id",
+        "pos",
+        F.expr(
+            "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"
+        ).alias("gh"),
+    )
+    owner = w.groupBy("gh").agg(F.min("id").alias("owner"))
+    dup_starts = (
+        w.join(owner, "gh")
+        .filter(F.col("id") > F.col("owner"))
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("dup_starts"))
+    )
+    kw = F.lit(k)
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("dup_starts"), lambda s: (i >= s) & (i < s + kw)
+        ),
+    )
+    return (
+        d.join(dup_starts, "id", "left")
+        .withColumn(
+            "dup_starts",
+            F.coalesce(F.col("dup_starts"), F.expr("array()").cast("array<int>")),
+        )
+        .select(
+            "id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            (F.col("n") - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.array_join(kept, " ").alias("text_dedup"),
+        )
+    )
+
+
+def nfc_udf() -> Column:
+    """Arrow-batched NFC normalizer factory. Unicode canonical
+    composition has no Catalyst builtin, so this is one of the few
+    justified pandas_udf sites in the text family: a pure map
+    (no shuffle), Arrow-batch transfer, ~1e6 rows/s/core via
+    ``unicodedata.normalize`` which is a C loop per string."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else x
+        )
+
+    return _nfc
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Standard ingest-time text normalization: NFC canonical
+    composition (decomposed e + U+0301 → é, the multi-encoding-source
+    unifier), control-character strip, whitespace collapse, trim.
+    Everything but the NFC step is JVM ``regexp_replace``; NFC is the
+    Arrow-batched :func:`nfc_udf`. Pure map — no shuffle at any scale.
+
+    Returns (id, n_chars_in, n_chars_out, changed, text_norm) with
+    char counts in code points (comparable across engines).
+    """
+    nfc = nfc_udf()
+    raw = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                nfc(raw), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(raw).cast("bigint").alias("n_chars_in"),
+        F.length(norm).cast("bigint").alias("n_chars_out"),
+        (norm != raw).alias("changed"),
+        norm.alias("text_norm"),
+    )

@@ -1319,3 +1319,62 @@ def test_manifest_ingest_sink_incremental_equals_cold(spark, sf_dir, tmp_path):
     ).first()
     assert cold["xor_hash"] == res["xor_hash"]
     assert (res["key_min"], res["key_max"]) == (cold["key_min"], cold["key_max"])
+
+
+def test_exact_span_dedup_rolling_offset(spark):
+    """Exact-span dedup: a duplicated 8-token run at a DIFFERENT offset
+    in a later doc is removed (rolling windows catch what aligned
+    segment dedup can't); the owner (lowest id) keeps its copy; unique
+    text survives; a fully-duplicated later doc collapses to empty."""
+    from pandas_etl_spark.functions.text import exact_span_dedup
+
+    run = "d1 d2 d3 d4 d5 d6 d7 d8"
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {run} a3 a4"),    # owner: untouched
+            (2, f"b1 b2 b3 {run} b4"),    # shifted dup: run removed
+            (3, run),                     # fully duplicated: empty
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # unique: untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in exact_span_dedup(df, "text", "doc_id").collect()}
+    assert got[1]["text_dedup"] == f"a1 a2 {run} a3 a4"
+    assert got[1]["n_removed"] == 0
+    assert got[2]["text_dedup"] == "b1 b2 b3 b4"
+    assert got[2]["n_removed"] == 8
+    assert got[3]["text_dedup"] == ""
+    assert got[3]["n_removed"] == 8
+    assert got[4]["n_removed"] == 0
+    # overlapping duplicated windows merge into one maximal span: doc 5
+    # shares a 9-token run with doc 1's owner windows (two overlapping
+    # 8-windows) -> all 9 tokens go, not 16
+    df2 = spark.createDataFrame(
+        [(1, f"{run} x9 t1"), (5, f"z1 {run} x9")],
+        "doc_id long, text string",
+    )
+    got2 = {r["id"]: r for r in exact_span_dedup(df2, "text", "doc_id").collect()}
+    assert got2[5]["text_dedup"] == "z1"
+    assert got2[5]["n_removed"] == 9
+
+
+def test_normalize_text_nfc_and_cleanup(spark):
+    """NFC composes decomposed sequences (e+U+0301 -> é), control chars
+    strip, whitespace collapses; clean ASCII passes through changed
+    only by construction."""
+    from pandas_etl_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "café du monde"),       # decomposed -> composed
+            (2, "a\x00b\tc   d"),             # control + ws collapse
+            (3, "plain text"),                # untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in normalize_text(df, "text", "doc_id").collect()}
+    assert got[1]["text_norm"] == "caf\u00e9 du monde"
+    assert got[1]["changed"] and got[1]["n_chars_out"] == got[1]["n_chars_in"] - 1
+    assert got[2]["text_norm"] == "ab c d"
+    assert got[3]["text_norm"] == "plain text"
+    assert not got[3]["changed"]

@@ -84,6 +84,8 @@ EXTENDED = [
     "bootstrap_ci_mean_price",
     "curriculum_order",
     "segment_neardup",
+    "exact_span_dedup",
+    "unicode_normalize",
 ]
 
 

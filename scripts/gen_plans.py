@@ -12,7 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 KEEP = re.compile(
     r"Scan parquet|PushedFilters|ReadSchema|Join|Exchange|TakeOrdered|"
-    r"HashAggregate|Window|Sort |Filter|Project|Expand|Generate"
+    r"HashAggregate|Window|Sort |Filter|Project|Expand|Generate|"
+    r"ArrowEvalPython|MapInPandas"
 )
 NOTES = {
     "pricing_summary": "TPC-H Q1: the shipdate filter and 7-column pruning reach the parquet scan; two-phase HashAggregate (partial map-side).",
@@ -44,6 +45,8 @@ NOTES = {
     "segment_neardup": "Paragraph MinHash: JVM-array segmentation in the scan projection feeds the banded-LSH signature aggregate; candidate and drop traffic is (band,bucket)/uid-only; the final anti join restores surviving segments.",
     "bootstrap_ci_mean_price": "One md5 per ROW (not per replicate); the 48-replicate explode collapses via map-side combine to |groups|*48 partial sums before the only shuffle; percentile runs on 48 rows per group.",
     "table_manifest_checksum": "Pure map-side combine: per-row md5 XOR + count + min/max fold in one pass; the shuffle carries one partial row per task.",
+    "exact_span_dedup": "Rolling-window substring dedup: window hashing is scan-projection JVM expressions; ONE (gram-hash,id,pos) shuffle with map-side min(id) ownership; duplicate starts collect per doc and token filtering is per-row higher-order functions — tokens never shuffle.",
+    "unicode_normalize": "NFC normalization: a single ArrowEvalPython map sandwiched between JVM regexp stages. The operator itself adds NO Exchange — the one visible below is ensure_parallelism's ingest repartition of the single-file test fixture; on a real multi-file source the plan is scan→map→project end to end.",
 }
 
 

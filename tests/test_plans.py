@@ -428,3 +428,28 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_exact_span_dedup_no_token_shuffle(spark, sf_dir):
+    """The span-dedup plan shuffles gram hashes and per-doc start lists
+    only: token filtering is per-row higher-order functions, so no
+    cartesian/BNLJ appears and the window self-reference stays an equi
+    join on the gram hash."""
+    plan = plan_of(spark, sf_dir, "exact_span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # token filter lowered to Catalyst higher-order functions, not Python
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_unicode_normalize_pure_map(spark, sf_dir):
+    """normalize_text is a pure map: one Arrow-batched Python stage, no
+    aggregation/join/window, and no Exchange beyond ensure_parallelism's
+    ingest repartition of the single-file fixture."""
+    plan = plan_of(spark, sf_dir, "unicode_normalize")
+    tree = plan.split("\n\n")[0]  # operator tree, before the detail section
+    assert tree.count("ArrowEvalPython") == 1
+    # downstream (printed above the map stage): no Exchange after the map
+    assert "Exchange" not in tree.split("ArrowEvalPython")[0]
+    for op in ("HashAggregate", "Join", "Window", "Generate"):
+        assert op not in plan, op

@@ -314,3 +314,58 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         F.round((F.col("v") - F.col("mu")) / F.col("sd"), 6).alias("z"),
     )
+
+
+@query("ann_recall_audit")
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring recall@k for every approximate ANN path against
+    the exact brute-force baseline — the "measure, don't guess" audit a
+    production ANN deployment runs on a sampled query set before
+    trusting index parameters. One row per method with mean and
+    worst-query recall; the recall unit tests pin floors, this query
+    makes the number continuously observable at any SF.
+
+    Rows-only driver check: LSH hyperplanes / k-means fits are
+    engine-specific, so no SQL oracle can reproduce the approximate
+    sides (the exact side is oracle-checked as ann_cosine_topk).
+    Plan: each branch inherits its method's no-corpus-shuffle shape;
+    the audit adds only per-query-id joins on k*|queries| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.cosine_topk(emb, queries, k=_TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    qids = exact.select("query_id").distinct()
+    methods = {
+        "lsh": sim.ann_lsh_topk(emb, queries, k=_TOPK, dim=64, bits=6),
+        "ivf": sim.ann_ivf_topk(emb, queries, k=_TOPK, n_cells=16, nprobe=4),
+        "pq": sim.ann_pq_topk(emb, queries, k=_TOPK, m=8, codes_k=32),
+    }
+    outs = []
+    for name, approx in methods.items():
+        hits = (
+            approx.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("h"))
+        )
+        per_q = qids.join(hits, "query_id", "left").select(
+            "query_id",
+            (F.coalesce(F.col("h"), F.lit(0)) / F.lit(float(_TOPK))).alias(
+                "recall"
+            ),
+        )
+        outs.append(
+            per_q.agg(
+                F.lit(name).alias("method"),
+                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+                F.round(F.avg("recall"), 6).alias("mean_recall_at_k"),
+                F.round(F.min("recall"), 6).alias("min_recall_at_k"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

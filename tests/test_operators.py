@@ -1378,3 +1378,17 @@ def test_normalize_text_nfc_and_cleanup(spark):
     assert got[2]["text_norm"] == "ab c d"
     assert got[3]["text_norm"] == "plain text"
     assert not got[3]["changed"]
+
+
+def test_ann_recall_audit_bounds(spark, sf_dir):
+    """The recall audit reports one row per ANN method with recall in
+    [0,1]; exact-baseline membership means a method can never exceed 1
+    and IVF with nprobe=4/16 cells must beat the random-bucket floor."""
+    from pandas_etl_spark.catalog import QUERIES
+
+    rows = {r["method"]: r for r in QUERIES["ann_recall_audit"](spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf", "pq"}
+    for m, r in rows.items():
+        assert 0.0 <= r["min_recall_at_k"] <= r["mean_recall_at_k"] <= 1.0, m
+        assert r["n_queries"] > 0
+    assert rows["ivf"]["mean_recall_at_k"] >= 0.5

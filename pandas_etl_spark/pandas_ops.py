@@ -691,6 +691,27 @@ class Table:
             _snd(self._df, text_col, id_col, words_per_segment, threshold)
         )
 
+    def exact_span_dedup(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 8,
+    ) -> "Table":
+        """Rolling-window exact duplicated-span removal
+        (functions/text.exact_span_dedup)."""
+        from pandas_etl_spark.functions.text import exact_span_dedup as _esd
+
+        return Table(_esd(self._df, text_col, id_col, k))
+
+    def normalize_text(
+        self, text_col: str = "text", id_col: str = "doc_id"
+    ) -> "Table":
+        """NFC + control-strip + whitespace-collapse normalization
+        (functions/text.normalize_text)."""
+        from pandas_etl_spark.functions.text import normalize_text as _nt
+
+        return Table(_nt(self._df, text_col, id_col))
+
     def bigram_logprob(
         self,
         text_col: str = "text",

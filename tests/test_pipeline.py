@@ -649,3 +649,32 @@ def test_late_r5_operators_as_yaml_bound_methods(spark, sf_dir):
     assert shuf.count() == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     ci = p.steps["ci"].output.df.collect()
     assert ci and all(r.ci_lo <= r.mean_value <= r.ci_hi for r in ci)
+
+
+def test_span_dedup_and_normalize_as_yaml_bound_methods(spark, sf_dir):
+    """exact_span_dedup and normalize_text run as Table bound methods
+    in YAML pipelines — F14 generic dispatch, no preFlight imports."""
+    p = Pipeline(
+        yamlData=f"""
+        steps:
+        - name: docs
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/documents.parquet
+        - name: span
+          function: ${{ steps['docs'].output.exact_span_dedup }}
+          args:
+            text_col: text
+            id_col: doc_id
+        - name: norm
+          function: ${{ steps['docs'].output.normalize_text }}
+        """,
+        spark=spark,
+    )
+    p.run()
+    span = p.steps["span"].output.df
+    assert set(span.columns) == {"id", "n_tokens", "n_removed", "text_dedup"}
+    assert span.count() > 0
+    norm = p.steps["norm"].output.df
+    assert {"id", "text_norm", "changed"} <= set(norm.columns)
+    assert norm.count() == span.count()

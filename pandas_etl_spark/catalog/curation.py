@@ -927,3 +927,101 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.concat(F.col("text"), F.lit(" cafe\u0301 nai\u0308ve"))
     )
     return normalize_text(d, "text", "doc_id")
+
+
+@query(
+    "release_corpus_manifest",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id AS id,
+               trim(regexp_replace(regexp_replace(
+                   nfc_normalize(text),
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                   '\s+', ' ', 'g')) AS text_norm
+        FROM documents
+    ),
+    tok AS (SELECT id, string_split(text_norm, ' ') AS t FROM norm),
+    p AS (SELECT id, unnest(generate_series(0, len(t) - 8)) AS pos, t
+          FROM tok),
+    w AS (SELECT id, pos,
+            CAST('0x' || substring(
+                md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15) AS BIGINT)
+                AS gh
+          FROM p),
+    o AS (SELECT gh, min(id) AS owner FROM w GROUP BY gh),
+    dup AS (SELECT w.id, w.pos FROM w JOIN o USING (gh)
+            WHERE w.id > o.owner),
+    cov AS (SELECT DISTINCT id, idx FROM
+            (SELECT id, pos + unnest(generate_series(0, 7)) AS idx
+             FROM dup)),
+    tp AS (SELECT id, unnest(generate_series(0, len(t) - 1)) AS idx, t
+           FROM tok),
+    tpv AS (SELECT id, idx, t[idx+1] AS tokv FROM tp),
+    kept AS (SELECT tpv.id, tpv.idx, tpv.tokv FROM tpv LEFT JOIN cov
+             ON tpv.id = cov.id AND tpv.idx = cov.idx
+             WHERE cov.idx IS NULL),
+    kagg AS (SELECT id, string_agg(tokv, ' ' ORDER BY idx) AS text_dedup,
+                    count(*) AS n_kept FROM kept GROUP BY id),
+    deduped AS (
+        SELECT tok.id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(t) - coalesce(kagg.n_kept, 0) AS BIGINT) AS n_removed,
+               coalesce(kagg.text_dedup, '') AS text_dedup
+        FROM tok LEFT JOIN kagg USING (id)
+    ),
+    released AS (
+        SELECT * FROM deduped
+        WHERE n_tokens - n_removed >= 10 AND n_removed * 2 < n_tokens
+    ),
+    h AS (
+        SELECT id, n_tokens - n_removed AS n_kept,
+               CAST('0x' || substring(md5(concat_ws(chr(31),
+                   CAST(id AS VARCHAR), text_dedup)), 1, 15) AS BIGINT) AS rh
+        FROM released
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           bit_xor(rh)              AS xor_hash,
+           min(id)                  AS key_min,
+           max(id)                  AS key_max,
+           CAST(sum(n_kept) AS BIGINT) AS n_tokens_total
+    FROM h
+    """,
+)
+def q_release_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-release capstone: normalize (NFC + control strip + ws
+    collapse) -> exact duplicated-span removal (rolling 8-token
+    windows) -> release gates (>=10 surviving tokens, <50% duplicated)
+    -> order-insensitive integrity manifest over the RELEASED text —
+    the whole publish pipeline as ONE lazy plan whose final 1-row
+    fingerprint an independent engine re-derives bit-for-bit (the
+    strongest end-to-end check in the catalog: any divergence at any
+    stage flips the hash).
+
+    Plan: Arrow NFC map -> span-dedup's two bounded shuffles -> a
+    map-side-combined 1-row aggregate. Nothing else crosses the wire.
+    """
+    from pandas_etl_spark.functions.text import (
+        exact_span_dedup,
+        normalize_text,
+    )
+    from pandas_etl_spark.operators.checksum import row_hash
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    norm = normalize_text(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), F.col("text_norm").alias("text")
+    )
+    deduped = exact_span_dedup(norm, "text", "doc_id", k=8)
+    released = deduped.filter(
+        ((F.col("n_tokens") - F.col("n_removed")) >= 10)
+        & (F.col("n_removed") * 2 < F.col("n_tokens"))
+    )
+    return (
+        released.withColumn("__row_h", row_hash(["id", "text_dedup"]))
+        .withColumn("n_kept", F.col("n_tokens") - F.col("n_removed"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("bit_xor(__row_h)").alias("xor_hash"),
+            F.min("id").alias("key_min"),
+            F.max("id").alias("key_max"),
+            F.sum("n_kept").cast("bigint").alias("n_tokens_total"),
+        )
+    )

@@ -86,6 +86,10 @@ EXTENDED = [
     "segment_neardup",
     "exact_span_dedup",
     "unicode_normalize",
+    "release_corpus_manifest",
+    # ann_recall_audit is deliberately NOT benched: it runs all four
+    # ANN paths to measure recall, so its wall time is the sum of
+    # already-benched queries, not a signal of its own
 ]
 
 

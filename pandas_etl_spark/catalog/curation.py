@@ -1025,3 +1025,44 @@ def q_release_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_kept").cast("bigint").alias("n_tokens_total"),
         )
     )
+
+
+@query(
+    "temperature_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_stratum,
+               sum(count(*)) OVER () AS n_total
+        FROM documents GROUP BY source
+    ), pa AS (
+        SELECT source, n_stratum, n_total,
+               power(CAST(n_stratum AS BIGINT) / CAST(n_total AS BIGINT),
+                     CAST(0.5 AS DOUBLE)) AS p_alpha
+        FROM counts
+    ), z AS (SELECT sum(p_alpha) AS z FROM pa),
+    th AS (
+        SELECT source,
+               CAST(floor(least(CAST(1.0 AS DOUBLE),
+                   (p_alpha / z.z) * CAST(n_total AS BIGINT)
+                       / CAST(n_stratum AS BIGINT))
+                   * CAST({_MODULUS} AS DOUBLE)) AS BIGINT) AS thresh
+        FROM pa, z
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN th USING (source)
+    WHERE {_DD_BUCKET} < thresh
+    """,
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5/XLM-R temperature resampling over the source strata
+    (operators/sampling.temperature_sample, alpha=0.5): target weights
+    derived as p^alpha (flattening the head, upweighting tail
+    domains), then the same deterministic md5-bucket keep rule as
+    mixture_sample. Two |strata|-row aggregates broadcast back; the
+    corpus sees one narrow filter."""
+    from pandas_etl_spark.operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(docs, "doc_id", "source", alpha=0.5).select(
+        "doc_id", "source"
+    )

@@ -130,6 +130,53 @@ def mixture_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture resampling — the multilingual-corpus
+    balancing rule of mT5/XLM-R (Xue et al. 2021 §3.2; Conneau et al.
+    2020 §3): target weights are DERIVED from the data instead of
+    supplied, ``w_s ∝ p_s^alpha`` with ``p_s = n_s/N``, so ``alpha<1``
+    flattens the head and upweights tail strata. The keep rule is then
+    :func:`mixture_sample`'s: ``keep_frac(s) = min(1, w_s·N/n_s)`` via
+    the stable md5-bucket filter.
+
+    Plan: two tiny aggregates over the |strata|-row counts frame (the
+    p^alpha normalizer needs a second 1-row sum), both broadcast back;
+    the corpus itself sees one narrow filter — no wide shuffle at any
+    size. Expression order matches the SQL oracle for bit-parity.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n_stratum"))
+    total = counts.agg(F.sum("__n_stratum").alias("__n_total"))
+    counts = counts.crossJoin(F.broadcast(total))
+    counts = counts.withColumn(
+        "__pa",
+        F.pow(
+            F.col("__n_stratum") / F.col("__n_total"), F.lit(float(alpha))
+        ),
+    )
+    z = counts.agg(F.sum("__pa").alias("__z"))
+    counts = counts.crossJoin(F.broadcast(z))
+    keep_frac = F.least(
+        F.lit(1.0),
+        (F.col("__pa") / F.col("__z"))
+        * F.col("__n_total")
+        / F.col("__n_stratum"),
+    )
+    thresh = F.floor(keep_frac * F.lit(float(_MODULUS))).cast("bigint")
+    enriched = df.join(
+        counts.withColumn("__thresh", thresh).select(strata_col, "__thresh"),
+        strata_col,
+    )
+    return (
+        enriched.filter(_bucket(key, _MODULUS) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     key: str,

@@ -422,3 +422,32 @@ def test_bpe_200_merges_match_reference_and_run_constant_jobs(spark, sf_dir):
             new_words.append((out, f))
         words = new_words
     assert got == exp
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """alpha=0 gives uniform target weights (tail stratum kept fully,
+    head stratum cut hardest); alpha=1 reproduces the input mixture
+    (keep_frac=1 everywhere, nothing dropped); in between the
+    head/tail keep ratio is monotone in alpha."""
+    from pandas_etl_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # alpha=1: w_s = p_s, keep_frac = 1 for every stratum
+    full = temperature_sample(df, "doc_id", "source", alpha=1.0)
+    assert full.count() == 1000
+
+    # alpha=0: uniform weights 1/2; head keep_frac = 0.5*1000/900,
+    # tail keep_frac = min(1, 0.5*1000/100) = 1 -> all of the tail stays
+    flat = temperature_sample(df, "doc_id", "source", alpha=0.0)
+    by = {r["source"]: r["n"] for r in
+          flat.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["tail"] == 100
+    assert 450 <= by["head"] <= 650  # md5-bucket sample of keep_frac≈0.556
+
+    # determinism: same call -> identical membership
+    a = {r["doc_id"] for r in flat.collect()}
+    b = {r["doc_id"] for r in
+         temperature_sample(df, "doc_id", "source", alpha=0.0).collect()}
+    assert a == b

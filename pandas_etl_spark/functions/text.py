@@ -1025,7 +1025,12 @@ def exact_span_dedup(
     of every span is untouched; fully-duplicated later documents
     collapse to empty text (C4/Lee-et-al semantics).
     """
-    arr = F.split(F.col(text_col), " ")
+    # null/empty text -> zero tokens (split(NULL) would propagate a
+    # NULL array and legacy size() turns that into n_tokens=-1)
+    arr = F.when(
+        F.col(text_col).isNull() | (F.col(text_col) == ""),
+        F.expr("array()").cast("array<string>"),
+    ).otherwise(F.split(F.col(text_col), " "))
     d = df.select(F.col(id_col).alias("id"), arr.alias("toks")).withColumn(
         "n", F.size("toks")
     )
@@ -1101,7 +1106,9 @@ def normalize_text(
     Arrow-batched :func:`nfc_udf`. Pure map — no shuffle at any scale.
 
     Returns (id, n_chars_in, n_chars_out, changed, text_norm) with
-    char counts in code points (comparable across engines).
+    char counts in code points (comparable across engines). NULL text
+    propagates as NULL output (map semantics); callers wanting
+    empty-string coercion coalesce first.
     """
     nfc = nfc_udf()
     raw = F.col(text_col)

@@ -1392,3 +1392,19 @@ def test_ann_recall_audit_bounds(spark, sf_dir):
         assert 0.0 <= r["min_recall_at_k"] <= r["mean_recall_at_k"] <= 1.0, m
         assert r["n_queries"] > 0
     assert rows["ivf"]["mean_recall_at_k"] >= 0.5
+
+
+def test_exact_span_dedup_null_and_empty_text(spark):
+    """Null/empty text rows yield (n_tokens=0, empty output) instead of
+    the -1 that legacy size(NULL) would propagate; other rows are
+    unaffected."""
+    from pandas_etl_spark.functions.text import exact_span_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c")], "doc_id long, text string"
+    )
+    got = {r["id"]: r for r in exact_span_dedup(df, "text", "doc_id").collect()}
+    for i in (1, 2):
+        assert (got[i]["n_tokens"], got[i]["n_removed"], got[i]["text_dedup"]) \
+            == (0, 0, "")
+    assert got[3]["text_dedup"] == "a b c"

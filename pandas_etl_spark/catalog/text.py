@@ -1234,3 +1234,64 @@ def q_feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("tf")
     )
+
+
+@query(
+    "span_dedup_incremental",
+    oracle="""
+    WITH corp AS (
+        SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 250
+    ),
+    cp AS (SELECT unnest(generate_series(0, len(t) - 8)) AS pos, t FROM corp),
+    cidx AS (
+        SELECT DISTINCT CAST('0x' || substring(
+            md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15) AS BIGINT) AS gh
+        FROM cp
+    ),
+    tok AS (SELECT doc_id AS id, string_split(text, ' ') AS t
+            FROM documents WHERE doc_id >= 250),
+    p AS (SELECT id, unnest(generate_series(0, len(t) - 8)) AS pos, t
+          FROM tok),
+    w AS (SELECT id, pos,
+            CAST('0x' || substring(
+                md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15) AS BIGINT)
+                AS gh
+          FROM p),
+    hit AS (SELECT id, pos FROM w WHERE gh IN (SELECT gh FROM cidx)),
+    fresh AS (SELECT * FROM w WHERE gh NOT IN (SELECT gh FROM cidx)),
+    o AS (SELECT gh, min(id) AS owner FROM fresh GROUP BY gh),
+    bdup AS (SELECT fresh.id, fresh.pos FROM fresh JOIN o USING (gh)
+             WHERE fresh.id > o.owner),
+    dup AS (SELECT id, pos FROM hit UNION ALL SELECT id, pos FROM bdup),
+    cov AS (SELECT DISTINCT id, idx FROM
+            (SELECT id, pos + unnest(generate_series(0, 7)) AS idx
+             FROM dup)),
+    tp AS (SELECT id, unnest(generate_series(0, len(t) - 1)) AS idx, t
+           FROM tok),
+    tpv AS (SELECT id, idx, t[idx+1] AS tokv FROM tp),
+    kept AS (SELECT tpv.id, tpv.idx, tpv.tokv FROM tpv LEFT JOIN cov
+             ON tpv.id = cov.id AND tpv.idx = cov.idx
+             WHERE cov.idx IS NULL),
+    kagg AS (SELECT id, string_agg(tokv, ' ' ORDER BY idx) AS text_dedup,
+                    count(*) AS n_kept FROM kept GROUP BY id)
+    SELECT tok.id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - coalesce(kagg.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(kagg.text_dedup, '') AS text_dedup
+    FROM tok LEFT JOIN kagg USING (id)
+    """,
+)
+def q_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-span dedup (functions/text.span_dedup_against):
+    the lower half of the corpus plays the write-once accepted corpus
+    (its distinct gram hashes are the whole index — 8 bytes each), the
+    upper half is the daily batch: windows already in the index are
+    cut, unseen grams fall to in-batch first-holder ownership. The
+    corpus side contributes ONE (gh)-only distinct + semi/anti joins;
+    batch cost ∝ batch size — the amortized shape a daily 100 TB
+    substring-dedup service runs."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    corpus = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250)
+    return tx.span_dedup_against(
+        batch, tx.corpus_span_grams(corpus, "text", 8), "text", "doc_id", 8
+    )

@@ -1128,3 +1128,179 @@ def normalize_text(
         (norm != raw).alias("changed"),
         norm.alias("text_norm"),
     )
+
+
+def _span_windows(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared tokenize+rolling-window builder for the span-dedup family:
+    returns (docs = (id, toks, n), windows = (id, pos, gh)) with the
+    same null/empty coercion and portable 60-bit md5 gram hash as
+    :func:`exact_span_dedup`."""
+    arr = F.when(
+        F.col(text_col).isNull() | (F.col(text_col) == ""),
+        F.expr("array()").cast("array<string>"),
+    ).otherwise(F.split(F.col(text_col), " "))
+    d = df.select(F.col(id_col).alias("id"), arr.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    starts = F.when(
+        F.col("n") >= k, F.sequence(F.lit(0), F.col("n") - k)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.array_join(F.slice(F.col("toks"), i + 1, k), " "),
+    )
+    w = d.select("id", F.posexplode(grams).alias("pos", "g")).select(
+        "id",
+        "pos",
+        F.expr(
+            "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"
+        ).alias("gh"),
+    )
+    return d, w
+
+
+def _span_rewrite(d: DataFrame, dup: DataFrame, k: int) -> DataFrame:
+    """Given docs (id, toks, n) and duplicate window starts (id, pos),
+    merge coverage and reassemble surviving tokens — the rewrite core
+    shared by :func:`exact_span_dedup` and the incremental variant."""
+    dup_starts = dup.groupBy("id").agg(F.collect_list("pos").alias("dup_starts"))
+    kw = F.lit(k)
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("dup_starts"), lambda s: (i >= s) & (i < s + kw)
+        ),
+    )
+    return (
+        d.join(dup_starts, "id", "left")
+        .withColumn(
+            "dup_starts",
+            F.coalesce(F.col("dup_starts"), F.expr("array()").cast("array<int>")),
+        )
+        .select(
+            "id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            (F.col("n") - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.array_join(kept, " ").alias("text_dedup"),
+        )
+    )
+
+
+def corpus_span_grams(
+    corpus_df: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Distinct rolling ``k``-gram hashes of an accepted corpus — the
+    (gh)-only frame :func:`span_dedup_against` checks new batches
+    against. This is the whole index: 8 bytes per distinct gram."""
+    _, w = _span_windows(
+        corpus_df.select(F.lit(0).alias("__id"), F.col(text_col)),
+        text_col,
+        "__id",
+        k,
+    )
+    return w.select("gh").distinct()
+
+
+def span_dedup_against(
+    new_df: DataFrame,
+    corpus_grams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Incremental exact-span dedup — the daily-ingest shape of
+    :func:`exact_span_dedup`: a new batch is rewritten against the
+    ACCEPTED corpus (every window whose gram hash is already in
+    ``corpus_grams`` is cut) plus in-batch first-holder ownership for
+    grams the corpus has not seen. The corpus itself is never
+    re-scanned or re-shuffled: ``corpus_grams`` is the write-once
+    (gh)-frame from :func:`corpus_span_grams` /
+    :func:`build_span_index`, amortized across batches.
+
+    When every batch's accepted text feeds :func:`append_span_index`,
+    batch ``B_n`` sees exactly the grams of all previously accepted
+    text — the semantics an incremental substring-dedup service
+    provides (dedup against what was KEPT; rewriting can create new
+    token adjacencies, so equivalence to a one-shot pass over raw
+    history is intentionally not claimed — same as suffix-array
+    services rebuilt periodically).
+
+    Plan: batch-sized window explode; one semi/anti join pair against
+    the gram index (corpus-sized but (gh)-only — 8 bytes wide, and the
+    join is semi, so no corpus payload moves); in-batch ownership on
+    the anti side only. Output schema = exact_span_dedup."""
+    d, w = _span_windows(new_df, text_col, id_col, k)
+    idx = corpus_grams.select("gh")
+    hit = w.join(idx, "gh", "left_semi").select("id", "pos")
+    fresh = w.join(idx, "gh", "left_anti")
+    owner = fresh.groupBy("gh").agg(F.min("id").alias("owner"))
+    batch_dup = (
+        fresh.join(owner, "gh")
+        .filter(F.col("id") > F.col("owner"))
+        .select("id", "pos")
+    )
+    return _span_rewrite(d, hit.unionByName(batch_dup), k)
+
+
+def build_span_index(
+    corpus_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = 8,
+) -> str:
+    """Materialize :func:`corpus_span_grams` as a write-once parquet
+    gram index at ``path`` (``grams/`` + ``_meta.json`` pinning k).
+    The corpus's only shuffle (gram distinct) runs ONCE; every later
+    batch pays only batch-sized work plus an index scan."""
+    import json
+    import os
+
+    spark = corpus_df.sparkSession
+    corpus_span_grams(corpus_df, text_col, k).write.mode("overwrite").parquet(
+        os.path.join(path, "grams")
+    )
+    meta = json.dumps({"k": k})
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(os.path.join(path, "_meta.json"))
+    return path
+
+
+def _read_span_index(spark, path: str) -> tuple[DataFrame, int]:
+    import json
+    import os
+
+    meta = json.loads(spark.read.text(os.path.join(path, "_meta.json")).first()[0])
+    return spark.read.parquet(os.path.join(path, "grams")), int(meta["k"])
+
+
+def span_dedup_indexed(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`span_dedup_against` reading the gram frame (and k) from a
+    :func:`build_span_index` path."""
+    idx, k = _read_span_index(new_df.sparkSession, index_path)
+    return span_dedup_against(new_df, idx, text_col, id_col, k)
+
+
+def append_span_index(
+    accepted_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+) -> None:
+    """Fold a batch's ACCEPTED (rewritten) text into the gram index:
+    only grams the index does not already hold append — per-batch cost
+    ∝ batch grams, index growth ∝ genuinely novel grams."""
+    import os
+
+    spark = accepted_df.sparkSession
+    idx, k = _read_span_index(spark, index_path)
+    new_grams = corpus_span_grams(accepted_df, text_col, k).join(
+        idx, "gh", "left_anti"
+    )
+    new_grams.write.mode("append").parquet(os.path.join(index_path, "grams"))

@@ -1408,3 +1408,66 @@ def test_exact_span_dedup_null_and_empty_text(spark):
         assert (got[i]["n_tokens"], got[i]["n_removed"], got[i]["text_dedup"]) \
             == (0, 0, "")
     assert got[3]["text_dedup"] == "a b c"
+
+
+def test_span_dedup_incremental_lifecycle(spark, tmp_path):
+    """Write-once gram index lifecycle: batch 2 loses spans already
+    accepted in batch 1 (cross-batch), keeps novel text, and in-batch
+    ownership still applies to grams the index has not seen. With a
+    self-dup-free accepted batch 1, the incremental result equals the
+    one-shot exact_span_dedup over the union restricted to batch 2."""
+    from pandas_etl_spark.functions.text import (
+        append_span_index,
+        build_span_index,
+        exact_span_dedup,
+        span_dedup_indexed,
+    )
+
+    run = "c1 c2 c3 c4 c5 c6 c7 c8"
+    b1 = spark.createDataFrame(
+        [(1, f"a1 a2 {run}"), (2, "m1 m2 m3 m4 m5 m6 m7 m8 m9")],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "span_idx")
+    build_span_index(b1, idx_path, "text", k=8)
+
+    fresh = "f1 f2 f3 f4 f5 f6 f7 f8"
+    b2 = spark.createDataFrame(
+        [
+            (10, f"x1 {run} x2"),        # cross-batch dup -> run removed
+            (11, f"{fresh} y1"),         # batch owner of fresh -> kept
+            (12, f"z1 {fresh}"),         # in-batch dup of 11 -> removed
+            (13, "u1 u2 u3"),            # short, untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in span_dedup_indexed(b2, idx_path).collect()}
+    assert got[10]["text_dedup"] == "x1 x2"
+    assert got[11]["text_dedup"] == f"{fresh} y1"
+    assert got[12]["text_dedup"] == "z1"
+    assert got[13]["text_dedup"] == "u1 u2 u3"
+
+    # one-shot equivalence on batch-2 rows (batch 1 is self-dup-free)
+    oneshot = {
+        r["id"]: r
+        for r in exact_span_dedup(b1.unionByName(b2), "text", "doc_id").collect()
+        if r["id"] >= 10
+    }
+    for i in (10, 11, 12, 13):
+        assert oneshot[i]["text_dedup"] == got[i]["text_dedup"], i
+        assert oneshot[i]["n_removed"] == got[i]["n_removed"], i
+
+    # append accepted batch-2 text; a batch-3 copy of 11's fresh run now drops
+    acc2 = spark.createDataFrame(
+        [(11, f"{fresh} y1")], "doc_id long, text string"
+    )
+    append_span_index(acc2, idx_path, "text")
+    b3 = spark.createDataFrame(
+        [(20, f"q1 {fresh} q2")], "doc_id long, text string"
+    )
+    got3 = span_dedup_indexed(b3, idx_path).collect()[0]
+    assert got3["text_dedup"] == "q1 q2"
+    # idempotent growth: re-appending the same text adds no grams
+    n_before = spark.read.parquet(idx_path + "/grams").count()
+    append_span_index(acc2, idx_path, "text")
+    assert spark.read.parquet(idx_path + "/grams").count() == n_before

@@ -87,6 +87,8 @@ EXTENDED = [
     "exact_span_dedup",
     "unicode_normalize",
     "release_corpus_manifest",
+    "span_dedup_incremental",
+    "temperature_sample",
     # ann_recall_audit is deliberately NOT benched: it runs all four
     # ANN paths to measure recall, so its wall time is the sum of
     # already-benched queries, not a signal of its own

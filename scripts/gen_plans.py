@@ -48,6 +48,7 @@ NOTES = {
     "exact_span_dedup": "Rolling-window substring dedup: window hashing is scan-projection JVM expressions; ONE (gram-hash,id,pos) shuffle with map-side min(id) ownership; duplicate starts collect per doc and token filtering is per-row higher-order functions — tokens never shuffle.",
     "unicode_normalize": "NFC normalization: a single ArrowEvalPython map sandwiched between JVM regexp stages. The operator itself adds NO Exchange — the one visible below is ensure_parallelism's ingest repartition of the single-file test fixture; on a real multi-file source the plan is scan→map→project end to end.",
     "release_corpus_manifest": "Publish capstone in ONE lazy plan: Arrow NFC map feeds span-dedup's two data-sized shuffles (gram-hash ownership + per-doc start lists); release gates are row filters. Remaining Exchanges are the ingest repartition of the single-file fixture and the final aggregate's one-partial-row-per-task combine.",
+    "span_dedup_incremental": "Incremental substring dedup: the corpus side is ONE (gh)-only distinct (8-byte rows); the batch joins it semi (index hits) and anti (fresh grams -> in-batch min(id) ownership) — no corpus payload ever moves, batch cost ∝ batch windows.",
 }
 
 

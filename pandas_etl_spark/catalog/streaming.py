@@ -810,3 +810,91 @@ def q_stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(docs.count(), n_rows, ok)],
         "n_input long, n_rows long, verified boolean",
     )
+
+
+@query("stream_span_ingest")
+def q_stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming SPAN-level ingestion (rows-only: the
+    rewrite logic's oracle lives on its batch twin
+    ``span_dedup_incremental``): documents arrive in two micro-batches
+    (even doc_ids first, then odd), each rewritten against the grams
+    accepted so far via ``streaming.span_dedup_ingest_sink``. The
+    1-row summary embeds an incremental ≡ two-phase-batch proof: the
+    streamed corpus must equal running exact_span_dedup on batch 0
+    then span_dedup_against(batch 1, accepted-0 grams) by hand."""
+    import os
+    import tempfile
+
+    from pandas_etl_spark.functions.text import (
+        corpus_span_grams,
+        exact_span_dedup,
+        span_dedup_against,
+    )
+    from pandas_etl_spark.streaming import span_dedup_ingest_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_span_ingest_")
+    src = os.path.join(tmp, "src")
+    corpus = os.path.join(tmp, "corpus")
+    b0 = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    b1 = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    b0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    now = 1_700_000_000
+    for sub, t in (("b0", now - 100), ("b1", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(span_dedup_ingest_sink(corpus, k=8, min_tokens=1))
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_in = docs.count()
+    try:
+        got = spark.read.parquet(corpus).select("doc_id", "text")
+    except Exception:  # empty source: no batch ever wrote the corpus
+        return spark.createDataFrame(
+            [(n_in, 0, 0, n_in == 0)],
+            "n_input long, n_corpus long, n_tokens_removed long, verified boolean",
+        )
+    # two-phase batch replay of the same schedule
+    acc0 = exact_span_dedup(b0, "text", "doc_id", k=8).filter(
+        (F.col("n_tokens") - F.col("n_removed")) >= 1
+    )
+    acc0_docs = acc0.select(
+        F.col("id").alias("doc_id"), F.col("text_dedup").alias("text")
+    )
+    r1 = span_dedup_against(
+        b1, corpus_span_grams(acc0_docs, "text", 8), "text", "doc_id", 8
+    )
+    acc1_docs = r1.filter(
+        (F.col("n_tokens") - F.col("n_removed")) >= 1
+    ).select(F.col("id").alias("doc_id"), F.col("text_dedup").alias("text"))
+    expect = acc0_docs.unionByName(acc1_docs)
+    n_removed = (
+        exact_span_dedup(b0, "text", "doc_id", k=8)
+        .agg(F.sum("n_removed"))
+        .first()[0]
+        or 0
+    ) + (r1.agg(F.sum("n_removed")).first()[0] or 0)
+    mismatches = (
+        got.exceptAll(expect).count() + expect.exceptAll(got).count()
+    )
+    return spark.createDataFrame(
+        [(n_in, got.count(), int(n_removed), mismatches == 0)],
+        "n_input long, n_corpus long, n_tokens_removed long, verified boolean",
+    )

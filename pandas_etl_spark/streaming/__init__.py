@@ -340,3 +340,82 @@ def quality_gate_sink(
         bad.write.mode("append").parquet(quarantine_path)
 
     return sink
+
+
+def span_dedup_ingest_sink(
+    corpus_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int = 1,
+):
+    """foreachBatch sink: streaming SPAN-level corpus ingestion — each
+    micro-batch is rewritten against the grams of everything accepted
+    so far (``functions.text.span_dedup_against``: index hits cut,
+    fresh grams fall to in-batch ownership), documents keeping at least
+    ``min_tokens`` tokens append, and the accepted text's grams fold
+    into a ``<corpus_path>.span_index`` maintained beside the data.
+    The substring-dedup twin of :func:`dedup_ingest_sink`: that one
+    accepts/rejects whole documents, this one REWRITES them, so a doc
+    that is 30% boilerplate still contributes its novel 70%.
+
+    Replay-safe the same way: corpus docs and index grams land as
+    ``__batch=<id>`` partitions under dynamic overwrite, and a
+    replaying batch excludes its own prior gram partition from
+    classification. A replayed batch may see later batches' grams —
+    rewriting is monotone (spans only ever shrink), so content stays
+    exactly-once with at-least-once classification. Per-batch index
+    appends are self-contained (no cross-batch anti join) so a replay
+    fully reproduces its partition; duplicate gram hashes across
+    partitions cost space, never correctness (the consumer is a
+    semi/anti join).
+
+    Per-batch cost ∝ batch windows + one (gh)-only index scan — the
+    corpus text is never re-read.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.functions.text import (
+        corpus_span_grams,
+        span_dedup_against,
+    )
+
+    idx_path = corpus_path.rstrip("/") + ".span_index"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            grams = (
+                spark.read.parquet(idx_path)
+                .filter(F.col("__batch") != batch_id)
+                .select("gh")
+            )
+        except Exception:
+            grams = spark.createDataFrame([], "gh bigint")
+        rewritten = span_dedup_against(batch_df, grams, text_col, id_col, k)
+        accepted = rewritten.filter(
+            (F.col("n_tokens") - F.col("n_removed")) >= min_tokens
+        ).select(
+            F.col("id").alias(id_col), F.col("text_dedup").alias(text_col)
+        )
+        (
+            accepted.withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(corpus_path)
+        )
+        (
+            corpus_span_grams(accepted, text_col, k)
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(idx_path)
+        )
+
+    return _sink

@@ -384,3 +384,77 @@ def test_quality_gate_sink_quarantines(spark, tmp_path, sf_dir):
     assert "known_type" in bad_rules
     if g is not None:
         assert set(g.columns) == set(stream.schema.fieldNames())
+
+
+def test_span_dedup_ingest_sink_rewrites_batches(spark, tmp_path):
+    """Streaming span-level ingestion: batch 2's doc sharing an 8-token
+    run with batch 1 lands REWRITTEN (run cut, novel remainder kept),
+    a fully-duplicated doc collapses below min_tokens and is dropped,
+    and a novel doc lands untouched."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandas_etl_spark.streaming import span_dedup_ingest_sink
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [1], "text": [f"a1 a2 {run} a3"]}),
+        str(src / "b1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [2, 3, 4],
+                "text": [
+                    f"n1 n2 {run} n3 n4",  # partial dup -> rewritten
+                    run,                   # full dup -> dropped
+                    "w1 w2 w3 w4 w5",      # novel -> untouched
+                ],
+            }
+        ),
+        str(src / "b2.parquet"),
+    )
+    now = 1_700_000_000
+    os.utime(src / "b1.parquet", (now - 100, now - 100))
+    os.utime(src / "b2.parquet", (now, now))
+
+    corpus = str(tmp_path / "corpus")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = span_dedup_ingest_sink(corpus, k=8, min_tokens=1)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(corpus).select("doc_id", "text").collect()
+    }
+    assert got == {
+        1: f"a1 a2 {run} a3",
+        2: "n1 n2 n3 n4",
+        4: "w1 w2 w3 w4 w5",
+    }
+    # replay safety: re-running batch 1's sink call overwrites its own
+    # partitions; content unchanged
+    b1 = spark.createDataFrame(
+        [(1, f"a1 a2 {run} a3")], "doc_id long, text string"
+    )
+    sink(b1, 0)
+    again = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(corpus).select("doc_id", "text").collect()
+    }
+    assert again == got

@@ -536,3 +536,62 @@ def test_cdc_apply_matches_sequential_reference(spark, data):
     )
     got = {int(r["k"]): r["v"] for r in got_df.collect()}
     assert got == state
+
+
+# ---------------------------------------------------------------------------
+# exact span dedup vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def _span_dedup_py(docs: list[tuple[int, str]], k: int):
+    """Direct Python reference of exact_span_dedup's semantics: global
+    first-holder ownership of every k-token window, coverage-union
+    removal in later docs."""
+    toks = {i: (t.split(" ") if t else []) for i, t in docs}
+    owner: dict[tuple, int] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - k + 1):
+            g = tuple(ts[p : p + k])
+            if g not in owner:
+                owner[g] = i
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        for p in range(len(ts) - k + 1):
+            if owner[tuple(ts[p : p + k])] < i:
+                covered.update(range(p, p + k))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        out[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(2, 4),
+)
+def test_exact_span_dedup_matches_python_reference(spark, data, k):
+    """Randomized tiny-vocab corpora (heavy window collisions by
+    construction) — Spark output must equal the direct Python
+    implementation on every doc, including overlap merges and
+    full-coverage collapses."""
+    from pandas_etl_spark.functions.text import exact_span_dedup
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(data)]
+    exp = _span_dedup_py(docs, k)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["text_dedup"])
+        for r in exact_span_dedup(df, "text", "doc_id", k=k).collect()
+    }
+    assert got == exp

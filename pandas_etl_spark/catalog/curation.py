@@ -1066,3 +1066,79 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(docs, "doc_id", "source", alpha=0.5).select(
         "doc_id", "source"
     )
+
+
+@query(
+    "decontaminate_spans",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, {_DD_BUCKET} AS bucket FROM documents
+    ),
+    ev AS (
+        SELECT string_split(text, ' ') AS t
+        FROM documents JOIN b USING (doc_id) WHERE bucket < {_EVAL_THR}
+    ),
+    ep AS (SELECT unnest(generate_series(0, len(t) - 8)) AS pos, t FROM ev),
+    eidx AS (
+        SELECT DISTINCT CAST('0x' || substring(
+            md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15) AS BIGINT) AS gh
+        FROM ep
+    ),
+    tok AS (
+        SELECT doc_id AS id, string_split(text, ' ') AS t
+        FROM documents JOIN b USING (doc_id) WHERE bucket >= {_EVAL_THR}
+    ),
+    p AS (SELECT id, unnest(generate_series(0, len(t) - 8)) AS pos, t
+          FROM tok),
+    w AS (SELECT id, pos,
+            CAST('0x' || substring(
+                md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15) AS BIGINT)
+                AS gh
+          FROM p),
+    dup AS (SELECT id, pos FROM w WHERE gh IN (SELECT gh FROM eidx)),
+    cov AS (SELECT DISTINCT id, idx FROM
+            (SELECT id, pos + unnest(generate_series(0, 7)) AS idx
+             FROM dup)),
+    tp AS (SELECT id, unnest(generate_series(0, len(t) - 1)) AS idx, t
+           FROM tok),
+    tpv AS (SELECT id, idx, t[idx+1] AS tokv FROM tp),
+    kept AS (SELECT tpv.id, tpv.idx, tpv.tokv FROM tpv LEFT JOIN cov
+             ON tpv.id = cov.id AND tpv.idx = cov.idx
+             WHERE cov.idx IS NULL),
+    kagg AS (SELECT id, string_agg(tokv, ' ' ORDER BY idx) AS text_dedup,
+                    count(*) AS n_kept FROM kept GROUP BY id)
+    SELECT tok.id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - coalesce(kagg.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(kagg.text_dedup, '') AS text_dedup
+    FROM tok LEFT JOIN kagg USING (id)
+    """,
+)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level benchmark decontamination — the surgical upgrade of
+    ``decontaminate``: instead of flagging a training doc that shares
+    5-grams with the eval split, CUT the verbatim eval text out of it
+    (rolling 8-token windows against the eval split's gram set,
+    coverage-union removal — functions/text.span_dedup_against with
+    the eval grams as the index and no in-batch ownership needed,
+    since eval grams dominate). Same deterministic 5% md5 eval split
+    as ``decontaminate``. The train doc keeps its novel remainder —
+    what frontier pipelines actually ship after a contamination hit.
+
+    Plan: eval-side (gh)-only distinct (tiny — 5% of the corpus);
+    train side pays one window explode + semi join; no corpus payload
+    shuffles."""
+    from pandas_etl_spark.functions.text import corpus_span_grams
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    b = _bucket("doc_id", _MODULUS)
+    ev = docs.filter(b < _EVAL_THR)
+    train = docs.filter(b >= _EVAL_THR)
+    # union the eval grams with nothing batch-side: in-batch ownership
+    # must NOT fire here (two train docs sharing a non-eval gram are
+    # fine), so classify each train doc independently against the index
+    ev_grams = corpus_span_grams(ev, "text", 8)
+    from pandas_etl_spark.functions.text import _span_rewrite, _span_windows
+
+    d, w = _span_windows(train, "text", "doc_id", 8)
+    hit = w.join(ev_grams, "gh", "left_semi").select("id", "pos")
+    return _span_rewrite(d, hit, 8)

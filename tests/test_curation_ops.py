@@ -451,3 +451,32 @@ def test_temperature_sample_flattens_mixture(spark):
     b = {r["doc_id"] for r in
          temperature_sample(df, "doc_id", "source", alpha=0.0).collect()}
     assert a == b
+
+
+def test_decontaminate_spans_cuts_only_eval_text(spark):
+    """Span decontamination cuts verbatim eval 8-token runs from train
+    docs but must NOT fire on train-train shared text (no in-batch
+    ownership — that's span dedup's job, not decontamination's)."""
+    from pandas_etl_spark.functions.text import (
+        _span_rewrite,
+        _span_windows,
+        corpus_span_grams,
+    )
+
+    leak = "e1 e2 e3 e4 e5 e6 e7 e8"
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    ev = spark.createDataFrame([(0, f"intro {leak} outro")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (10, f"t1 {leak} t2"),       # contaminated -> leak cut
+            (11, f"{shared} a1"),        # train-train shared: BOTH keep it
+            (12, f"b1 {shared}"),
+        ],
+        "doc_id long, text string",
+    )
+    d, w = _span_windows(train, "text", "doc_id", 8)
+    hit = w.join(corpus_span_grams(ev, "text", 8), "gh", "left_semi").select("id", "pos")
+    got = {r["id"]: r["text_dedup"] for r in _span_rewrite(d, hit, 8).collect()}
+    assert got[10] == "t1 t2"
+    assert got[11] == f"{shared} a1"
+    assert got[12] == f"b1 {shared}"

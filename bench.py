@@ -89,6 +89,7 @@ EXTENDED = [
     "release_corpus_manifest",
     "span_dedup_incremental",
     "temperature_sample",
+    "decontaminate_spans",
     # ann_recall_audit is deliberately NOT benched: it runs all four
     # ANN paths to measure recall, so its wall time is the sum of
     # already-benched queries, not a signal of its own

@@ -1142,3 +1142,36 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, w = _span_windows(train, "text", "doc_id", 8)
     hit = w.join(ev_grams, "gh", "left_semi").select("id", "pos")
     return _span_rewrite(d, hit, 8)
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (
+        SELECT user_id AS k, count(*) AS x FROM events GROUP BY user_id
+    ),
+    i AS (SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM c),
+    s AS (SELECT count(*) AS n, sum(x) AS tot,
+                 sum(CAST(i AS BIGINT) * x) AS six, max(x) AS mx
+          FROM i),
+    t AS (SELECT sum(x) AS top10 FROM
+          (SELECT x FROM c ORDER BY x DESC, k LIMIT 10))
+    SELECT CAST(n AS BIGINT)   AS n_keys,
+           CAST(tot AS BIGINT) AS n_rows,
+           round(CAST(mx AS DOUBLE) / tot, 6)    AS max_share,
+           round(CAST(top10 AS DOUBLE) / tot, 6) AS top10_share,
+           round(2.0 * six / (n * tot)
+                 - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+    FROM s, t
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over events.user_id
+    (operators/profile.key_skew_profile): distinct keys, hottest-key
+    and top-10 shares, and the EXACT Gini of per-key counts via the
+    distributed prefix-sum (no single-partition window) — the number
+    that decides plain-AQE vs salted join (SCALE.md crossover)."""
+    from pandas_etl_spark.operators.profile import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id")

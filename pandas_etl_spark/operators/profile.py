@@ -109,3 +109,54 @@ def fk_containment(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-distribution skew report — the diagnostic that decides
+    between a plain AQE join and explicit salting (SCALE.md crossover
+    study): distinct-key count, hottest-key share, top-10 share, and
+    the EXACT Gini coefficient of the per-key row counts, computed
+    distributed (no single-partition window) via the three-step global
+    prefix-sum of :mod:`operators.prefix`.
+
+    Gini = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over counts sorted ascending —
+    tie-order-invariant (equal x values contribute the same Σ i·xᵢ
+    under any tie permutation), so any total order (x, key) gives the
+    same value on any engine. Wide work: one count aggregate on the
+    key + one slim (x, key) range shuffle over |keys| rows; top-10 is
+    a distributed TakeOrdered."""
+    from pandas_etl_spark.operators.prefix import global_running_sum
+
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    idx = global_running_sum(
+        counts.withColumn("__one", F.lit(1)),
+        [F.col("x"), F.col("k")],
+        "__one",
+        "i",
+    )
+    stats = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("tot"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+        F.max("x").alias("mx"),
+    )
+    top10 = (
+        counts.orderBy(F.desc("x"), F.asc("k"))
+        .limit(10)
+        .agg(F.sum("x").alias("top10"))
+    )
+    return stats.crossJoin(F.broadcast(top10)).select(
+        F.col("n").cast("bigint").alias("n_keys"),
+        F.col("tot").cast("bigint").alias("n_rows"),
+        F.round(F.col("mx").cast("double") / F.col("tot"), 6).alias("max_share"),
+        F.round(F.col("top10").cast("double") / F.col("tot"), 6).alias(
+            "top10_share"
+        ),
+        F.round(
+            F.lit(2.0) * F.col("six") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + F.lit(1)).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -1471,3 +1471,22 @@ def test_span_dedup_incremental_lifecycle(spark, tmp_path):
     n_before = spark.read.parquet(idx_path + "/grams").count()
     append_span_index(acc2, idx_path, "text")
     assert spark.read.parquet(idx_path + "/grams").count() == n_before
+
+
+def test_key_skew_profile_exact_gini(spark):
+    """Gini endpoints: uniform counts -> 0; a planted 97%-hot key ->
+    2*394/(4*100) - 5/4 = 0.72 exactly; shares follow."""
+    from pandas_etl_spark.operators.profile import key_skew_profile
+
+    uniform = spark.createDataFrame(
+        [(k, i) for k in "abcd" for i in range(5)], "k string, i long"
+    )
+    r = key_skew_profile(uniform, "k").first()
+    assert (r["n_keys"], r["n_rows"], r["gini"]) == (4, 20, 0.0)
+
+    rows = [("a", i) for i in range(97)] + [("b", 0), ("c", 0), ("d", 0)]
+    skewed = spark.createDataFrame(rows, "k string, i long")
+    r = key_skew_profile(skewed, "k").first()
+    assert r["n_keys"] == 4 and r["n_rows"] == 100
+    assert r["max_share"] == 0.97 and r["top10_share"] == 1.0
+    assert abs(r["gini"] - 0.72) < 1e-9

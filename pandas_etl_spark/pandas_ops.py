@@ -790,6 +790,26 @@ class Table:
 
         return Table(_pr(self._df, src, dst, weight, iters, damping))
 
+    def temperature_sample(
+        self, key: str, strata_col: str, alpha: float = 0.5
+    ) -> "Table":
+        """mT5/XLM-R temperature mixture resampling
+        (operators/sampling.temperature_sample)."""
+        from pandas_etl_spark.operators.sampling import (
+            temperature_sample as _ts,
+        )
+
+        return Table(_ts(self._df, key, strata_col, alpha))
+
+    def key_skew_profile(self, key: str) -> "Table":
+        """Key-distribution skew report with exact distributed Gini
+        (operators/profile.key_skew_profile)."""
+        from pandas_etl_spark.operators.profile import (
+            key_skew_profile as _ksp,
+        )
+
+        return Table(_ksp(self._df, key))
+
 
 class ColumnGrouped:
     """pandas ``groupby(axis='columns')``: columns grouped by a mapping,

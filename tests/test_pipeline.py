@@ -678,3 +678,33 @@ def test_span_dedup_and_normalize_as_yaml_bound_methods(spark, sf_dir):
     norm = p.steps["norm"].output.df
     assert {"id", "text_norm", "changed"} <= set(norm.columns)
     assert norm.count() == span.count()
+
+
+def test_sampling_and_skew_as_yaml_bound_methods(spark, sf_dir):
+    """temperature_sample and key_skew_profile run as Table bound
+    methods in YAML pipelines — F14 generic dispatch."""
+    p = Pipeline(
+        yamlData=f"""
+        steps:
+        - name: docs
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/documents.parquet
+        - name: temp
+          function: ${{ steps['docs'].output.temperature_sample }}
+          args:
+            key: doc_id
+            strata_col: source
+            alpha: 0.5
+        - name: skew
+          function: ${{ steps['docs'].output.key_skew_profile }}
+          args:
+            key: source
+        """,
+        spark=spark,
+    )
+    p.run()
+    temp = p.steps["temp"].output.df
+    assert 0 < temp.count() <= spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    skew = p.steps["skew"].output.df.first()
+    assert skew["n_keys"] > 0 and 0.0 <= skew["gini"] <= 1.0

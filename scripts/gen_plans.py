@@ -49,6 +49,8 @@ NOTES = {
     "unicode_normalize": "NFC normalization: a single ArrowEvalPython map sandwiched between JVM regexp stages. The operator itself adds NO Exchange — the one visible below is ensure_parallelism's ingest repartition of the single-file test fixture; on a real multi-file source the plan is scan→map→project end to end.",
     "release_corpus_manifest": "Publish capstone in ONE lazy plan: Arrow NFC map feeds span-dedup's two data-sized shuffles (gram-hash ownership + per-doc start lists); release gates are row filters. Remaining Exchanges are the ingest repartition of the single-file fixture and the final aggregate's one-partial-row-per-task combine.",
     "span_dedup_incremental": "Incremental substring dedup: the corpus side is ONE (gh)-only distinct (8-byte rows); the batch joins it semi (index hits) and anti (fresh grams -> in-batch min(id) ownership) — no corpus payload ever moves, batch cost ∝ batch windows.",
+    "decontaminate_spans": "Span-level decontamination: eval-side (gh)-only distinct (5% split) feeds ONE left-semi join against the train windows; no in-batch ownership branch exists, so train-side text never shuffles beyond the window explode.",
+    "key_skew_profile": "Exact distributed Gini: per-key count aggregate, then the three-step prefix-sum (range repartition + per-partition window + broadcast offsets) over |keys| rows — no single-partition Window.orderBy anywhere; top-10 via TakeOrdered.",
 }
 
 

@@ -369,3 +369,31 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@query("ann_ivf_indexed")
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a WRITE-ONCE inverted-file index
+    (functions/similarity.build_ivf_index + ann_ivf_indexed): the
+    corpus is k-means-fit, assigned, and parquet-partitioned by cell
+    ONCE; the query batch's probe-cell union becomes a literal
+    partition filter so the scan skips unprobed cells at the file
+    level (PartitionFilters plan-asserted). Deterministic fit ⇒
+    bit-identical to ann_ivf_topk on the same corpus (tested).
+    Rows-only driver check (k-means is engine-specific)."""
+    import tempfile
+
+    from pandas_etl_spark.functions.similarity import (
+        ann_ivf_indexed,
+        build_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(emb, path, n_cells=16, kmeans_iters=2)
+    return ann_ivf_indexed(queries, path, k=_TOPK, nprobe=4).withColumnRenamed(
+        "rank", "rnk"
+    )

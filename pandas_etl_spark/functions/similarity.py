@@ -827,3 +827,109 @@ def label_centroid_outliers(
             (cos < F.lit(threshold)).alias("is_outlier"),
         )
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the IVF inverted file as a write-once index: the
+    corpus parquet-partitioned BY CELL under ``<path>/vectors`` plus
+    the fitted centroids at ``<path>/_centroids.json``. This is the
+    amortization ANN serving actually needs — :func:`ann_ivf_topk`
+    refits k-means and re-assigns the corpus on every call; here both
+    run ONCE, and every query batch afterwards reads only its probed
+    cells (true partition pruning, asserted in tests/test_plans.py).
+    Deterministic: same corpus → same centroids → same index."""
+    import json
+    import os
+
+    spark = emb.sparkSession
+    corpus = ensure_parallelism(emb)
+    centroids = _kmeans_centroids(corpus, n_cells, kmeans_iters, id_col, vec_col)
+    assigned = corpus.withColumn(
+        "cell", _nearest_centroid(F.col(vec_col), centroids)
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+    spark.createDataFrame(
+        [(json.dumps(centroids),)], "c string"
+    ).coalesce(1).write.mode("overwrite").text(
+        os.path.join(path, "_centroids.json")
+    )
+    return path
+
+
+def ann_ivf_indexed(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over a :func:`build_ivf_index` index. The union of the
+    query batch's probe cells is collected (queries are the SMALL side
+    of ANN serving by construction — bounded driver state) and becomes
+    a literal partition filter on the cell-partitioned vectors, so the
+    scan reads ≤ nprobe·|queries| of the n_cells partitions and skips
+    the rest at the FILE level — the read-cost shape that makes IVF
+    worth building at 100 TB. In-cell scoring and the salted two-stage
+    top-k are identical to :func:`ann_ivf_topk`, and with the same
+    corpus the results are bit-identical to it (deterministic fit)."""
+    import json
+    import os
+
+    spark = queries.sparkSession
+    centroids = json.loads(
+        spark.read.text(os.path.join(index_path, "_centroids.json")).first()[0]
+    )
+    if not centroids:
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, cosine_sim double, rank bigint",
+        )
+    dist_cells = F.array(
+        *[
+            F.struct(
+                _sqdist(F.col("query_vec"), c).alias("d"), F.lit(i).alias("c")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    qcells = queries.select(
+        "query_id",
+        "query_vec",
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(dist_cells), 1, nprobe),
+                lambda p: p.getField("c"),
+            )
+        ).alias("cell"),
+    )
+    probed = sorted(
+        {r["cell"] for r in qcells.select("cell").distinct().collect()}
+    )
+    vectors = spark.read.parquet(os.path.join(index_path, "vectors")).filter(
+        F.col("cell").isin(probed)
+    )
+    cand = (
+        vectors.join(F.broadcast(qcells), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine(F.col(vec_col), F.col("query_vec")), 6
+            ).alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return salted_topk(
+        cand, "query_id", [F.desc("cosine_sim"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "cosine_sim", "rank")

@@ -1490,3 +1490,39 @@ def test_key_skew_profile_exact_gini(spark):
     assert r["n_keys"] == 4 and r["n_rows"] == 100
     assert r["max_share"] == 0.97 and r["top10_share"] == 1.0
     assert abs(r["gini"] - 0.72) < 1e-9
+
+
+def test_ivf_index_matches_inline_ivf(spark, sf_dir, tmp_path):
+    """The persisted IVF index path is bit-identical to the inline
+    ann_ivf_topk on the same corpus (deterministic fit), and the
+    probed read carries a literal cell partition filter."""
+    from pandas_etl_spark.functions.similarity import (
+        ann_ivf_indexed,
+        ann_ivf_topk,
+        build_ivf_index,
+    )
+    from pandas_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_cells=8, kmeans_iters=2)
+    inline = sorted(
+        tuple(r)
+        for r in ann_ivf_topk(
+            emb, queries, k=5, n_cells=8, nprobe=3, kmeans_iters=2
+        ).collect()
+    )
+    indexed_df = ann_ivf_indexed(queries, path, k=5, nprobe=3)
+    indexed = sorted(tuple(r) for r in indexed_df.collect())
+    assert inline == indexed and len(indexed) > 0
+    plan = indexed_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0] and " IN " in pf[0]

@@ -851,9 +851,14 @@ def build_ivf_index(
     spark = emb.sparkSession
     corpus = ensure_parallelism(emb)
     centroids = _kmeans_centroids(corpus, n_cells, kmeans_iters, id_col, vec_col)
-    assigned = corpus.withColumn(
-        "cell", _nearest_centroid(F.col(vec_col), centroids)
-    )
+    if centroids:
+        cell = _nearest_centroid(F.col(vec_col), centroids)
+    else:
+        # empty corpus: no cells were fit — an F.array() of zero distance
+        # exprs is untyped and breaks analysis, so assign a literal cell;
+        # readers return early on the empty _centroids.json either way
+        cell = F.lit(0).cast("int")
+    assigned = corpus.withColumn("cell", cell)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "vectors")
     )

@@ -1700,3 +1700,84 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             (c, "customer", "c_nationkey", r, "region", "r_regionkey"),
         ]
     )
+
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+    WITH v1 AS (
+        SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey, o_custkey,
+               CAST(o_totalprice AS REAL) AS o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderstatus,
+               CAST(NULL AS TIMESTAMP) AS o_orderdate,
+               CAST(NULL AS VARCHAR) AS o_orderpriority,
+               0 AS snapshot_v
+        FROM v1
+        UNION ALL
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE),
+               CAST(NULL AS VARCHAR), o_orderdate, o_orderpriority, 1
+        FROM v2
+    )
+    SELECT snapshot_v, coalesce(o_orderstatus, '?') AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice) / 1000, 3) AS price_k,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(count(o_orderdate) AS BIGINT) AS n_dated,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+    FROM unioned
+    GROUP BY snapshot_v, status
+    """,
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift read (sources/evolution.read_parquet_evolved): two
+    parquet snapshots of orders written under DIFFERENT schemas — v1
+    has (int orderkey, float price, status), v2 widened both types,
+    dropped status, and added (orderdate, orderpriority) — read back
+    as ONE frame under the reconciled widest-common schema
+    (int+bigint→bigint, float+double→double, missing→typed null), then
+    aggregated per snapshot. Spark's own mergeSchema=true hard-fails
+    on exactly this drift (type change), which is why the operator
+    exists; the oracle rebuilds the union logically, so every widened
+    value and null-filled column is value-checked cross-engine. The
+    union is plan-level concat: per-snapshot scans keep their own
+    pushdown/pruning, no shuffle beyond the final aggregate."""
+    import os
+    import tempfile
+
+    from pandas_etl_spark.sources.evolution import read_parquet_evolved
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="schema_evolve_")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_custkey",
+        F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    )
+    p1, p2 = os.path.join(root, "v1"), os.path.join(root, "v2")
+    v1.write.mode("overwrite").parquet(p1)
+    v2.write.mode("overwrite").parquet(p2)
+    ev = read_parquet_evolved(spark, [p1, p2], version_col="snapshot_v")
+    return ev.groupBy(
+        "snapshot_v",
+        F.coalesce("o_orderstatus", F.lit("?")).alias("status"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice") / 1000, 3).alias("price_k"),
+        F.min("o_orderkey").alias("min_key"),
+        F.count("o_orderdate").alias("n_dated"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )

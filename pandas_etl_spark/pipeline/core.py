@@ -119,6 +119,13 @@ class Pipeline:
         def read_sql(**kw):
             return Table(_io.read_sql(self.spark, **_conn_kw(kw)))
 
+        def read_parquet_evolved(**kw):
+            from pandas_etl_spark.sources.evolution import (
+                read_parquet_evolved as _rpe,
+            )
+
+            return Table(_rpe(self.spark, **kw))
+
         def dataframe(data=None, columns=None, **kw):
             import pandas as pd
 
@@ -149,6 +156,7 @@ class Pipeline:
             (("read_orc",), read_orc),
             (("read_json",), read_json),
             (("read_sql",), read_sql),
+            (("read_parquet_evolved",), read_parquet_evolved),
             (("concat",), pandas_ops.concat),
             (("merge",), pandas_ops.merge),
             (("merge_ordered",), pandas_ops.merge_ordered),

@@ -708,3 +708,37 @@ def test_sampling_and_skew_as_yaml_bound_methods(spark, sf_dir):
     assert 0 < temp.count() <= spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     skew = p.steps["skew"].output.df.first()
     assert skew["n_keys"] > 0 and 0.0 <= skew["gini"] <= 1.0
+
+
+def test_schema_evolution_read_step_in_yaml(spark, sf_dir, tmp_path):
+    """A YAML pipeline can read drifted snapshots as one step
+    (read_parquet_evolved) and aggregate downstream."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    o.limit(8).selectExpr(
+        "CAST(o_orderkey AS INT) AS k", "CAST(o_totalprice AS FLOAT) AS p"
+    ).write.parquet(p1)
+    o.limit(4).selectExpr(
+        "o_orderkey AS k", "o_totalprice AS p", "o_orderpriority"
+    ).write.parquet(p2)
+    p = Pipeline(
+        yamlData=f"""
+        steps:
+        - name: load
+          function: read_parquet_evolved
+          args:
+            paths: [{p1}, {p2}]
+            version_col: v
+        - name: agg
+          function: ${{ steps['load'].output.groupby }}
+          args: [v]
+        - name: out
+          function: ${{ steps['agg'].output.size }}
+        """,
+        spark=spark,
+    )
+    p.run()
+    rows = {
+        r["v"]: r[-1] for r in p.steps["out"].output.df.collect()
+    }
+    assert rows == {0: 8, 1: 4}

@@ -338,3 +338,78 @@ def test_to_parquet_auto_sizes_from_estimate(spark, tmp_path):
     produced = len(glob.glob(many + "/part-*.parquet"))
     assert 1 < produced <= n2
     assert produced == 8
+
+
+# ---------------------------------------------------------------- evolution
+
+
+def test_widen_type_lattice():
+    from pyspark.sql import types as T
+
+    from pandas_etl_spark.sources.evolution import widen_type
+
+    assert isinstance(widen_type(T.IntegerType(), T.LongType()), T.LongType)
+    assert isinstance(widen_type(T.FloatType(), T.DoubleType()), T.DoubleType)
+    assert isinstance(widen_type(T.LongType(), T.FloatType()), T.DoubleType)
+    assert isinstance(widen_type(T.DateType(), T.TimestampType()), T.TimestampType)
+    assert widen_type(T.StringType(), T.LongType()) is None
+    assert isinstance(widen_type(T.StringType(), T.StringType()), T.StringType)
+
+
+def test_read_parquet_evolved_reconciles_drift(spark, sf_dir, tmp_path):
+    """int→bigint + float→double widening, added/dropped columns
+    null-filled with the right types, version tag per snapshot — and
+    the motivation: Spark's own mergeSchema HARD-FAILS on this drift."""
+    import pytest
+
+    from pandas_etl_spark.sources.evolution import read_parquet_evolved
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v1 = o.limit(10).select(
+        F.col("o_orderkey").cast("int").alias("k"),
+        F.col("o_totalprice").cast("float").alias("p"),
+        F.col("o_orderstatus").alias("s"),
+    )
+    v2 = o.limit(5).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    v1.write.parquet(p1)
+    v2.write.parquet(p2)
+
+    with pytest.raises(Exception, match="[Mm]erge|SCHEMA"):
+        spark.read.option("mergeSchema", "true").parquet(p1, p2).collect()
+
+    ev = read_parquet_evolved(spark, [p1, p2], version_col="v")
+    got = dict(ev.dtypes)
+    assert got == {
+        "k": "bigint",
+        "p": "double",
+        "s": "string",
+        "prio": "string",
+        "v": "int",
+    }
+    # first-seen column order: v1's columns lead, v2's addition follows
+    assert ev.columns == ["k", "p", "s", "prio", "v"]
+    assert ev.count() == 15
+    assert ev.filter((F.col("v") == 1) & F.col("s").isNull()).count() == 5
+    assert ev.filter((F.col("v") == 0) & F.col("prio").isNull()).count() == 10
+
+
+def test_read_parquet_evolved_conflict_modes(spark, tmp_path):
+    import pytest
+
+    from pandas_etl_spark.sources.evolution import read_parquet_evolved
+
+    a = spark.createDataFrame([(1, "x")], "k int, val string")
+    b = spark.createDataFrame([(2, 7)], "k int, val int")
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.parquet(pa)
+    b.write.parquet(pb)
+    with pytest.raises(TypeError, match="val.*non-widenable"):
+        read_parquet_evolved(spark, [pa, pb])
+    ev = read_parquet_evolved(spark, [pa, pb], on_conflict="string")
+    assert dict(ev.dtypes)["val"] == "string"
+    assert {r["val"] for r in ev.collect()} == {"x", "7"}

@@ -90,6 +90,7 @@ EXTENDED = [
     "span_dedup_incremental",
     "temperature_sample",
     "decontaminate_spans",
+    "active_users_hll_rollup",
     # ann_recall_audit is deliberately NOT benched: it runs all four
     # ANN paths to measure recall, so its wall time is the sum of
     # already-benched queries, not a signal of its own

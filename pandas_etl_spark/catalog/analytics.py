@@ -997,6 +997,36 @@ def q_active_users_trailing_24h_approx(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+@query("active_users_hll_rollup")
+def q_active_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users answered from a write-once DAILY sketch
+    rollup (operators/sketches): the events table is scanned once into
+    per-day DataSketches HLL sketches (hll_sketch_agg partial-merges
+    map-side — only KB-sized sketches shuffle, never (day, user)
+    pairs), then weeks union the day sketches with hll_union_agg and
+    estimate once. At 100 TB the rollup is the only pass over raw
+    data; month/quarter/all-time re-asks touch the few-KB-per-day
+    rollup only, and hll_append folds new days in without re-reading
+    history. Rows-only driver check (DataSketches estimates are
+    engine-specific); merge-invariance (day-merge ≡ direct weekly
+    sketch) and a 5% error bound vs exact distinct are pinned in
+    tests/test_operators.py."""
+    from pandas_etl_spark.operators.sketches import hll_estimate, hll_rollup
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    daily = hll_rollup(
+        ev.withColumn("day", F.date_trunc("day", F.col("ts"))),
+        key_col="user_id",
+        group_cols=["day"],
+    )
+    weekly = hll_estimate(
+        daily.withColumn("week", F.date_trunc("week", F.col("day"))),
+        group_cols=["week"],
+        out_col="active_users_est",
+    )
+    return weekly.orderBy("week")
+
+
 @query(
     "psi_value_drift",
     oracle="""

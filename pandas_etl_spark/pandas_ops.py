@@ -810,6 +810,26 @@ class Table:
 
         return Table(_ksp(self._df, key))
 
+    def hll_rollup(
+        self, key: str, by: list[str] | str, lg_k: int = 12
+    ) -> "Table":
+        """Reduce to a mergeable per-group HLL sketch rollup
+        (operators/sketches.hll_rollup) — the write-once pass that
+        makes later distinct-counts over any group union a KB-sized
+        merge instead of a raw re-scan."""
+        from pandas_etl_spark.operators.sketches import hll_rollup as _hr
+
+        by = [by] if isinstance(by, str) else list(by)
+        return Table(_hr(self._df, key, by, lg_k))
+
+    def hll_estimate(self, by: list[str] | str | None = None) -> "Table":
+        """Union-merge a sketch rollup to coarser groups and estimate
+        distinct keys (operators/sketches.hll_estimate)."""
+        from pandas_etl_spark.operators.sketches import hll_estimate as _he
+
+        by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+        return Table(_he(self._df, by))
+
 
 class ColumnGrouped:
     """pandas ``groupby(axis='columns')``: columns grouped by a mapping,

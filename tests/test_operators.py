@@ -1096,6 +1096,55 @@ def test_active_users_hll_within_error_of_exact(spark, sf_dir):
         assert abs(est[hr] - n) <= max(3, 0.06 * n), (hr, n, est[hr])
 
 
+def test_hll_rollup_merge_invariance_and_accuracy(spark, sf_dir):
+    """The mergeable-sketch contract: (a) union-merging daily sketches
+    to weeks gives the SAME estimate as sketching each week directly
+    (HLL registers are maxes — order/partition/grouping-invariant);
+    (b) estimates track exact distinct within ~3 rsd (lg_k=12 -> rsd
+    ~1.6%; allow 5%); (c) hll_append folding a replayed batch into the
+    rollup is a no-op on the estimate (union idempotence)."""
+    from pandas_etl_spark.operators.sketches import (
+        hll_append,
+        hll_estimate,
+        hll_rollup,
+    )
+    from pandas_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("week"),
+        "user_id",
+    )
+    daily = hll_rollup(ev, "user_id", ["day", "week"])
+    via_days = {
+        r["week"]: r["distinct_est"]
+        for r in hll_estimate(daily, ["week"]).collect()
+    }
+    direct = {
+        r["week"]: r["distinct_est"]
+        for r in hll_estimate(hll_rollup(ev, "user_id", ["week"]), ["week"]).collect()
+    }
+    assert via_days == direct  # (a) bit-level merge invariance
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy("week")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(via_days) == set(exact)
+    for wk, n in exact.items():  # (b) accuracy
+        assert abs(via_days[wk] - n) <= max(3, 0.05 * n), (wk, n, via_days[wk])
+    replayed = hll_append(daily, ev, "user_id", ["day", "week"])
+    again = {
+        r["week"]: r["distinct_est"]
+        for r in hll_estimate(replayed, ["week"]).collect()
+    }
+    assert again == via_days  # (c) idempotent under replay
+    grand = hll_estimate(daily, []).collect()[0]
+    exact_total = ev.select("user_id").distinct().count()
+    assert abs(grand["distinct_est"] - exact_total) <= max(3, 0.05 * exact_total)
+
+
 def test_cms_heavy_hitters_bounds(spark):
     """CMS estimates are one-sided: n <= n_est <= n + eps*N (w.p.
     confidence; deterministic here via fixed seed)."""

@@ -710,6 +710,37 @@ def test_sampling_and_skew_as_yaml_bound_methods(spark, sf_dir):
     assert skew["n_keys"] > 0 and 0.0 <= skew["gini"] <= 1.0
 
 
+def test_hll_rollup_as_yaml_bound_methods(spark, sf_dir):
+    """hll_rollup -> hll_estimate chain as Table bound methods in YAML
+    — the mergeable-sketch distinct-count pattern end-to-end."""
+    p = Pipeline(
+        yamlData=f"""
+        steps:
+        - name: events
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/events.parquet
+        - name: rollup
+          function: ${{ steps['events'].output.hll_rollup }}
+          args:
+            key: user_id
+            by: event_type
+        - name: total
+          function: ${{ steps['rollup'].output.hll_estimate }}
+        """,
+        spark=spark,
+    )
+    p.run()
+    rollup = p.steps["rollup"].output.df
+    assert {"event_type", "hll_sketch", "n_rows"} <= set(rollup.columns)
+    total = p.steps["total"].output.df.first()
+    exact = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert abs(total["distinct_est"] - exact) <= max(3, 0.05 * exact)
+
+
 def test_schema_evolution_read_step_in_yaml(spark, sf_dir, tmp_path):
     """A YAML pipeline can read drifted snapshots as one step
     (read_parquet_evolved) and aggregate downstream."""

@@ -1027,6 +1027,26 @@ def q_active_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly.orderBy("week")
 
 
+@query("audience_overlap_hll")
+def q_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types by
+    inclusion-exclusion over per-segment HLL sketches
+    (operators/sketches.hll_overlap): |A∩B| ≈ est(A)+est(B)−est(A∪B).
+    One raw scan builds |event_types| sketches; the pair grid then
+    self-joins KB-sized sketches only — at 100 TB the raw user
+    streams never pairwise-join, which an exact overlap would require
+    (one shuffle per segment pair). Rows-only driver check
+    (DataSketches estimates are engine-specific); accuracy vs exact
+    intersections is pinned in tests/test_operators.py, including the
+    documented caveat that the estimate carries the UNION's absolute
+    error."""
+    from pandas_etl_spark.operators.sketches import hll_overlap, hll_rollup
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    seg = hll_rollup(ev, key_col="user_id", group_cols=["event_type"])
+    return hll_overlap(seg, "event_type").orderBy("seg_a", "seg_b")
+
+
 @query(
     "psi_value_drift",
     oracle="""

@@ -76,6 +76,42 @@ def hll_estimate(
     )
 
 
+def hll_overlap(
+    rollup: DataFrame,
+    segment_col: str,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Pairwise audience overlap between segments from their sketches
+    alone, via inclusion-exclusion: |A∩B| ≈ est(A) + est(B) −
+    est(A∪B). HLL cannot intersect sketches directly, so the
+    intersection inherits the union's ABSOLUTE error — fine for "how
+    much do these audiences overlap" dashboards over large segments,
+    unreliable when the true overlap is far below rsd·|A∪B| (the
+    documented DataSketches caveat; tests pin the large-overlap
+    regime). Runs entirely on the rollup: a self-join over the
+    |segments|² pair grid of KB-sized sketches — no raw data."""
+    a = rollup.select(
+        F.col(segment_col).alias("seg_a"), F.col(sketch_col).alias("_sk_a")
+    )
+    b = rollup.select(
+        F.col(segment_col).alias("seg_b"), F.col(sketch_col).alias("_sk_b")
+    )
+    pairs = a.join(b, F.col("seg_a") < F.col("seg_b"))
+    est_a = F.hll_sketch_estimate(F.col("_sk_a"))
+    est_b = F.hll_sketch_estimate(F.col("_sk_b"))
+    est_u = F.hll_sketch_estimate(F.hll_union(F.col("_sk_a"), F.col("_sk_b")))
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        est_a.cast("bigint").alias("distinct_a"),
+        est_b.cast("bigint").alias("distinct_b"),
+        est_u.cast("bigint").alias("distinct_union"),
+        F.greatest(F.lit(0), (est_a + est_b - est_u).cast("bigint")).alias(
+            "overlap_est"
+        ),
+    )
+
+
 def hll_append(
     rollup: DataFrame,
     batch: DataFrame,

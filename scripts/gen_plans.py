@@ -51,6 +51,7 @@ NOTES = {
     "span_dedup_incremental": "Incremental substring dedup: the corpus side is ONE (gh)-only distinct (8-byte rows); the batch joins it semi (index hits) and anti (fresh grams -> in-batch min(id) ownership) — no corpus payload ever moves, batch cost ∝ batch windows.",
     "decontaminate_spans": "Span-level decontamination: eval-side (gh)-only distinct (5% split) feeds ONE left-semi join against the train windows; no in-batch ownership branch exists, so train-side text never shuffles beyond the window explode.",
     "key_skew_profile": "Exact distributed Gini: per-key count aggregate, then the three-step prefix-sum (range repartition + per-partition window + broadcast offsets) over |keys| rows — no single-partition Window.orderBy anywhere; top-10 via TakeOrdered.",
+    "active_users_hll_rollup": "Mergeable-sketch rollup: two ObjectHashAggregates (daily sketch, weekly union), each with a map-side partial — only KB-sized sketches cross either Exchange; (day,user) pairs never shuffle. The weekly union re-asks read the rollup only.",
 }
 
 

@@ -1145,6 +1145,37 @@ def test_hll_rollup_merge_invariance_and_accuracy(spark, sf_dir):
     assert abs(grand["distinct_est"] - exact_total) <= max(3, 0.05 * exact_total)
 
 
+def test_hll_overlap_inclusion_exclusion(spark, sf_dir):
+    """hll_overlap tracks the exact pairwise audience intersection
+    within the union's error budget (inclusion-exclusion: the overlap
+    estimate inherits ~3 rsd of |A∪B|, NOT of the overlap itself —
+    the documented caveat), and never goes negative."""
+    from pandas_etl_spark.operators.sketches import hll_overlap, hll_rollup
+    from pandas_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    got = {
+        (r["seg_a"], r["seg_b"]): r
+        for r in hll_overlap(hll_rollup(ev, "user_id", ["event_type"]),
+                             "event_type").collect()
+    }
+    users = {
+        r["event_type"]: set()
+        for r in ev.select("event_type").distinct().collect()
+    }
+    for r in ev.distinct().collect():
+        users[r["event_type"]].add(r["user_id"])
+    segs = sorted(users)
+    assert set(got) == {(a, b) for a in segs for b in segs if a < b}
+    for (a, b), r in got.items():
+        exact = len(users[a] & users[b])
+        union = len(users[a] | users[b])
+        assert r["overlap_est"] >= 0
+        assert abs(r["overlap_est"] - exact) <= max(3, 0.05 * union), (
+            a, b, exact, r["overlap_est"],
+        )
+
+
 def test_cms_heavy_hitters_bounds(spark):
     """CMS estimates are one-sided: n <= n_est <= n + eps*N (w.p.
     confidence; deterministic here via fixed seed)."""

@@ -442,6 +442,17 @@ def test_exact_span_dedup_no_token_shuffle(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_hll_rollup_sketches_only_shuffle(spark, sf_dir):
+    """The mergeable-sketch rollup plans as two ObjectHashAggregates
+    (daily sketch, weekly union), each split partial/merge so only
+    KB-sized sketch partials cross the Exchanges — never (day, user)
+    pairs — and no join or Python stage appears anywhere."""
+    plan = plan_of(spark, sf_dir, "active_users_hll_rollup")
+    assert plan.count("ObjectHashAggregate") >= 4  # 2 aggs x partial+merge
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_unicode_normalize_pure_map(spark, sf_dir):
     """normalize_text is a pure map: one Arrow-batched Python stage, no
     aggregation/join/window, and no Exchange beyond ensure_parallelism's

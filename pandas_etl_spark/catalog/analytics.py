@@ -772,6 +772,61 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "triangle_count_parts",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT count(*) AS t FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           round(CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) > 0
+                      THEN 3.0 * (SELECT t FROM tri)
+                           / (SELECT sum(d * (d - 1) / 2) FROM deg)
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    """,
+)
+def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census (operators/graph.triangle_stats) of the
+    co-purchase graph — parts are adjacent when some order contains
+    both. Triangle density / clustering coefficient is the standard
+    basket-affinity cohesion metric beside basket_rules' pairwise
+    lift. Edge construction fans out ≤ C(7,2) pairs per order (TPC-H
+    orders cap at 7 lineitems) in one l_orderkey shuffle; the census
+    itself runs the Suri-Vassilvitskii degree-ordered orientation, so
+    the wedge join's per-key fan-out is O(√E) no matter how hot a
+    bestseller part gets — the naive neighbor self-join the oracle
+    runs (fine at DuckDB's gate scale) is exactly what this plan
+    avoids at 100 TB. Full-oracle check: the count is
+    orientation-invariant, so both formulations agree exactly."""
+    from pandas_etl_spark.operators.graph import triangle_stats
+
+    li = (
+        ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v")
+    return triangle_stats(edges, "u", "v")
+
+
+@query(
     "anomaly_rolling_z",
     oracle="""
     WITH s AS (

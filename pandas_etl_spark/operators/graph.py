@@ -88,3 +88,81 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Exact triangle census of an undirected graph — one row of
+    (n_nodes, n_edges, n_triangles, n_wedges, clustering_coeff), the
+    global clustering coefficient being 3·T / wedges.
+
+    Scale shape is the standard degree-ordered orientation (the
+    MapReduce triangle algorithm of Suri & Vassilvitskii, WWW'11, as
+    run by GraphX/Giraph): after canonicalizing + dedup'ing edges (one
+    shuffle), each edge is directed from its LOWER-(degree, id) endpoint
+    to the higher. Every triangle then has exactly one apex with two
+    out-edges, and — crucially — max out-degree is O(√E) regardless of
+    how skewed the raw degree distribution is, so the wedge self-join
+    (keyed on the apex) has bounded per-key fan-out where a naive
+    neighbor join on a celebrity node would explode. Wedges close via
+    one equi-join back against the oriented edge set on the (y, z)
+    pair. Total: Σ out-deg² ≤ E^1.5 intermediate rows, three shuffles,
+    no driver state. The count is orientation-invariant, so a plain
+    u<v SQL formulation (the DuckDB oracle) matches exactly."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))  # drop self-loops
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id): x -> y iff (deg_x, x) < (deg_y, y)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    ordered = e.join(da, "a").join(db, "b")
+    fwd = F.struct("dega", "a") < F.struct("degb", "b")
+    oriented = ordered.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("y"),
+    )
+    w1 = oriented.select("x", F.col("y").alias("y1"))
+    w2 = oriented.select("x", F.col("y").alias("y2"))
+    wedges = w1.join(w2, "x").filter(F.col("y1") < F.col("y2"))
+    # a wedge (x; y1, y2) closes iff {y1, y2} is an edge. y1 < y2 holds
+    # by construction and the canonical set has a < b, so membership is
+    # a pure equi-join on the pair (hash join, no theta condition).
+    closing = e.select(F.col("a").alias("y1"), F.col("b").alias("y2"))
+    tri = wedges.join(closing, ["y1", "y2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    counts = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce((F.sum("deg") / 2).cast("bigint"), F.lit(0)).alias(
+            "n_edges"
+        ),
+        F.coalesce(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint"),
+            F.lit(0),
+        ).alias("n_wedges"),
+    )
+    return counts.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        "n_wedges",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coeff"),
+    )

@@ -52,6 +52,7 @@ NOTES = {
     "decontaminate_spans": "Span-level decontamination: eval-side (gh)-only distinct (5% split) feeds ONE left-semi join against the train windows; no in-batch ownership branch exists, so train-side text never shuffles beyond the window explode.",
     "key_skew_profile": "Exact distributed Gini: per-key count aggregate, then the three-step prefix-sum (range repartition + per-partition window + broadcast offsets) over |keys| rows — no single-partition Window.orderBy anywhere; top-10 via TakeOrdered.",
     "active_users_hll_rollup": "Mergeable-sketch rollup: two ObjectHashAggregates (daily sketch, weekly union), each with a map-side partial — only KB-sized sketches cross either Exchange; (day,user) pairs never shuffle. The weekly union re-asks read the rollup only.",
+    "triangle_count_parts": "Degree-ordered triangle census (Suri-Vassilvitskii): per-order pair fan-out bounded at C(7,2); orientation caps the wedge join's per-key fan-out at O(sqrt E); the closure check is a pure equi semi-join on the (y1,y2) pair — every join in the plan is hash/sort-merge, no BNLJ, no cartesian.",
 }
 
 

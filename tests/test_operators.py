@@ -1096,6 +1096,31 @@ def test_active_users_hll_within_error_of_exact(spark, sf_dir):
         assert abs(est[hr] - n) <= max(3, 0.06 * n), (hr, n, est[hr])
 
 
+def test_triangle_stats_known_graphs(spark):
+    """Triangle census on hand-built graphs: K4 (4 triangles, cc=1),
+    a 4-path (0 triangles), and robustness to duplicate edges,
+    reversed duplicates, and self-loops (all must collapse away)."""
+    from pandas_etl_spark.operators.graph import triangle_stats
+
+    def stats(pairs):
+        df = spark.createDataFrame(pairs, "u long, v long")
+        return triangle_stats(df).collect()[0]
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    r = stats(k4)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["n_wedges"] == 12 and r["clustering_coeff"] == 1.0
+
+    path = [(1, 2), (2, 3), (3, 4)]
+    r = stats(path)
+    assert (r["n_edges"], r["n_triangles"]) == (3, 0)
+    assert r["n_wedges"] == 2 and r["clustering_coeff"] == 0.0
+
+    messy = [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 3)]
+    r = stats(messy)  # one triangle; dup/reversed/self edges collapse
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (3, 3, 1)
+
+
 def test_hll_rollup_merge_invariance_and_accuracy(spark, sf_dir):
     """The mergeable-sketch contract: (a) union-merging daily sketches
     to weeks gives the SAME estimate as sketching each week directly

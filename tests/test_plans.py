@@ -453,6 +453,23 @@ def test_hll_rollup_sketches_only_shuffle(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_triangle_census_all_equi_joins(spark, sf_dir):
+    """The degree-ordered triangle census must plan every join as a
+    hash/sort-merge equi-join: the closure check is an equi semi-join
+    on the (y1,y2) pair, so no BroadcastNestedLoopJoin or
+    CartesianProduct may appear anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, "triangle_count_parts")
+    assert "CartesianProduct" not in plan
+    # the only sanctioned BNLJ is the 1-row x 1-row Cross stats combine
+    # (counts x triangle total); every data-sized join must be equi
+    bnlj = [
+        l for l in plan.splitlines()
+        if "- BroadcastNestedLoopJoin" in l  # tree lines carry the type
+    ]
+    assert bnlj and all("Cross" in l for l in bnlj), bnlj
+    assert "LeftSemi" in plan  # the wedge-closure membership join
+
+
 def test_unicode_normalize_pure_map(spark, sf_dir):
     """normalize_text is a pure map: one Arrow-batched Python stage, no
     aggregation/join/window, and no Exchange beyond ensure_parallelism's

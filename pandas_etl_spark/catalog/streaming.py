@@ -812,6 +812,85 @@ def q_stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_hll_ingest")
+def q_stream_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the mergeable HLL distinct-count
+    rollup (streaming.hll_ingest_sink): events arrive in two
+    micro-batches (first/second half of the month), each sketched at
+    O(batch) and union-merged into a versioned per-day rollup. The
+    1-row summary embeds the incremental ≡ one-shot proof — because
+    sketch union is order/partition/batch-boundary-invariant, the
+    streamed rollup's per-day AND grand-total estimates must equal a
+    cold batch hll_rollup over all events EXACTLY (verified=true), not
+    just approximately. Rows-only driver check (summary row);
+    replay-skip is covered in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from pandas_etl_spark.operators.sketches import hll_estimate, hll_rollup
+    from pandas_etl_spark.streaming import (
+        hll_ingest_sink,
+        read_snapshot_version,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_hll_")
+    src = os.path.join(tmp, "src")
+    rollup_path = os.path.join(tmp, "rollup")
+    cut = F.dayofmonth(F.col("day")) <= 15
+    ev.filter(cut).coalesce(1).write.parquet(os.path.join(src, "b0"))
+    ev.filter(~cut).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    now = 1_700_000_000
+    for sub, t in (("b0", now - 100), ("b1", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(hll_ingest_sink(rollup_path, "user_id", ["day"]))
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        streamed = read_snapshot_version(spark, rollup_path).drop("__batch")
+    except FileNotFoundError:  # empty source: nothing landed
+        return spark.createDataFrame(
+            [(0, 0, 0, True)],
+            "n_days long, est_streamed long, est_batch long, verified boolean",
+        )
+    cold = hll_rollup(ev, "user_id", ["day"])
+    s_daily = {
+        r["day"]: r["distinct_est"]
+        for r in hll_estimate(streamed, ["day"]).collect()
+    }
+    c_daily = {
+        r["day"]: r["distinct_est"]
+        for r in hll_estimate(cold, ["day"]).collect()
+    }
+    # estimate over zero sketches is null (empty-source batch landed)
+    s_total = hll_estimate(streamed, []).first()["distinct_est"] or 0
+    c_total = hll_estimate(cold, []).first()["distinct_est"] or 0
+    verified = s_daily == c_daily and s_total == c_total
+    return spark.createDataFrame(
+        [(len(s_daily), int(s_total), int(c_total), bool(verified))],
+        "n_days long, est_streamed long, est_batch long, verified boolean",
+    )
+
+
 @query("stream_span_ingest")
 def q_stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming SPAN-level ingestion (rows-only: the

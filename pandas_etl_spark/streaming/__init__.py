@@ -270,6 +270,62 @@ def cdc_apply_sink(
     return sink
 
 
+def hll_ingest_sink(
+    rollup_path: str,
+    key_col: str,
+    group_cols: list[str],
+    lg_k: int = 12,
+):
+    """foreachBatch sink maintaining a persistent mergeable HLL sketch
+    rollup (operators/sketches): each micro-batch is sketched at
+    O(batch) and union-merged into the rollup-so-far, written as the
+    next immutable ``v{n}`` version directory (same transactional-swap
+    convention as :func:`cdc_apply_sink`; vacuum with
+    ``vacuum_snapshot_versions``). Distinct-count estimates over the
+    rollup are REPLAY-PROOF twice over: a re-delivered batch_id is
+    skipped outright via the stored ``__batch`` high-water mark, and
+    even a re-ingested copy of old data cannot inflate estimates
+    because sketch union is idempotent over duplicate keys (only the
+    bookkeeping ``n_rows`` would grow). The rollup stays KB-per-group
+    forever, so per-batch cost never depends on history size."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.operators.sketches import hll_append, hll_rollup
+
+    def _latest(spark):
+        if not os.path.isdir(rollup_path):
+            return -1, None
+        vs = sorted(
+            int(d[1:]) for d in os.listdir(rollup_path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        if not vs:
+            return -1, None
+        return vs[-1], spark.read.parquet(
+            os.path.join(rollup_path, f"v{vs[-1]}")
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ver, prev = _latest(spark)
+        if prev is not None:
+            applied = prev.agg(F.max("__batch")).first()[0]
+            if applied is not None and applied >= batch_id:
+                return  # checkpoint replay — already folded in
+            merged = hll_append(
+                prev.drop("__batch"), batch_df, key_col, group_cols, lg_k
+            )
+        else:
+            merged = hll_rollup(batch_df, key_col, group_cols, lg_k)
+        merged.withColumn("__batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(rollup_path, f"v{ver + 1}"))
+
+    return sink
+
+
 def read_snapshot_version(spark, snapshot_path: str, version: int | None = None):
     """Time-travel read over the ``v{n}`` versioned-snapshot convention
     that :func:`cdc_apply_sink` writes: latest version by default, or a

@@ -458,3 +458,42 @@ def test_span_dedup_ingest_sink_rewrites_batches(spark, tmp_path):
         for r in spark.read.parquet(corpus).select("doc_id", "text").collect()
     }
     assert again == got
+
+
+def test_hll_ingest_sink_incremental_and_replay_safe(spark, tmp_path):
+    """The HLL rollup sink folds batches incrementally (versioned
+    snapshots), skips checkpoint replays by batch high-water mark,
+    and — union idempotence — re-ingested old data under a NEW batch
+    id cannot inflate the estimate."""
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.operators.sketches import hll_estimate
+    from pandas_etl_spark.streaming import hll_ingest_sink, read_snapshot_version
+
+    path = str(tmp_path / "rollup")
+    sink = hll_ingest_sink(path, "uid", ["grp"])
+    b0 = spark.createDataFrame(
+        [("a", i) for i in range(50)], "grp string, uid long"
+    )
+    b1 = spark.createDataFrame(
+        [("a", i) for i in range(40, 90)] + [("b", 1)],
+        "grp string, uid long",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def ests():
+        r = read_snapshot_version(spark, path).drop("__batch")
+        return {
+            x["grp"]: x["distinct_est"]
+            for x in hll_estimate(r, ["grp"]).collect()
+        }
+
+    got = ests()
+    assert got["b"] == 1 and abs(got["a"] - 90) <= max(3, 0.05 * 90)
+
+    sink(b1, 1)  # checkpoint replay: same batch id -> skipped outright
+    assert ests() == got
+
+    sink(b0, 2)  # re-ingest of already-seen keys under a new batch id
+    assert ests() == got  # union idempotence: estimates unchanged

@@ -103,9 +103,11 @@ _PRIORITY = [
 # corpus_shuffle_shards, bootstrap_ci_mean_price, curriculum_order,
 # table_manifest_checksum, fk_discovery, scd2_point_in_time,
 # attribution_linear; the second-continuation block: exact_span_dedup,
-# unicode_normalize, release_corpus_manifest; plus rows-only
+# unicode_normalize, release_corpus_manifest; the third-continuation
+# block: triangle_count_parts (full oracle); plus rows-only
 # ann_pq_topk / segment_neardup / stream_manifest_ingest /
-# ann_recall_audit)
+# ann_recall_audit / active_users_hll_rollup / audience_overlap_hll /
+# stream_hll_ingest)
 # plus the older misc/analytics tail (winnow/pmi/udtf, profile/
 # describe/rank_methods, salted_*, embedding_centroids/outliers,
 # funnel/ab_test, …). Swap them into the 35 rotating slots next round;

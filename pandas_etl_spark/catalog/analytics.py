@@ -827,6 +827,71 @@ def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "triangle_top_parts",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ),
+    tris AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per_node AS (
+        SELECT node, count(*) AS t FROM (
+            SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        ) GROUP BY node
+    )
+    SELECT node AS part, CAST(d AS BIGINT) AS degree,
+           CAST(t AS BIGINT) AS n_triangles,
+           round(t / (d * (d - 1) / 2.0), 6) AS local_cc
+    FROM per_node JOIN deg USING (node)
+    ORDER BY n_triangles DESC, part LIMIT 15
+    """,
+)
+def q_triangle_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 parts by triangle membership with LOCAL clustering
+    coefficient (operators/graph.node_triangle_counts) — which
+    products sit inside the densest co-purchase cliques, per-node
+    where triangle_count_parts is global. Same degree-ordered census;
+    each closed wedge explodes to its three member nodes and
+    aggregates per node (map-side combinable), then TakeOrdered pulls
+    the top-15 — no global sort. (n_triangles DESC, part ASC) is a
+    total order, so the cross-engine top-k is deterministic. The
+    node-level counts are orientation-invariant, so the naive SQL
+    formulation hash-matches exactly."""
+    from pandas_etl_spark.operators.graph import node_triangle_counts
+
+    li = (
+        ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v")
+    per = node_triangle_counts(edges, "u", "v")
+    return (
+        per.filter(F.col("n_triangles") > 0)
+        .select(
+            F.col("node").alias("part"), "degree", "n_triangles", "local_cc"
+        )
+        .orderBy(F.col("n_triangles").desc(), F.col("part"))
+        .limit(15)
+    )
+
+
+@query(
     "anomaly_rolling_z",
     oracle="""
     WITH s AS (

@@ -90,6 +90,80 @@ def pagerank(
     return ranks
 
 
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set normalized to (a < b), self-loops dropped,
+    duplicates (either direction) collapsed — one shuffle."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _closed_wedges(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """All triangles, one row each, as (x, y1, y2) with x the apex of
+    the degree-ordered orientation and y1 < y2 — the shared core of
+    :func:`triangle_stats` / :func:`node_triangle_counts`."""
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    ordered = e.join(da, "a").join(db, "b")
+    fwd = F.struct("dega", "a") < F.struct("degb", "b")
+    oriented = ordered.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("y"),
+    )
+    w1 = oriented.select("x", F.col("y").alias("y1"))
+    w2 = oriented.select("x", F.col("y").alias("y2"))
+    wedges = w1.join(w2, "x").filter(F.col("y1") < F.col("y2"))
+    closing = e.select(F.col("a").alias("y1"), F.col("b").alias("y2"))
+    return wedges.join(closing, ["y1", "y2"], "left_semi")
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def node_triangle_counts(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Per-node triangle membership and LOCAL clustering coefficient
+    (n_triangles / C(deg, 2)) — the node-level refinement of
+    :func:`triangle_stats`, same degree-ordered core: each closed
+    wedge (x, y1, y2) explodes to its three member nodes and
+    aggregates per node (map-side combinable). Nodes on no triangle
+    keep a 0 row (left join against the degree table), so the result
+    covers every vertex."""
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    members = _closed_wedges(e, deg).select(
+        F.explode(F.array("x", "y1", "y2")).alias("node")
+    )
+    per_node = members.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("deg").cast("bigint").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("deg") > 1,
+                F.coalesce("n_triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1) / 2.0),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("local_cc"),
+    )
+
+
 def triangle_stats(
     edges: DataFrame, src: str = "u", dst: str = "v"
 ) -> DataFrame:
@@ -110,39 +184,9 @@ def triangle_stats(
     pair. Total: Σ out-deg² ≤ E^1.5 intermediate rows, three shuffles,
     no driver state. The count is orientation-invariant, so a plain
     u<v SQL formulation (the DuckDB oracle) matches exactly."""
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))  # drop self-loops
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    # orient by (deg, id): x -> y iff (deg_x, x) < (deg_y, y)
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
-    ordered = e.join(da, "a").join(db, "b")
-    fwd = F.struct("dega", "a") < F.struct("degb", "b")
-    oriented = ordered.select(
-        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("x"),
-        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("y"),
-    )
-    w1 = oriented.select("x", F.col("y").alias("y1"))
-    w2 = oriented.select("x", F.col("y").alias("y2"))
-    wedges = w1.join(w2, "x").filter(F.col("y1") < F.col("y2"))
-    # a wedge (x; y1, y2) closes iff {y1, y2} is an edge. y1 < y2 holds
-    # by construction and the canonical set has a < b, so membership is
-    # a pure equi-join on the pair (hash join, no theta condition).
-    closing = e.select(F.col("a").alias("y1"), F.col("b").alias("y2"))
-    tri = wedges.join(closing, ["y1", "y2"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    tri = _closed_wedges(e, deg).agg(F.count(F.lit(1)).alias("n_triangles"))
     counts = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.coalesce((F.sum("deg") / 2).cast("bigint"), F.lit(0)).alias(

@@ -1121,6 +1121,33 @@ def test_triangle_stats_known_graphs(spark):
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (3, 3, 1)
 
 
+def test_node_triangle_counts_local_cc(spark):
+    """Per-node census: K4 gives every node 3 triangles and local_cc
+    1.0; a K3 with a pendant vertex gives the pendant 0 triangles and
+    0 local_cc while its attachment point's cc drops to 1/3."""
+    from pandas_etl_spark.operators.graph import node_triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["local_cc"])
+        for r in node_triangle_counts(
+            spark.createDataFrame(k4, "u long, v long")
+        ).collect()
+    }
+    assert got == {n: (3, 3, 1.0) for n in range(1, 5)}
+
+    pendant = [(1, 2), (2, 3), (1, 3), (3, 4)]  # K3 + pendant node 4
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["local_cc"])
+        for r in node_triangle_counts(
+            spark.createDataFrame(pendant, "u long, v long")
+        ).collect()
+    }
+    assert got[4] == (1, 0, 0.0)  # pendant: no wedge, defined as 0
+    assert got[1] == (2, 1, 1.0) and got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(1 / 3, 6))
+
+
 def test_hll_rollup_merge_invariance_and_accuracy(spark, sf_dir):
     """The mergeable-sketch contract: (a) union-merging daily sketches
     to weeks gives the SAME estimate as sketching each week directly

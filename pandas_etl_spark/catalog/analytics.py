@@ -891,6 +891,78 @@ def q_triangle_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_ITER_SQL = """
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT s.node, l.label, count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY s.node
+                       ORDER BY count(*) DESC, l.label
+                   ) AS rn
+            FROM sym s JOIN l{p} l ON l.node = s.nbr
+            GROUP BY s.node, l.label
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "community_parts_lpa",
+    oracle=(
+        """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT u, v FROM pairs WHERE n >= 2),
+    sym AS (
+        SELECT u AS node, v AS nbr FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ),
+    l0 AS (SELECT DISTINCT node, node AS label FROM sym),"""
+        + _LPA_ITER_SQL.format(i=1, p=0) + ","
+        + _LPA_ITER_SQL.format(i=2, p=1) + ","
+        + _LPA_ITER_SQL.format(i=3, p=2)
+        + "\nSELECT node AS part, label AS community FROM l3"
+    ),
+)
+def q_community_parts_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the REPEAT-co-purchase graph (edges =
+    part pairs bought together in ≥2 orders — the support threshold
+    that turns the dense co-order graph sparse) via deterministic
+    label propagation (operators/graph.label_propagation, 3 sync
+    rounds, most-frequent-neighbor-label update, smallest-label tie
+    break). Determinism makes this an iterative graph algorithm with a
+    FULL cross-engine oracle: the SQL unrolls the same three rounds
+    with an identical (count DESC, label ASC) argmax, so every (part,
+    community) row hash-matches. Per round: edge⋈label join + a
+    map-side-combinable (node,label) count + per-node max_by — the
+    Pregel cadence, lineage cut by localCheckpoint."""
+    from pandas_etl_spark.operators.graph import label_propagation
+
+    li = (
+        ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    lp = label_propagation(edges, "u", "v", iters=3)
+    return lp.select(
+        F.col("node").alias("part"), F.col("label").alias("community")
+    )
+
+
 @query(
     "anomaly_rolling_z",
     oracle="""

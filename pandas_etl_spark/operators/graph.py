@@ -164,6 +164,54 @@ def node_triangle_counts(
     )
 
 
+def label_propagation(
+    edges: DataFrame, src: str = "u", dst: str = "v", iters: int = 3
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the GraphX ``LabelPropagation`` formulation) over an
+    undirected edge set — returns (node, label) after ``iters`` rounds.
+    Every node starts labeled with its own id; each round it adopts the
+    most frequent label among its NEIGHBORS, ties broken by the
+    smallest label — a deterministic total order, so (unlike the
+    random-tie textbook variant) the result is reproducible and a SQL
+    engine unrolling the same update matches bit-for-bit.
+
+    Scale shape: one round = join the symmetrized edge list against the
+    current labels (both keyed on the neighbor node), count
+    (node, label) pairs (map-side combinable), then a per-node argmax
+    via max_by over the tiny (node, label, cnt) frame — two shuffles
+    per round, the same cadence GraphX/Pregel pays, with
+    ``localCheckpoint`` truncating lineage so the plan stays flat in
+    ``iters``. Isolated nodes cannot occur (nodes are edge-derived);
+    dense graphs collapse to few communities quickly, which is LPA's
+    documented behavior, not a bug."""
+    e = _canonical_edges(edges, src, dst)
+    sym = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint()
+    )
+    labels = sym.select("node").distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(iters):
+        nbr_labels = sym.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        # most frequent neighbor label, smallest label on ties:
+        # max over (cnt, -label) lexicographic
+        labels = (
+            nbr_labels.groupBy("node")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), -F.col("label"))
+                ).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
 def triangle_stats(
     edges: DataFrame, src: str = "u", dst: str = "v"
 ) -> DataFrame:

@@ -1148,6 +1148,24 @@ def test_node_triangle_counts_local_cc(spark):
     assert got[3] == (3, 1, round(1 / 3, 6))
 
 
+def test_label_propagation_two_triangles(spark):
+    """Deterministic LPA on two K3s joined by a bridge (3-4): after 3
+    synchronous min-tie-break rounds the left triangle converges to
+    label 1 and the right to label 3 (hand-traced), and the update is
+    robust to duplicate/reversed input edges."""
+    from pandas_etl_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+             (2, 1), (3, 1)]  # dups/reversed collapse
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            spark.createDataFrame(edges, "u long, v long"), iters=3
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
 def test_hll_rollup_merge_invariance_and_accuracy(spark, sf_dir):
     """The mergeable-sketch contract: (a) union-merging daily sketches
     to weeks gives the SAME estimate as sketching each week directly

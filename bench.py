@@ -92,6 +92,9 @@ EXTENDED = [
     "decontaminate_spans",
     "active_users_hll_rollup",
     "triangle_count_parts",
+    "community_parts_lpa",
+    "related_parts_adamic_adar",
+    "k_core_parts",
     # ann_recall_audit is deliberately NOT benched: it runs all four
     # ANN paths to measure recall, so its wall time is the sum of
     # already-benched queries, not a signal of its own

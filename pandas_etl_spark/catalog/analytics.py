@@ -964,6 +964,122 @@ def q_community_parts_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "related_parts_adamic_adar",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT u, v FROM pairs WHERE n >= 2),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ),
+    sym AS (
+        SELECT u AS z, v AS nbr FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ),
+    adj AS (SELECT z, nbr, 1.0 / ln(d) AS w FROM sym JOIN deg ON node = z),
+    wedge AS (
+        SELECT p1.nbr AS n1, p2.nbr AS n2, p1.w
+        FROM adj p1 JOIN adj p2 ON p1.z = p2.z AND p1.nbr < p2.nbr
+    ),
+    cand AS (
+        SELECT w.n1, w.n2, w.w FROM wedge w
+        LEFT JOIN edges e ON e.u = w.n1 AND e.v = w.n2
+        WHERE e.u IS NULL
+    )
+    SELECT n1 AS part_a, n2 AS part_b,
+           CAST(count(*) AS BIGINT) AS common_neighbors,
+           round(sum(w), 6) AS score
+    FROM cand GROUP BY n1, n2
+    ORDER BY round(sum(w), 6) DESC, n1, n2 LIMIT 20
+    """,
+)
+def q_related_parts_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-products link prediction (operators/graph.adamic_adar):
+    score NON-adjacent part pairs of the repeat-co-purchase graph by
+    Σ 1/ln(deg z) over their common neighbors z — the classic
+    \"customers who bought these also bought\" signal, discounting
+    promiscuous hub neighbors. Top-20 under the
+    (score DESC, part_a, part_b) total order. Wedges enumerate through
+    the common neighbor (no orientation trick applies — every wedge
+    through z is needed), so hub centers are the quadratic risk; the
+    operator's max_degree cap is the standard mitigation, unneeded at
+    the support≥2 graph's degree profile. Full oracle: identical
+    wedge/anti-join/sum construction in SQL, scores rounded to 6
+    (above double-sum ulp drift at these term counts)."""
+    from pandas_etl_spark.operators.graph import adamic_adar
+
+    li = (
+        ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    aa = adamic_adar(edges, "u", "v")
+    return (
+        aa.select(
+            F.col("n1").alias("part_a"),
+            F.col("n2").alias("part_b"),
+            "common_neighbors",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query("k_core_parts")
+def q_k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal 3-core of the repeat-co-purchase graph
+    (operators/graph.k_core): the densely-connected product backbone
+    after iteratively peeling every part with fewer than 3 surviving
+    repeat-partners. Rows-only driver check — the peel-until-fixpoint
+    iteration count is data-dependent, so no fixed SQL unrolling is
+    faithful; correctness (every survivor has ≥k in-core neighbors,
+    maximality, deletion-order independence) is pinned on known graphs
+    in tests/test_operators.py. Each round costs one degree aggregate
+    + two anti-joins against the shrinking weak set, lineage cut per
+    round — the bounded-iteration CC pattern."""
+    from pandas_etl_spark.operators.graph import k_core
+
+    li = (
+        ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    return (
+        k_core(edges, k=3, src="u", dst="v")
+        .select(F.col("node").alias("part"), "core_deg")
+        .orderBy("part")
+    )
+
+
+@query(
     "anomaly_rolling_z",
     oracle="""
     WITH s AS (

@@ -212,6 +212,90 @@ def label_propagation(
     return labels
 
 
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected graph: for every
+    NON-adjacent node pair with ≥1 common neighbor, score
+    Σ_z∈N(u)∩N(v) 1/ln(deg z) — the classic related-items signal
+    (common neighbors, discounted by how promiscuous each shared
+    neighbor is). Returns (n1, n2, common_neighbors, score).
+
+    Scale shape: wedges enumerate through the COMMON neighbor z, so
+    fan-out is Σ deg(z)² and a hub node is quadratic — unlike the
+    triangle census there is no orientation trick, because every wedge
+    through z is needed. The standard mitigation is built in:
+    ``max_degree`` drops hub nodes as wedge CENTERS before the
+    self-join (their per-wedge contribution 1/ln(deg) is the smallest
+    anyway, and real deployments cap exactly this way); adjacency
+    checks and degree lookups are equi-joins throughout. Deterministic
+    modulo float-sum order; callers should round scores for
+    cross-engine comparison (catalog rounds to 6, above double-sum ulp
+    drift at these term counts)."""
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    sym = e.select(F.col("a").alias("z"), F.col("b").alias("nbr")).unionAll(
+        e.select(F.col("b").alias("z"), F.col("a").alias("nbr"))
+    )
+    centers = deg.withColumnRenamed("node", "z")
+    if max_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_degree)
+    adj = sym.join(centers, "z").withColumn(
+        "w", 1.0 / F.log(F.col("deg").cast("double"))
+    )
+    p1 = adj.select("z", "w", F.col("nbr").alias("n1"))
+    p2 = adj.select("z", F.col("nbr").alias("n2"))
+    wedges = p1.join(p2, "z").filter(F.col("n1") < F.col("n2"))
+    existing = e.select(F.col("a").alias("n1"), F.col("b").alias("n2"))
+    return (
+        wedges.join(existing, ["n1", "n2"], "left_anti")
+        .groupBy("n1", "n2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum("w").alias("score"),
+        )
+    )
+
+
+def k_core(
+    edges: DataFrame, k: int, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Maximal k-core: the largest subgraph where every node has ≥ k
+    neighbors WITHIN the subgraph. Returns (node, core_deg), the
+    surviving nodes with their within-core degrees — the standard
+    graph-density gate (spam rings, well-connected co-purchase
+    backbones, GNN neighborhood pruning).
+
+    Computed by the canonical peeling fixpoint: repeatedly delete all
+    nodes of current degree < k until none remain. Each round is one
+    degree aggregate + two anti-joins against the (small, shrinking)
+    weak-node set; rounds are driver-coordinated with an isEmpty
+    convergence probe and ``localCheckpoint`` lineage cuts — the same
+    bounded-iteration pattern as star-contraction connected
+    components. Round count is the peel depth (≤ max degeneracy
+    ordering depth), not data-sized. The result is unique (the k-core
+    is independent of deletion order), so the fixpoint is
+    deterministic even though iteration count varies with data."""
+    if k < 1:
+        raise ValueError("k_core: k must be >= 1")
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    while True:
+        deg = _degrees(e)
+        weak = deg.filter(F.col("deg") < k).select("node")
+        if weak.isEmpty():
+            return deg.select(
+                "node", F.col("deg").cast("bigint").alias("core_deg")
+            )
+        e = (
+            e.join(weak.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(weak.withColumnRenamed("node", "b"), "b", "left_anti")
+            .localCheckpoint()
+        )
+
+
 def triangle_stats(
     edges: DataFrame, src: str = "u", dst: str = "v"
 ) -> DataFrame:

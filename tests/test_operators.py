@@ -1166,6 +1166,75 @@ def test_label_propagation_two_triangles(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
 
 
+def test_adamic_adar_known_graph(spark):
+    """AA on a square 1-2-3-4-1: the two diagonals (1,3) and (2,4) are
+    the only non-adjacent pairs, each with both opposite corners as
+    common neighbors (deg 2) -> score 2/ln(2). Adding the (1,3) chord
+    removes that pair from candidates and bumps corner degrees."""
+    import math
+
+    from pandas_etl_spark.operators.graph import adamic_adar
+
+    square = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    got = {
+        (r["n1"], r["n2"]): (r["common_neighbors"], r["score"])
+        for r in adamic_adar(
+            spark.createDataFrame(square, "u long, v long")
+        ).collect()
+    }
+    s = 2.0 / math.log(2.0)
+    assert set(got) == {(1, 3), (2, 4)}
+    for cn, sc in got.values():
+        assert cn == 2 and abs(sc - s) < 1e-9
+
+    chorded = square + [(1, 3)]
+    got = {
+        (r["n1"], r["n2"]): (r["common_neighbors"], r["score"])
+        for r in adamic_adar(
+            spark.createDataFrame(chorded, "u long, v long")
+        ).collect()
+    }
+    # only (2,4) remains; its common neighbors 1 and 3 now have deg 3
+    assert set(got) == {(2, 4)}
+    assert got[(2, 4)][0] == 2
+    assert abs(got[(2, 4)][1] - 2.0 / math.log(3.0)) < 1e-9
+
+    # max_degree cap: with centers capped at deg 2, the chorded graph's
+    # deg-3 corners cannot be wedge centers -> no candidates at all
+    capped = adamic_adar(
+        spark.createDataFrame(chorded, "u long, v long"), max_degree=2
+    )
+    assert capped.count() == 0
+
+
+def test_k_core_peeling(spark):
+    """k-core fixpoint: K4 survives k=3 intact; a pendant chain dies
+    at k=2 and its removal cascades (peel depth > 1); a path graph's
+    2-core is empty; every survivor's core_deg >= k."""
+    from pandas_etl_spark.operators.graph import k_core
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    got = {
+        r["node"]: r["core_deg"]
+        for r in k_core(spark.createDataFrame(k4, "u long, v long"), 3).collect()
+    }
+    assert got == {n: 3 for n in range(1, 5)}
+
+    # K4 + chain 4-5-6: peeling 6 (deg 1) exposes 5 (deg 1) -> cascade
+    chain = k4 + [(4, 5), (5, 6)]
+    got = {
+        r["node"]: r["core_deg"]
+        for r in k_core(spark.createDataFrame(chain, "u long, v long"), 2).collect()
+    }
+    assert got == {n: 3 for n in range(1, 5)}
+
+    path = [(1, 2), (2, 3), (3, 4)]
+    assert k_core(spark.createDataFrame(path, "u long, v long"), 2).count() == 0
+
+    with pytest.raises(ValueError):
+        k_core(spark.createDataFrame(path, "u long, v long"), 0)
+
+
 def test_hll_rollup_merge_invariance_and_accuracy(spark, sf_dir):
     """The mergeable-sketch contract: (a) union-merging daily sketches
     to weeks gives the SAME estimate as sketching each week directly

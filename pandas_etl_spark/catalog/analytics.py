@@ -771,6 +771,31 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _copurchase_edges(spark, sf_dir: str, min_support: int = 1):
+    """Undirected co-purchase part edges: (u < v) adjacent when some
+    order contains both; ``min_support`` keeps pairs co-ordered in at
+    least that many orders (>= 2 turns the dense co-order graph into
+    the sparse repeat-purchase graph the community/link/k-core queries
+    use). Fan-out is bounded at C(7,2) pairs per order (TPC-H caps
+    lineitems at 7); one l_orderkey shuffle + one (u,v) count."""
+    li = (
+        ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    pairs = a.join(b, "o").filter(F.col("u") < F.col("v"))
+    if min_support <= 1:
+        return pairs.select("u", "v")
+    return (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_support)
+        .select("u", "v")
+    )
+
+
 @query(
     "triangle_count_parts",
     oracle="""
@@ -815,14 +840,7 @@ def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-invariant, so both formulations agree exactly."""
     from pandas_etl_spark.operators.graph import triangle_stats
 
-    li = (
-        ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    edges = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v")
+    edges = _copurchase_edges(spark, sf_dir)
     return triangle_stats(edges, "u", "v")
 
 
@@ -872,14 +890,7 @@ def q_triangle_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation hash-matches exactly."""
     from pandas_etl_spark.operators.graph import node_triangle_counts
 
-    li = (
-        ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    edges = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v")
+    edges = _copurchase_edges(spark, sf_dir)
     per = node_triangle_counts(edges, "u", "v")
     return (
         per.filter(F.col("n_triangles") > 0)
@@ -942,21 +953,7 @@ def q_community_parts_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel cadence, lineage cut by localCheckpoint."""
     from pandas_etl_spark.operators.graph import label_propagation
 
-    li = (
-        ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
     lp = label_propagation(edges, "u", "v", iters=3)
     return lp.select(
         F.col("node").alias("part"), F.col("label").alias("community")
@@ -1015,21 +1012,7 @@ def q_related_parts_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     (above double-sum ulp drift at these term counts)."""
     from pandas_etl_spark.operators.graph import adamic_adar
 
-    li = (
-        ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
     aa = adamic_adar(edges, "u", "v")
     return (
         aa.select(
@@ -1057,21 +1040,7 @@ def q_k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     round — the bounded-iteration CC pattern."""
     from pandas_etl_spark.operators.graph import k_core
 
-    li = (
-        ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
     return (
         k_core(edges, k=3, src="u", dst="v")
         .select(F.col("node").alias("part"), "core_deg")

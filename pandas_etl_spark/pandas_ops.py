@@ -830,6 +830,43 @@ class Table:
         by = [] if by is None else ([by] if isinstance(by, str) else list(by))
         return Table(_he(self._df, by))
 
+    def triangle_stats(self, src: str = "u", dst: str = "v") -> "Table":
+        """Treat this frame as an undirected edge table and census its
+        triangles (operators/graph.triangle_stats)."""
+        from pandas_etl_spark.operators.graph import triangle_stats as _ts
+
+        return Table(_ts(self._df, src, dst))
+
+    def label_propagation(
+        self, src: str = "u", dst: str = "v", iters: int = 3
+    ) -> "Table":
+        """Deterministic LPA communities over this edge table
+        (operators/graph.label_propagation)."""
+        from pandas_etl_spark.operators.graph import (
+            label_propagation as _lp,
+        )
+
+        return Table(_lp(self._df, src, dst, iters))
+
+    def k_core(self, k: int, src: str = "u", dst: str = "v") -> "Table":
+        """Maximal k-core of this edge table
+        (operators/graph.k_core)."""
+        from pandas_etl_spark.operators.graph import k_core as _kc
+
+        return Table(_kc(self._df, k, src, dst))
+
+    def adamic_adar(
+        self,
+        src: str = "u",
+        dst: str = "v",
+        max_degree: int | None = None,
+    ) -> "Table":
+        """Adamic-Adar link prediction over this edge table
+        (operators/graph.adamic_adar)."""
+        from pandas_etl_spark.operators.graph import adamic_adar as _aa
+
+        return Table(_aa(self._df, src, dst, max_degree))
+
 
 class ColumnGrouped:
     """pandas ``groupby(axis='columns')``: columns grouped by a mapping,

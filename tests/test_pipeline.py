@@ -741,6 +741,55 @@ def test_hll_rollup_as_yaml_bound_methods(spark, sf_dir):
     assert abs(total["distinct_est"] - exact) <= max(3, 0.05 * exact)
 
 
+def test_graph_ops_as_yaml_bound_methods(spark, sf_dir):
+    """triangle_stats / label_propagation / k_core / adamic_adar run
+    as Table bound methods over an edge-shaped step output — the graph
+    family reachable from YAML pipelines (F14 dispatch)."""
+    p = Pipeline(
+        yamlData=f"""
+        steps:
+        - name: li
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/lineitem.parquet
+        - name: edges
+          function: ${{ steps['li'].output.query }}
+          args:
+            expr: "l_suppkey < l_partkey"
+        - name: pairs
+          function: ${{ steps['edges'].output.rename }}
+          args:
+            columns:
+              l_suppkey: u
+              l_partkey: v
+        - name: census
+          function: ${{ steps['pairs'].output.triangle_stats }}
+        - name: comms
+          function: ${{ steps['pairs'].output.label_propagation }}
+          args:
+            iters: 2
+        - name: core
+          function: ${{ steps['pairs'].output.k_core }}
+          args:
+            k: 2
+        - name: links
+          function: ${{ steps['pairs'].output.adamic_adar }}
+          args:
+            max_degree: 50
+        """,
+        spark=spark,
+    )
+    p.run()
+    census = p.steps["census"].output.df.first()
+    assert census["n_edges"] > 0 and census["n_triangles"] >= 0
+    comms = p.steps["comms"].output.df
+    assert set(comms.columns) == {"node", "label"} and comms.count() > 0
+    core = p.steps["core"].output.df
+    assert set(core.columns) == {"node", "core_deg"}
+    links = p.steps["links"].output.df
+    assert {"n1", "n2", "common_neighbors", "score"} <= set(links.columns)
+
+
 def test_schema_evolution_read_step_in_yaml(spark, sf_dir, tmp_path):
     """A YAML pipeline can read drifted snapshots as one step
     (read_parquet_evolved) and aggregate downstream."""

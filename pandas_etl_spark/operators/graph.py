@@ -198,13 +198,14 @@ def label_propagation(
         nbr_labels = sym.join(
             labels.withColumnRenamed("node", "nbr"), "nbr"
         ).groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        # most frequent neighbor label, smallest label on ties:
-        # max over (cnt, -label) lexicographic
+        # most frequent neighbor label, smallest label on ties: min_by
+        # over (-cnt, label) lexicographic — works for any orderable
+        # label type (string node ids included), unlike a -label trick
         labels = (
             nbr_labels.groupBy("node")
             .agg(
-                F.max_by(
-                    "label", F.struct(F.col("cnt"), -F.col("label"))
+                F.min_by(
+                    "label", F.struct(-F.col("cnt"), F.col("label"))
                 ).alias("label")
             )
             .localCheckpoint()

@@ -1165,6 +1165,18 @@ def test_label_propagation_two_triangles(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
 
+    # string node ids: the (-cnt, label) min_by tie-break orders any
+    # comparable label type, and lexicographic n1<..<n6 preserves the
+    # hand trace
+    sedges = [(f"n{a}", f"n{b}") for a, b in edges]
+    sgot = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            spark.createDataFrame(sedges, "u string, v string"), iters=3
+        ).collect()
+    }
+    assert sgot == {f"n{k}": f"n{v}" for k, v in got.items()}
+
 
 def test_adamic_adar_known_graph(spark):
     """AA on a square 1-2-3-4-1: the two diagonals (1,3) and (2,4) are

@@ -916,10 +916,11 @@ _LPA_ITER_SQL = """
     )"""
 
 
-@query(
-    "community_parts_lpa",
-    oracle=(
-        """
+# shared WITH-chain: support>=2 co-purchase edges + 3 unrolled LPA
+# rounds ending at l3(node, label) — used by the community listing AND
+# the modularity scorer so both oracles replay the identical iteration
+_LPA_CTE = (
+    """
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     pairs AS (
         SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
@@ -933,11 +934,15 @@ _LPA_ITER_SQL = """
         UNION ALL SELECT v, u FROM edges
     ),
     l0 AS (SELECT DISTINCT node, node AS label FROM sym),"""
-        + _LPA_ITER_SQL.format(i=1, p=0) + ","
-        + _LPA_ITER_SQL.format(i=2, p=1) + ","
-        + _LPA_ITER_SQL.format(i=3, p=2)
-        + "\nSELECT node AS part, label AS community FROM l3"
-    ),
+    + _LPA_ITER_SQL.format(i=1, p=0) + ","
+    + _LPA_ITER_SQL.format(i=2, p=1) + ","
+    + _LPA_ITER_SQL.format(i=3, p=2)
+)
+
+
+@query(
+    "community_parts_lpa",
+    oracle=_LPA_CTE + "\nSELECT node AS part, label AS community FROM l3",
 )
 def q_community_parts_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the REPEAT-co-purchase graph (edges =
@@ -958,6 +963,51 @@ def q_community_parts_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lp.select(
         F.col("node").alias("part"), F.col("label").alias("community")
     )
+
+
+@query(
+    "community_modularity",
+    oracle=_LPA_CTE + """,
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ),
+    mm AS (SELECT count(*) AS m FROM edges),
+    tagged AS (
+        SELECT la.label AS ca, lb.label AS cb
+        FROM edges e JOIN l3 la ON la.node = e.u JOIN l3 lb ON lb.node = e.v
+    ),
+    intra AS (SELECT ca AS c, count(*) AS ec FROM tagged WHERE ca = cb GROUP BY ca),
+    dsum AS (
+        SELECT l3.label AS c, sum(d.d) AS dc
+        FROM l3 JOIN deg d USING (node) GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST((SELECT m FROM mm) AS BIGINT) AS n_edges,
+           round(sum(coalesce(ec, 0) * 1.0 / (SELECT m FROM mm)
+                     - pow(dc / (2.0 * (SELECT m FROM mm)), 2)), 6)
+               AS modularity
+    FROM dsum LEFT JOIN intra USING (c)
+    """,
+)
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities
+    (operators/graph.modularity over label_propagation's output) —
+    the standard partition-quality score, closing the loop on
+    community detection: detect AND measure in one deterministic
+    pipeline, so the FULL chain (3 unrolled LPA rounds → per-community
+    edge/degree aggregates → Q) is cross-engine hash-checked, not just
+    the labels. Cost beyond LPA: two equi-joins to tag edge endpoints
+    + two |communities|-row aggregates + a 1-row combine."""
+    from pandas_etl_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    labels = label_propagation(edges, "u", "v", iters=3)
+    return modularity(edges, labels, "u", "v")
 
 
 @query(

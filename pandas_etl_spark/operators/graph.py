@@ -213,6 +213,62 @@ def label_propagation(
     return labels
 
 
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity Q = Σ_c [ e_c/m − (d_c/2m)² ] of a community
+    assignment over an undirected graph — one row of (n_communities,
+    n_edges, modularity). e_c counts intra-community edges, d_c sums
+    member degrees; Q≈0 means no better than random, Q>0.3 is
+    conventionally \"real structure\". Deterministic given the labels
+    (two equi-joins to tag edge endpoints, two tiny per-community
+    aggregates, a 1-row combine), so when the labels come from a
+    deterministic algorithm (our LPA) the WHOLE pipeline
+    community-detect → quality-score is cross-engine checkable."""
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    la = labels.select(
+        F.col(node_col).alias("a"), F.col(label_col).alias("_la")
+    )
+    lb = labels.select(
+        F.col(node_col).alias("b"), F.col(label_col).alias("_lb")
+    )
+    tagged = e.join(la, "a").join(lb, "b")
+    intra = (
+        tagged.filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("c"))
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    dsum = (
+        deg.join(
+            labels.select(node_col, F.col(label_col).alias("c")), node_col
+        )
+        .groupBy("c")
+        .agg(F.sum("deg").alias("dc"))
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    per_c = dsum.join(intra, "c", "left").select(
+        "c", F.coalesce("ec", F.lit(0)).alias("ec"), "dc"
+    )
+    q = per_c.crossJoin(F.broadcast(m)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.first("m").cast("bigint").alias("n_edges"),
+        F.round(
+            F.sum(
+                F.col("ec") / F.col("m")
+                - F.pow(F.col("dc") / (2.0 * F.col("m")), 2)
+            ),
+            6,
+        ).alias("modularity"),
+    )
+    return q
+
+
 def adamic_adar(
     edges: DataFrame,
     src: str = "u",

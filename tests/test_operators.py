@@ -1178,6 +1178,26 @@ def test_label_propagation_two_triangles(spark):
     assert sgot == {f"n{k}": f"n{v}" for k, v in got.items()}
 
 
+def test_modularity_known_partitions(spark):
+    """Two disconnected K3s: the perfect 2-community partition scores
+    Q = 0.5 (textbook value); lumping everything into one community
+    scores exactly 0."""
+    from pandas_etl_spark.operators.graph import modularity
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)], "u long, v long"
+    )
+    perfect = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)], "node long, label long"
+    )
+    r = modularity(e, perfect).collect()[0]
+    assert (r["n_communities"], r["n_edges"], r["modularity"]) == (2, 6, 0.5)
+
+    lumped = perfect.select("node", F.lit(1).alias("label"))
+    r = modularity(e, lumped).collect()[0]
+    assert (r["n_communities"], r["modularity"]) == (1, 0.0)
+
+
 def test_adamic_adar_known_graph(spark):
     """AA on a square 1-2-3-4-1: the two diagonals (1,3) and (2,4) are
     the only non-adjacent pairs, each with both opposite corners as

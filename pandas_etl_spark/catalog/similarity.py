@@ -397,3 +397,67 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_indexed(queries, path, k=_TOPK, nprobe=4).withColumnRenamed(
         "rank", "rnk"
     )
+
+
+def _knn_lpa_oracle() -> str:
+    from pandas_etl_spark.catalog.analytics import _LPA_ITER_SQL
+
+    return (
+        """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sims AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 6) AS c
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT i, j FROM (
+            SELECT i, j, row_number() OVER (
+                PARTITION BY i ORDER BY c DESC, j) AS rn
+            FROM sims
+        ) WHERE rn <= 5
+    ),
+    edges AS (SELECT DISTINCT least(i, j) AS u, greatest(i, j) AS v FROM knn),
+    sym AS (
+        SELECT u AS node, v AS nbr FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ),
+    l0 AS (SELECT DISTINCT node, node AS label FROM sym),"""
+        + _LPA_ITER_SQL.format(i=1, p=0) + ","
+        + _LPA_ITER_SQL.format(i=2, p=1) + ","
+        + _LPA_ITER_SQL.format(i=3, p=2)
+        + "\nSELECT node AS vec_id, label AS community FROM l3"
+    )
+
+
+@query("semantic_knn_communities", oracle=_knn_lpa_oracle())
+def q_semantic_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering WITHOUT a codebook: exact 5-NN cosine graph
+    over the embeddings (cosine_topk with every vector as a query —
+    queries broadcast, corpus never shuffles), symmetrized, then 3
+    deterministic LPA rounds (operators/graph.label_propagation). The
+    whole chain — 6-decimal-rounded cosine ranking with id tie-break,
+    edge canonicalization, unrolled label propagation — is replayed by
+    the SQL oracle, so (vec_id, community) hash-matches cross-engine
+    end-to-end: an embeddings→graph→communities pipeline verified at
+    every stage, complementing the centroid-based semantic_dedup
+    family. Brute-force kNN is the documented O(N²) baseline (fine at
+    gate SFs); at 100 TB swap the graph construction for the
+    LSH/IVF/PQ paths and keep the identical downstream."""
+    from pandas_etl_spark.operators.graph import label_propagation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    knn = sim.cosine_topk(emb, queries, k=5)
+    edges = knn.select(
+        F.least("query_id", "neighbor_id").alias("u"),
+        F.greatest("query_id", "neighbor_id").alias("v"),
+    )
+    lp = label_propagation(edges, "u", "v", iters=3)
+    return lp.select(
+        F.col("node").alias("vec_id"), F.col("label").alias("community")
+    )

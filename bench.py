@@ -95,6 +95,9 @@ EXTENDED = [
     "community_parts_lpa",
     "related_parts_adamic_adar",
     "k_core_parts",
+    "semantic_knn_communities",
+    # community_modularity is deliberately NOT benched: it re-runs the
+    # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four
     # ANN paths to measure recall, so its wall time is the sum of
     # already-benched queries, not a signal of its own
@@ -136,6 +139,24 @@ def main() -> None:
     # a single warm sample misattributes one stall as a 5× per-query
     # regression; min-of-3 is the standard noise-robust statistic and
     # still executes the full plan each time.
+    def clear_leaked_storage() -> None:
+        # The iterative operators (LPA, k-core, pagerank, CC) pin
+        # localCheckpoint RDD blocks that outlive their query — ~5 per
+        # LPA run. Across 50+ queries x 3 runs that squeezed executor
+        # storage until late big-join queries spilled (semantic_knn
+        # measured 5s clean vs 112s at the end of a full bench).
+        # clearCache only drops DataFrame cache entries, not RDD-level
+        # checkpoints, so drop those explicitly between queries.
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(False)
+        # Broadcasts and shuffle files are only reclaimed when the
+        # ContextCleaner notices their weak refs die — i.e. on a driver
+        # GC, which a mostly-JVM bench may not trigger for hundreds of
+        # queries. Nudge it so earlier queries' broadcast blocks don't
+        # crowd the storage pool out from under later big joins.
+        spark.sparkContext._jvm.System.gc()
+
     warm: dict[str, float | None] = {}
     cold: dict[str, float | None] = {}
     errors: dict[str, str] = {}
@@ -158,7 +179,7 @@ def main() -> None:
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
                 print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
             finally:
-                spark.catalog.clearCache()
+                clear_leaked_storage()
         warm[name] = min(samples) if samples else None
 
     # Extended section: round-4+ additions, reported OUTSIDE the
@@ -187,7 +208,7 @@ def main() -> None:
                 samples = []
                 break
             finally:
-                spark.catalog.clearCache()
+                clear_leaked_storage()
         extended[name] = min(samples) if samples else None
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -2,6 +2,17 @@
 
 Connected components live in ``functions/dedup.py`` (star-contraction,
 O(log n) rounds); this module holds the rank-propagation family.
+
+Storage note: the iterative operators (pagerank, label_propagation,
+k_core) cut per-round lineage with eager ``localCheckpoint``, which
+pins a few RDD blocks per run until the session ends. Harnesses that
+execute MANY queries in one session (bench.py, sweep scripts) should
+drop leaked blocks between queries — ``spark.catalog.clearCache()``
+does NOT cover RDD-level checkpoints; iterate
+``sc._jsc.getPersistentRDDs()`` and unpersist (see
+bench.py::clear_leaked_storage, added after accumulated pins from 150+
+query runs squeezed executor storage enough to spill an unrelated
+25M-row join 20x).
 """
 
 from __future__ import annotations

@@ -1099,6 +1099,113 @@ def q_k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS g FROM events),
+    u AS (
+        SELECT user_id,
+               CAST(floor((extract(epoch FROM (SELECT g FROM mx))
+                           - extract(epoch FROM max(ts))) / 86400.0)
+                    AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(coalesce(sum(value), 0), 2) AS monetary
+        FROM events GROUP BY user_id
+    ),
+    cuts AS (
+        SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+               quantile_cont(frequency,    [0.2, 0.4, 0.6, 0.8]) AS fc,
+               quantile_cont(monetary,     [0.2, 0.4, 0.6, 0.8]) AS mc
+        FROM u
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(1 + (CASE WHEN recency_days < rc[1] THEN 1 ELSE 0 END)
+                  + (CASE WHEN recency_days < rc[2] THEN 1 ELSE 0 END)
+                  + (CASE WHEN recency_days < rc[3] THEN 1 ELSE 0 END)
+                  + (CASE WHEN recency_days < rc[4] THEN 1 ELSE 0 END)
+                AS BIGINT) AS r_score,
+           CAST(1 + (CASE WHEN frequency > fc[1] THEN 1 ELSE 0 END)
+                  + (CASE WHEN frequency > fc[2] THEN 1 ELSE 0 END)
+                  + (CASE WHEN frequency > fc[3] THEN 1 ELSE 0 END)
+                  + (CASE WHEN frequency > fc[4] THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_score,
+           CAST(1 + (CASE WHEN monetary > mc[1] THEN 1 ELSE 0 END)
+                  + (CASE WHEN monetary > mc[2] THEN 1 ELSE 0 END)
+                  + (CASE WHEN monetary > mc[3] THEN 1 ELSE 0 END)
+                  + (CASE WHEN monetary > mc[4] THEN 1 ELSE 0 END)
+                AS BIGINT) AS m_score
+    FROM u CROSS JOIN cuts
+    """,
+)
+def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM segmentation (the classic CRM scoring): recency in
+    days vs the corpus's latest event, frequency, monetary total, each
+    scored into quintiles 1-5 (5 = best: most recent / most frequent /
+    highest spend). Deliberately NOT a global ntile — that is a
+    single-partition window over every user. Instead the exact
+    interpolated quintile cutpoints come from ONE 1-row aggregate
+    (percentile) broadcast back onto the per-user frame, so the only
+    data-sized shuffle is the user_id aggregation and scoring is a
+    projection — the qcut pattern, billions-of-users-safe. Boundary
+    semantics (strict >, or < for recency where smaller is better)
+    replicated exactly in the oracle; metrics are integers/2-decimal
+    sums so interpolated cuts cannot straddle ulp noise."""
+    mx = F.broadcast(
+        ensure_parallelism(load_table(spark, sf_dir, "events")).agg(
+            F.max("ts").alias("g")
+        )
+    )
+    u = (
+        ensure_parallelism(load_table(spark, sf_dir, "events"))
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias(
+                "monetary"
+            ),
+        )
+        .crossJoin(mx)
+        .select(
+            "user_id",
+            F.floor((ts_seconds("g") - ts_seconds("last_ts")) / 86400.0)
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    cuts = F.broadcast(
+        u.agg(
+            F.percentile("recency_days", F.array(*[F.lit(q) for q in qs])).alias("rc"),
+            F.percentile("frequency", F.array(*[F.lit(q) for q in qs])).alias("fc"),
+            F.percentile("monetary", F.array(*[F.lit(q) for q in qs])).alias("mc"),
+        )
+    )
+
+    def _score(col: str, arr: str, op: str):
+        terms = F.lit(1)
+        for i in range(1, 5):
+            cond = (
+                F.col(col) < F.element_at(F.col(arr), i)
+                if op == "<"
+                else F.col(col) > F.element_at(F.col(arr), i)
+            )
+            terms = terms + F.when(cond, 1).otherwise(0)
+        return terms.cast("bigint")
+
+    return u.crossJoin(cuts).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _score("recency_days", "rc", "<").alias("r_score"),
+        _score("frequency", "fc", ">").alias("f_score"),
+        _score("monetary", "mc", ">").alias("m_score"),
+    )
+
+
+@query(
     "anomaly_rolling_z",
     oracle="""
     WITH s AS (

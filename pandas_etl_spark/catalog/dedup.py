@@ -719,3 +719,42 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query("dedup_recall_audit")
+def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level precision/recall of the MinHash-LSH near-dup path
+    against the EXACT n-gram Jaccard pairs at the same threshold — the
+    dedup-family twin of ann_recall_audit: index parameters (64 perms,
+    16 bands) continuously measured instead of assumed. One summary
+    row: exact/lsh/agreeing pair counts + precision/recall (both
+    counted on the documents the two plans share; LSH verifies by
+    SIGNATURE-estimated Jaccard, so perfect agreement is not expected
+    — the floor that matters is recall, pinned ≥ 0.8 in
+    tests/test_operators.py at the bench corpus's threshold). Both
+    pair sets are id-only frames; the audit joins cost two small
+    shuffles on (id_a, id_b). Rows-only driver check (xxhash64
+    signatures are engine-specific)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = 0.5
+    exact = dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=5, threshold=t, max_df=50
+    ).select("id_a", "id_b")
+    lsh = dd.minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=64, bands=16, k=5, threshold=t
+    ).select("id_a", "id_b")
+    hit = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_hit = hit.count()
+    return spark.createDataFrame(
+        [(
+            n_exact,
+            n_lsh,
+            n_hit,
+            round(n_hit / n_lsh, 4) if n_lsh else 1.0,
+            round(n_hit / n_exact, 4) if n_exact else 1.0,
+        )],
+        "exact_pairs long, lsh_pairs long, agreeing_pairs long, "
+        "precision double, recall double",
+    )

@@ -1178,6 +1178,19 @@ def test_label_propagation_two_triangles(spark):
     assert sgot == {f"n{k}": f"n{v}" for k, v in got.items()}
 
 
+def test_dedup_recall_audit_floor(spark, sf_dir):
+    """The registered dedup recall audit must report coherent counts
+    (agreeing <= each side) and LSH recall >= 0.8 vs exact Jaccard on
+    the fixture corpus — the continuously-observable floor for the
+    64-perm/16-band parameters."""
+    from pandas_etl_spark.catalog import QUERIES
+
+    r = QUERIES["dedup_recall_audit"](spark, sf_dir).collect()[0]
+    assert r["agreeing_pairs"] <= min(r["exact_pairs"], r["lsh_pairs"])
+    assert r["recall"] >= 0.8, r
+    assert 0.0 <= r["precision"] <= 1.0
+
+
 def test_modularity_known_partitions(spark):
     """Two disconnected K3s: the perfect 2-community partition scores
     Q = 0.5 (textbook value); lumping everything into one community

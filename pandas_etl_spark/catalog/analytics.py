@@ -1726,3 +1726,59 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("credit"), 6).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "bfs_reach_parts",
+    oracle="""
+    WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT u, v FROM pairs WHERE n >= 2),
+    sym AS (
+        SELECT u AS node, v AS nbr FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ),
+    seeds AS (SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#7'),
+    walk(node, hops) AS (
+        SELECT node, 0 FROM seeds
+        UNION ALL
+        SELECT s.nbr, w.hops + 1
+        FROM walk w JOIN sym s ON s.node = w.node
+        WHERE w.hops < 3
+    )
+    SELECT node AS part, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def q_bfs_reach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/graph.bfs_hops) on the
+    repeat-co-purchase graph: minimum hop distance from the Brand#7
+    part set to every part within 3 hops — the "blast radius /
+    catchment" query (how far does a recalled brand's co-purchase
+    influence reach). Completes the iterative-graph family's FULL
+    oracle coverage: min-hop distance is unique, so Spark's
+    frontier-expansion BFS (per round: adjacency⋈frontier equi-join +
+    anti-join against visited, isEmpty convergence probe — the Pregel
+    cadence with localCheckpoint lineage cuts) hash-matches a DuckDB
+    RECURSIVE CTE that explores paths to depth 3 and takes min(hops)
+    per node. The recursive oracle enumerates PATHS (fine at gate
+    scale); the Spark plan expands each frontier node once — the
+    O(E + V) shape that survives 100 TB. Reference scope: graph
+    reachability is beyond pandas-etl (north-star addition)."""
+    from pandas_etl_spark.operators.graph import bfs_hops
+
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    seeds = (
+        ensure_parallelism(load_table(spark, sf_dir, "part"))
+        .filter(F.col("p_brand") == "Brand#7")
+        .select(F.col("p_partkey").alias("node"))
+    )
+    res = bfs_hops(edges, seeds, "u", "v", max_hops=3)
+    return res.select(
+        F.col("node").alias("part"), F.col("hops").cast("bigint").alias("hops")
+    )

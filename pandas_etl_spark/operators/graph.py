@@ -364,6 +364,65 @@ def k_core(
         )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    node_col: str = "node",
+    max_hops: int | None = None,
+) -> DataFrame:
+    """Multi-source breadth-first search over an undirected graph:
+    returns (node, hops) — the minimum hop distance from ANY seed node
+    to every node reachable within ``max_hops`` (unbounded when None).
+    Seeds themselves come back with hops 0, whether or not they touch
+    an edge — the standard "distance from a landmark set" shape
+    (catchment analysis, recall expansion from labeled items, blast
+    radius of an incident set).
+
+    Scale shape: textbook frontier-expansion BFS, the same cadence a
+    Pregel superstep runs. Each round is one equi-join of the
+    symmetrized adjacency list against the CURRENT frontier (keyed on
+    the frontier node) plus one anti-join against the visited set to
+    keep the frontier strictly new — so per-round cost tracks the
+    frontier's edge boundary, not the whole graph, and total work is
+    O(E + V) across all rounds like sequential BFS. Round count is the
+    graph diameter (or ``max_hops``), driver-coordinated with an
+    isEmpty convergence probe; ``localCheckpoint`` cuts per-round
+    lineage exactly as in :func:`k_core` / star-contraction connected
+    components. Deterministic: min-hop distance is unique, no
+    tie-breaks needed."""
+    e = _canonical_edges(edges, src, dst)
+    sym = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    hop = 0
+    while max_hops is None or hop < max_hops:
+        nxt = (
+            sym.join(frontier, "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop + 1))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+        hop += 1
+    return visited
+
+
 def triangle_stats(
     edges: DataFrame, src: str = "u", dst: str = "v"
 ) -> DataFrame:

@@ -1280,6 +1280,33 @@ def test_k_core_peeling(spark):
         k_core(spark.createDataFrame(path, "u long, v long"), 0)
 
 
+def test_bfs_hops_known_graphs(spark):
+    """Multi-source BFS: min-hop distances on a path graph; a
+    disconnected component is unreachable; max_hops truncates the
+    expansion; multiple seeds take the elementwise minimum; an
+    isolated seed (no edges) still reports hops 0."""
+    from pandas_etl_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5 plus disconnected edge 8-9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "u long, v long"
+    )
+
+    def run(seed_rows, **kw):
+        seeds = spark.createDataFrame(seed_rows, "node long")
+        return {
+            r["node"]: r["hops"] for r in bfs_hops(edges, seeds, **kw).collect()
+        }
+
+    assert run([(1,)]) == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    assert run([(1,)], max_hops=2) == {1: 0, 2: 1, 3: 2}
+    # two seeds: min distance from either; 8-9 reachable only from 9
+    assert run([(1,), (9,)]) == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 9: 0, 8: 1}
+    # seed outside the edge set: reports itself at 0, expands nowhere
+    assert run([(42,)]) == {42: 0}
+    assert run([(42,)], max_hops=0) == {42: 0}
+
+
 def test_hll_rollup_merge_invariance_and_accuracy(spark, sf_dir):
     """The mergeable-sketch contract: (a) union-merging daily sketches
     to weeks gives the SAME estimate as sketching each week directly

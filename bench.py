@@ -96,6 +96,9 @@ EXTENDED = [
     "related_parts_adamic_adar",
     "k_core_parts",
     "semantic_knn_communities",
+    "bfs_reach_parts",
+    "assortativity_parts",
+    "survival_km_customers",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

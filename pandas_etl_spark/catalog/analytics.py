@@ -1782,3 +1782,154 @@ def q_bfs_reach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.col("node").alias("part"), F.col("hops").cast("bigint").alias("hops")
     )
+
+
+@query(
+    "assortativity_parts",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT u, v FROM pairs WHERE n >= 2),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ),
+    sym AS (
+        SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges
+    )
+    SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+           round(corr(ds.d, dt.d), 6) AS assortativity
+    FROM sym JOIN deg ds ON ds.node = sym.s JOIN deg dt ON dt.node = sym.t
+    """,
+)
+def q_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.assortativity) of the
+    repeat-co-purchase graph — do well-connected parts co-sell with
+    other well-connected parts (r>0) or with long-tail items (r<0)?
+    The one-number degree-mixing probe beside the triangle census's
+    clustering coefficient, completing the global graph-metrics set.
+    One degree aggregate + two endpoint equi-joins + a 1-row Pearson
+    corr, everything map-side-combinable — no iteration, no windows,
+    nothing data-sized on the driver. Full oracle: both engines
+    compute the same both-directions corr, rounded to 6."""
+    from pandas_etl_spark.operators.graph import assortativity
+
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    return assortativity(edges, "u", "v")
+
+
+@query(
+    "survival_km_customers",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(min(o_orderdate) AS DATE) AS first_dt,
+               CAST(max(o_orderdate) AS DATE) AS last_dt
+        FROM orders GROUP BY 1
+    ),
+    obs AS (SELECT CAST(max(o_orderdate) AS DATE) AS obs_end FROM orders),
+    per AS (
+        SELECT date_diff('day', first_dt, last_dt) AS duration,
+               CASE WHEN date_diff('day', last_dt, (SELECT obs_end FROM obs))
+                         > 90 THEN 1 ELSE 0 END AS event
+        FROM cust
+    ),
+    km AS (
+        SELECT duration, sum(event) AS d, count(*) AS c
+        FROM per GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n FROM per),
+    risk AS (
+        SELECT duration, d, c,
+               (SELECT n FROM tot) - coalesce(sum(c) OVER (
+                   ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS at_risk
+        FROM km
+    ),
+    surv AS (
+        SELECT duration, d, at_risk,
+               CASE WHEN min(1.0 - d * 1.0 / at_risk) OVER w <= 0 THEN 0.0
+                    ELSE round(exp(sum(ln(1.0 - d * 1.0 / at_risk)) OVER w), 6)
+               END AS survival
+        FROM risk
+        WINDOW w AS (ORDER BY duration
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(duration AS BIGINT) AS duration_days,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           survival
+    FROM surv WHERE d > 0
+    """,
+)
+def q_survival_km_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer lifetime — the censored
+    time-to-event estimator (churn/retention's rigorous cousin, next
+    to cohort_retention's grid). Lifetime = days between a customer's
+    first and last order; a customer whose last order is within 90
+    days of the dataset's end is CENSORED (still alive), not an event
+    — the distinction naive "average lifetime" stats get wrong. At
+    each event time t: S(t) = Π_{t_i<=t} (1 - d_i / n_i) with d_i
+    events and n_i at risk; output is the standard step curve
+    (duration_days, at_risk, n_events, survival).
+
+    Scale shape: one o_custkey aggregate (the only data-sized
+    shuffle), a broadcast 1-row observation-end/total, then ALL window
+    work runs on the per-duration aggregate — bounded by the day
+    domain (~2.5k rows here, never customer-sized), so the ordered
+    single-partition cumulative windows are aggregate-sized by
+    construction, same rationale as ohlc/time-bucket rollups. The
+    cumulative product is exp(Σ ln(factor)) with an explicit
+    min-factor<=0 guard so a terminal d_i=n_i step yields exact 0 in
+    both engines; round(…, 6) puts the comparison far above double
+    ulp. Full oracle: DuckDB replays the identical estimator."""
+    from pyspark.sql import Window
+
+    orders = ensure_parallelism(load_table(spark, sf_dir, "orders"))
+    cust = orders.groupBy("o_custkey").agg(
+        F.to_date(F.min("o_orderdate")).alias("first_dt"),
+        F.to_date(F.max("o_orderdate")).alias("last_dt"),
+    )
+    obs = orders.agg(
+        F.to_date(F.max("o_orderdate")).alias("obs_end"),
+    )
+    per = cust.crossJoin(F.broadcast(obs)).select(
+        F.datediff("last_dt", "first_dt").alias("duration"),
+        F.when(F.datediff("obs_end", "last_dt") > 90, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("event"),
+    )
+    km = per.groupBy("duration").agg(
+        F.sum("event").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("n"))
+    w_prior = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = km.crossJoin(F.broadcast(tot)).withColumn(
+        "at_risk",
+        F.col("n") - F.coalesce(F.sum("c").over(w_prior), F.lit(0)),
+    )
+    factor = F.lit(1.0) - F.col("d") / F.col("at_risk")
+    surv = risk.withColumn(
+        "survival",
+        F.when(F.min(factor).over(w_cum) <= 0, F.lit(0.0)).otherwise(
+            F.round(F.exp(F.sum(F.log(factor)).over(w_cum)), 6)
+        ),
+    )
+    return surv.filter(F.col("d") > 0).select(
+        F.col("duration").cast("bigint").alias("duration_days"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        "survival",
+    )

@@ -364,6 +364,35 @@ def k_core(
         )
 
 
+def assortativity(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Degree assortativity of an undirected graph (Newman 2002): the
+    Pearson correlation of the endpoint degrees over every edge,
+    counted in BOTH directions so the statistic is orientation-free —
+    one row of (n_edges, assortativity). r > 0 means hubs attach to
+    hubs (social-network shape), r < 0 hubs attach to leaves
+    (hub-and-spoke / co-purchase shape); the standard one-number
+    structure probe next to the clustering coefficient.
+
+    Scale shape: one degree aggregate, two equi-joins to tag the
+    endpoints, one 1-row corr — all map-side-combinable, no iteration,
+    no windows. Pearson corr is float-sum-order sensitive only at ulp
+    scale; callers round (catalog rounds to 6)."""
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    sym = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    ds = deg.select(F.col("node").alias("s"), F.col("deg").alias("deg_s"))
+    dt = deg.select(F.col("node").alias("t"), F.col("deg").alias("deg_t"))
+    tagged = sym.join(ds, "s").join(dt, "t")
+    return tagged.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        F.round(F.corr("deg_s", "deg_t"), 6).alias("assortativity"),
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,

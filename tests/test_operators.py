@@ -1280,6 +1280,30 @@ def test_k_core_peeling(spark):
         k_core(spark.createDataFrame(path, "u long, v long"), 0)
 
 
+def test_assortativity_known_graphs(spark):
+    """Degree assortativity: a star is perfectly disassortative
+    (r = -1, every edge pairs the hub's high degree with a leaf's 1);
+    a regular graph has zero degree variance so r is undefined (NULL);
+    edge count is the undirected count despite the both-directions
+    tally."""
+    from pandas_etl_spark.operators.graph import assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "u long, v long"
+    )
+    row = assortativity(star).collect()[0]
+    assert row["n_edges"] == 5
+    assert row["assortativity"] == -1.0
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "u long, v long",
+    )
+    row = assortativity(k4).collect()[0]
+    assert row["n_edges"] == 6
+    assert row["assortativity"] is None
+
+
 def test_bfs_hops_known_graphs(spark):
     """Multi-source BFS: min-hop distances on a path graph; a
     disconnected component is unreachable; max_hops truncates the

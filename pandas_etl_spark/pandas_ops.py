@@ -867,6 +867,30 @@ class Table:
 
         return Table(_aa(self._df, src, dst, max_degree))
 
+    def assortativity(self, src: str = "u", dst: str = "v") -> "Table":
+        """Degree assortativity of this edge table
+        (operators/graph.assortativity)."""
+        from pandas_etl_spark.operators.graph import assortativity as _as
+
+        return Table(_as(self._df, src, dst))
+
+    def bfs_hops(
+        self,
+        seeds: "Table",
+        src: str = "u",
+        dst: str = "v",
+        node_col: str = "node",
+        max_hops: int | None = None,
+    ) -> "Table":
+        """Min hop distance from ``seeds`` over this edge table
+        (operators/graph.bfs_hops)."""
+        from pandas_etl_spark.operators.graph import bfs_hops as _bfs
+
+        seed_df = seeds._df if isinstance(seeds, Table) else seeds
+        return Table(
+            _bfs(self._df, seed_df, src, dst, node_col, max_hops)
+        )
+
 
 class ColumnGrouped:
     """pandas ``groupby(axis='columns')``: columns grouped by a mapping,

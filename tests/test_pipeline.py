@@ -742,9 +742,11 @@ def test_hll_rollup_as_yaml_bound_methods(spark, sf_dir):
 
 
 def test_graph_ops_as_yaml_bound_methods(spark, sf_dir):
-    """triangle_stats / label_propagation / k_core / adamic_adar run
-    as Table bound methods over an edge-shaped step output — the graph
-    family reachable from YAML pipelines (F14 dispatch)."""
+    """triangle_stats / label_propagation / k_core / adamic_adar /
+    assortativity / bfs_hops run as Table bound methods over an
+    edge-shaped step output — the graph family reachable from YAML
+    pipelines (F14 dispatch); bfs_hops takes another step's output as
+    its seed frame (whole-string expression → object)."""
     p = Pipeline(
         yamlData=f"""
         steps:
@@ -776,6 +778,18 @@ def test_graph_ops_as_yaml_bound_methods(spark, sf_dir):
           function: ${{ steps['pairs'].output.adamic_adar }}
           args:
             max_degree: 50
+        - name: mixing
+          function: ${{ steps['pairs'].output.assortativity }}
+        - name: seed_nodes
+          function: ${{ steps['pairs'].output.rename }}
+          args:
+            columns:
+              u: node
+        - name: hops
+          function: ${{ steps['pairs'].output.bfs_hops }}
+          args:
+            seeds: ${{ steps['seed_nodes'].output }}
+            max_hops: 1
         """,
         spark=spark,
     )
@@ -788,6 +802,11 @@ def test_graph_ops_as_yaml_bound_methods(spark, sf_dir):
     assert set(core.columns) == {"node", "core_deg"}
     links = p.steps["links"].output.df
     assert {"n1", "n2", "common_neighbors", "score"} <= set(links.columns)
+    mixing = p.steps["mixing"].output.df.first()
+    assert mixing["n_edges"] == census["n_edges"]
+    hops = p.steps["hops"].output.df
+    assert set(hops.columns) == {"node", "hops"}
+    assert hops.filter("hops = 0").count() > 0
 
 
 def test_schema_evolution_read_step_in_yaml(spark, sf_dir, tmp_path):

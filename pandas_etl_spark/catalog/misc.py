@@ -445,6 +445,69 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(load_table(spark, sf_dir, "orders"), cols)
 
 
+_ASSOC_PAIR_SQL = """
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           CAST(count(DISTINCT x) AS BIGINT) AS n_cats_a,
+           CAST(count(DISTINCT y) AS BIGINT) AS n_cats_b,
+           round(greatest(
+               sum((c * 1.0 / n) * ln(c * 1.0 * n / (cx * 1.0 * cy))), 0.0
+           ), 6) AS mi_nats,
+           round(CASE
+               WHEN least(count(DISTINCT x) - 1, count(DISTINCT y) - 1) > 0
+               THEN sqrt(
+                   (sum(pow(c - cx * 1.0 * cy / n, 2) / (cx * 1.0 * cy / n))
+                    + any_value(n) - sum(cx * 1.0 * cy / n))
+                   / any_value(n)
+                   / least(count(DISTINCT x) - 1, count(DISTINCT y) - 1))
+               ELSE 0.0 END, 6) AS cramers_v
+    FROM (
+        SELECT x, y, c,
+               sum(c) OVER (PARTITION BY x) AS cx,
+               sum(c) OVER (PARTITION BY y) AS cy,
+               sum(c) OVER () AS n
+        FROM (SELECT {a} AS x, {b} AS y, count(*) AS c FROM base GROUP BY 1, 2)
+    )"""
+
+
+@query(
+    "assoc_cats_orders",
+    oracle="""
+    WITH base AS (
+        SELECT coalesce(o_orderstatus, ' null') AS status,
+               coalesce(o_orderpriority, ' null') AS priority,
+               coalesce(CAST(year(o_orderdate) AS VARCHAR), ' null')
+                   AS order_year
+        FROM orders
+    )
+    """
+    + _ASSOC_PAIR_SQL.format(a="status", b="priority")
+    + "\n    UNION ALL"
+    + _ASSOC_PAIR_SQL.format(a="status", b="order_year")
+    + "\n    UNION ALL"
+    + _ASSOC_PAIR_SQL.format(a="priority", b="order_year"),
+)
+def q_assoc_cats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical dependence audit
+    (operators/profile.categorical_association) over order status,
+    priority, and order year — the categorical analogue of
+    corr_matrix, completing the profiling family: pairwise mutual
+    information (nats) + Cramer's V per unordered column pair. Status
+    vs year shows strong dependence (old orders are all finalized);
+    priority is near-independent of both — the audit that tells a
+    feature pipeline which columns are redundant. One joint-count
+    aggregate per pair is the only data-sized work; MI/chi-square math
+    runs on the |X|x|Y| joint table. Full oracle: DuckDB recomputes
+    both scores from the same joint counts via windowed marginals."""
+    from pandas_etl_spark.operators.profile import categorical_association
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("string").alias("order_year"),
+    )
+    return categorical_association(o, ["status", "priority", "order_year"])
+
+
 @query(
     "sample_stratified",
     oracle=f"""

@@ -111,6 +111,114 @@ def fk_containment(
     return result
 
 
+def categorical_association(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise association between categorical columns — the
+    categorical analogue of a correlation matrix: for every unordered
+    column pair, mutual information in nats
+    (sum p(x,y)*ln(p(x,y)/(p(x)p(y)))) and Cramer's V
+    (sqrt(chi2/N / min(r-1, c-1))), the two standard dependence scores
+    for feature selection / redundancy audits. Returns
+    (col_a, col_b, n_cats_a, n_cats_b, mi_nats, cramers_v).
+
+    Scale shape: one map-side-combinable joint-count aggregate over
+    the data PER PAIR (C(k,2) passes — k is a handful of profiled
+    columns, never data-sized); all MI/chi2 math then runs on the
+    joint table, whose cardinality is |X|*|Y| categories. Marginals
+    re-aggregate the joint counts, not the data. Nulls count as their
+    own category (coalesced to a sentinel) so the scores see
+    missingness, matching pd.crosstab(dropna=False) profiling.
+    Deterministic; callers round for cross-engine comparison (catalog
+    rounds to 6, and MI is floored at 0 against tiny negative float
+    residue on independent columns)."""
+    if len(cols) < 2:
+        raise ValueError("categorical_association: need >= 2 columns")
+    out = None
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            joint = (
+                df.select(
+                    F.coalesce(F.col(a).cast("string"), F.lit(" null"))
+                    .alias("x"),
+                    F.coalesce(F.col(b).cast("string"), F.lit(" null"))
+                    .alias("y"),
+                )
+                .groupBy("x", "y")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            mx = joint.groupBy("x").agg(F.sum("c").alias("cx"))
+            my = joint.groupBy("y").agg(F.sum("c").alias("cy"))
+            tot = joint.agg(
+                F.sum("c").alias("n"),
+                F.count_distinct("x").alias("ra"),
+                F.count_distinct("y").alias("rb"),
+            )
+            pair = (
+                joint.join(mx, "x")
+                .join(my, "y")
+                .crossJoin(F.broadcast(tot))
+                .agg(
+                    F.first(F.lit(a)).alias("col_a"),
+                    F.first(F.lit(b)).alias("col_b"),
+                    F.first("ra").cast("bigint").alias("n_cats_a"),
+                    F.first("rb").cast("bigint").alias("n_cats_b"),
+                    F.sum(
+                        (F.col("c") / F.col("n"))
+                        * F.log(
+                            F.col("c") * F.col("n")
+                            / (F.col("cx") * F.col("cy"))
+                        )
+                    ).alias("_mi"),
+                    # chi2 sums over ALL cells of the contingency
+                    # table, but the joint frame only holds observed
+                    # (c > 0) cells; an absent cell contributes
+                    # (0-E)^2/E = E, and the absent Es sum to
+                    # N - sum(observed E) because all Es total N.
+                    F.sum(
+                        F.pow(
+                            F.col("c")
+                            - F.col("cx") * F.col("cy") / F.col("n"),
+                            2,
+                        )
+                        / (F.col("cx") * F.col("cy") / F.col("n"))
+                    ).alias("_chi2_obs"),
+                    F.sum(
+                        F.col("cx") * F.col("cy") / F.col("n")
+                    ).alias("_esum"),
+                    F.first("n").alias("_n"),
+                    F.least(
+                        F.first("ra") - 1, F.first("rb") - 1
+                    ).alias("_dof"),
+                )
+                .select(
+                    "col_a",
+                    "col_b",
+                    "n_cats_a",
+                    "n_cats_b",
+                    F.round(F.greatest("_mi", F.lit(0.0)), 6).alias(
+                        "mi_nats"
+                    ),
+                    F.round(
+                        F.when(
+                            F.col("_dof") > 0,
+                            F.sqrt(
+                                (
+                                    F.col("_chi2_obs")
+                                    + F.col("_n")
+                                    - F.col("_esum")
+                                )
+                                / F.col("_n")
+                                / F.col("_dof")
+                            ),
+                        ).otherwise(F.lit(0.0)),
+                        6,
+                    ).alias("cramers_v"),
+                )
+            )
+            out = pair if out is None else out.unionAll(pair)
+    return out
+
+
 def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     """Key-distribution skew report — the diagnostic that decides
     between a plain AQE join and explicit salting (SCALE.md crossover

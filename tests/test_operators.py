@@ -1788,6 +1788,48 @@ def test_span_dedup_incremental_lifecycle(spark, tmp_path):
     assert spark.read.parquet(idx_path + "/grams").count() == n_before
 
 
+def test_categorical_association_pinned_values(spark):
+    """MI and Cramer's V against hand-computable cases: a column
+    perfectly determined by another scores MI = ln(k), V = 1; two
+    independent uniform columns score exactly 0 on both (balanced
+    16-row design -> observed == expected); nulls form their own
+    category; < 2 columns raises."""
+    import math
+
+    import pytest
+
+    from pandas_etl_spark.operators.profile import categorical_association
+
+    # perfect dependence: y = x over 2 categories, 8 rows
+    dep = spark.createDataFrame(
+        [(str(i % 2), str(i % 2)) for i in range(8)], "a string, b string"
+    )
+    r = categorical_association(dep, ["a", "b"]).first()
+    assert r["col_a"] == "a" and r["col_b"] == "b"
+    assert r["n_cats_a"] == 2 and r["n_cats_b"] == 2
+    assert abs(r["mi_nats"] - round(math.log(2), 6)) < 1e-6
+    assert r["cramers_v"] == 1.0
+
+    # independence: full 4x4 cross design, every cell count 1
+    ind = spark.createDataFrame(
+        [(str(i), str(j)) for i in range(4) for j in range(4)],
+        "a string, b string",
+    )
+    r = categorical_association(ind, ["a", "b"]).first()
+    assert r["mi_nats"] == 0.0 and r["cramers_v"] == 0.0
+
+    # nulls are their own category: (None|'x') vs ('0'|'1') dependent
+    nul = spark.createDataFrame(
+        [(None, "0"), (None, "0"), ("x", "1"), ("x", "1")],
+        "a string, b string",
+    )
+    r = categorical_association(nul, ["a", "b"]).first()
+    assert r["n_cats_a"] == 2 and r["cramers_v"] == 1.0
+
+    with pytest.raises(ValueError):
+        categorical_association(dep, ["a"])
+
+
 def test_key_skew_profile_exact_gini(spark):
     """Gini endpoints: uniform counts -> 0; a planted 97%-hot key ->
     2*394/(4*100) - 5/4 = 0.72 exactly; shares follow."""

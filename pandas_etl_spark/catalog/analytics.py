@@ -771,13 +771,17 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
-def _copurchase_edges(spark, sf_dir: str, min_support: int = 1):
+def _copurchase_edges(
+    spark, sf_dir: str, min_support: int = 1, keep_count: bool = False
+):
     """Undirected co-purchase part edges: (u < v) adjacent when some
     order contains both; ``min_support`` keeps pairs co-ordered in at
     least that many orders (>= 2 turns the dense co-order graph into
     the sparse repeat-purchase graph the community/link/k-core queries
-    use). Fan-out is bounded at C(7,2) pairs per order (TPC-H caps
-    lineitems at 7); one l_orderkey shuffle + one (u,v) count."""
+    use); ``keep_count`` retains the co-order count as ``n`` (tie
+    strength — the shortest-path query weights edges 1/n). Fan-out is
+    bounded at C(7,2) pairs per order (TPC-H caps lineitems at 7); one
+    l_orderkey shuffle + one (u,v) count."""
     li = (
         ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
         .select("l_orderkey", "l_partkey")
@@ -786,14 +790,12 @@ def _copurchase_edges(spark, sf_dir: str, min_support: int = 1):
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
     pairs = a.join(b, "o").filter(F.col("u") < F.col("v"))
-    if min_support <= 1:
+    if min_support <= 1 and not keep_count:
         return pairs.select("u", "v")
-    return (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= min_support)
-        .select("u", "v")
+    counted = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= min_support
     )
+    return counted if keep_count else counted.select("u", "v")
 
 
 @query(
@@ -1932,4 +1934,60 @@ def q_survival_km_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("at_risk").cast("bigint").alias("at_risk"),
         F.col("d").cast("bigint").alias("n_events"),
         "survival",
+    )
+
+
+@query(
+    "cheapest_paths_parts",
+    oracle="""
+    WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT u, v, 1.0 / n AS w FROM pairs WHERE n >= 2),
+    sym AS (
+        SELECT u AS node, v AS nbr, w FROM edges
+        UNION ALL SELECT v, u, w FROM edges
+    ),
+    seeds AS (SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#7'),
+    walk(node, cost, hops) AS (
+        SELECT node, CAST(0.0 AS DOUBLE), 0 FROM seeds
+        UNION ALL
+        SELECT s.nbr, w.cost + s.w, w.hops + 1
+        FROM walk w JOIN sym s ON s.node = w.node
+        WHERE w.hops < 3
+    )
+    SELECT node AS part, round(min(cost), 6) AS cost
+    FROM walk GROUP BY node
+    """,
+)
+def q_cheapest_paths_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest paths (operators/graph.shortest_paths)
+    on the repeat-co-purchase graph: cheapest total tie-distance from
+    the Brand#7 part set within 3 hops, edge weight 1/co-order-count
+    (strong ties are short — the network-science "effective distance"),
+    so a far part reached over two strong ties can be CLOSER than a
+    direct weak tie, which plain BFS cannot express. Bounded
+    Bellman-Ford with an improvement frontier: per round one
+    adjacency⋈frontier join + a min-combine into the cost table, both
+    keyed on node; rounds ≤ max_hops. Full oracle: the recursive CTE
+    enumerates ≤3-edge paths and takes min(cost) — identical
+    left-fold float sums, so min picks bit-identical values; both
+    sides round to 6."""
+    from pandas_etl_spark.operators.graph import shortest_paths
+
+    edges = _copurchase_edges(
+        spark, sf_dir, min_support=2, keep_count=True
+    ).withColumn("w", F.lit(1.0) / F.col("n"))
+    seeds = (
+        ensure_parallelism(load_table(spark, sf_dir, "part"))
+        .filter(F.col("p_brand") == "Brand#7")
+        .select(F.col("p_partkey").alias("node"))
+    )
+    res = shortest_paths(edges, seeds, "u", "v", weight="w", max_hops=3)
+    return res.select(
+        F.col("node").alias("part"), F.round("cost", 6).alias("cost")
     )

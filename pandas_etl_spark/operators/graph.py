@@ -452,6 +452,90 @@ def bfs_hops(
     return visited
 
 
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str | None = None,
+    node_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded multi-source weighted shortest paths over an undirected
+    graph: (node, cost) — the minimum total edge weight from any seed
+    to every node reachable within ``max_hops`` edges (weight 1.0 when
+    ``weight`` is None, making cost ≡ hop count). The hop bound makes
+    the operator a bounded Bellman-Ford: after k rounds every cost is
+    the cheapest ≤ k-edge path, the standard "effective distance
+    within a radius" network query (routing cost caps, influence
+    radius under tie strength).
+
+    Scale shape: per round, one equi-join of the symmetrized weighted
+    adjacency against the CURRENT improvement frontier plus a
+    min-combine back into the cost table — two shuffles, both keyed on
+    node. Unlike BFS, a node can re-enter the frontier when a cheaper
+    path arrives (textbook Bellman-Ford relaxation), so the frontier
+    is "nodes whose cost improved this round", and the loop ends when
+    no cost improves or at ``max_hops``; round count is bounded by
+    ``max_hops``, never data-sized. localCheckpoint cuts per-round
+    lineage. Negative weights are rejected (undirected graph: any
+    negative edge is a negative cycle).
+
+    Cross-engine note: costs are float sums over ≤ max_hops terms —
+    catalog callers round (to 6) for hash comparison."""
+    if max_hops < 0:
+        raise ValueError("shortest_paths: max_hops must be >= 0")
+    w_expr = (
+        F.col(weight).cast("double") if weight else F.lit(1.0)
+    ).alias("w")
+    pairs = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+        w_expr,
+    ).filter(F.col("a") != F.col("b"))
+    if weight is not None and pairs.filter(F.col("w") < 0).limit(1).count():
+        raise ValueError("shortest_paths: negative edge weights")
+    # parallel edges collapse to their cheapest weight — one shuffle
+    e = pairs.groupBy("a", "b").agg(F.min("w").alias("w"))
+    sym = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"), "w")
+        .unionAll(
+            e.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
+        )
+        .localCheckpoint()
+    )
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0.0))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        candidates = (
+            sym.join(frontier, "node")
+            .groupBy(F.col("nbr").alias("node"))
+            .agg(F.min(F.col("cost") + F.col("w")).alias("new_cost"))
+        )
+        improved = (
+            candidates.join(dist, "node", "left")
+            .filter(
+                F.col("cost").isNull() | (F.col("new_cost") < F.col("cost"))
+            )
+            .select("node", F.col("new_cost").alias("cost"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionAll(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    return dist
+
+
 def triangle_stats(
     edges: DataFrame, src: str = "u", dst: str = "v"
 ) -> DataFrame:

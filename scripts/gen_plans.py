@@ -53,9 +53,10 @@ NOTES = {
     "key_skew_profile": "Exact distributed Gini: per-key count aggregate, then the three-step prefix-sum (range repartition + per-partition window + broadcast offsets) over |keys| rows — no single-partition Window.orderBy anywhere; top-10 via TakeOrdered.",
     "active_users_hll_rollup": "Mergeable-sketch rollup: two ObjectHashAggregates (daily sketch, weekly union), each with a map-side partial — only KB-sized sketches cross either Exchange; (day,user) pairs never shuffle. The weekly union re-asks read the rollup only.",
     "triangle_count_parts": "Degree-ordered triangle census (Suri-Vassilvitskii): per-order pair fan-out bounded at C(7,2); orientation caps the wedge join's per-key fan-out at O(sqrt E); the closure check is a pure equi semi-join on the (y1,y2) pair — every join in the plan is hash/sort-merge, no BNLJ, no cartesian.",
-    "related_parts_adamic_adar": "Link-prediction wedges enumerate through the COMMON neighbor (no orientation trick applies), so the self-join is keyed on the wedge center; the non-edge filter is a left-anti equi-join on the candidate pair and the degree weight rides the adjacency rows — no BNLJ, no cartesian, TakeOrdered for the top-20. (LPA, k-core, and BFS are not plan-audited: their per-round lineage is deliberately cut by localCheckpoint, so the final explain shows only the last round.)",
+    "related_parts_adamic_adar": "Link-prediction wedges enumerate through the COMMON neighbor (no orientation trick applies), so the self-join is keyed on the wedge center; the non-edge filter is a left-anti equi-join on the candidate pair and the degree weight rides the adjacency rows — no BNLJ, no cartesian, TakeOrdered for the top-20. (LPA, k-core, BFS, and weighted shortest paths are not plan-audited: their per-round lineage is deliberately cut by localCheckpoint, so the final explain shows only the last round.)",
     "assortativity_parts": "Degree-mixing corr: degree aggregate + two endpoint equi-joins + ONE 1-row Pearson corr aggregate with a map-side partial — no iteration, no windows, nothing driver-sized.",
     "survival_km_customers": "Kaplan-Meier: the o_custkey aggregate is the ONLY data-sized shuffle; observation-end and total ride a broadcast 1-row frame; both cumulative windows (at-risk countdown, exp-sum-ln survival product) run single-partition over the per-duration aggregate — bounded by the day domain, never customer-sized.",
+    "assoc_cats_orders": "Categorical MI + Cramer's V: per pair, ONE map-side-combinable joint-count aggregate over the data; marginals re-aggregate the |X|x|Y| joint table (never the data) and the 1-row scores union across pairs — three scans, no windows over data-sized frames.",
 }
 
 

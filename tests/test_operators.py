@@ -1331,6 +1331,43 @@ def test_bfs_hops_known_graphs(spark):
     assert run([(42,)], max_hops=0) == {42: 0}
 
 
+def test_shortest_paths_known_graphs(spark):
+    """Bounded Bellman-Ford: a 2-edge detour beats a heavy direct
+    edge once max_hops admits it; max_hops=1 sees only the direct
+    edge; unweighted cost equals BFS hop count; parallel edges
+    collapse to the cheapest; negative weights raise."""
+    import pytest
+
+    from pandas_etl_spark.operators.graph import shortest_paths
+
+    # direct 1-2 costs 5; detour 1-3-2 costs 2
+    wedges = spark.createDataFrame(
+        [(1, 2, 5.0), (1, 3, 1.0), (3, 2, 1.0)], "u long, v long, w double"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+
+    def run(df, **kw):
+        return {
+            r["node"]: r["cost"]
+            for r in shortest_paths(df, seeds, **kw).collect()
+        }
+
+    assert run(wedges, weight="w", max_hops=2) == {1: 0.0, 2: 2.0, 3: 1.0}
+    assert run(wedges, weight="w", max_hops=1) == {1: 0.0, 2: 5.0, 3: 1.0}
+    # unweighted: cost == hop count
+    assert run(wedges, max_hops=2) == {1: 0.0, 2: 1.0, 3: 1.0}
+    # parallel edges (either orientation) keep the cheapest
+    par = spark.createDataFrame(
+        [(1, 2, 7.0), (2, 1, 3.0)], "u long, v long, w double"
+    )
+    assert run(par, weight="w", max_hops=1) == {1: 0.0, 2: 3.0}
+    neg = spark.createDataFrame([(1, 2, -1.0)], "u long, v long, w double")
+    with pytest.raises(ValueError):
+        shortest_paths(neg, seeds, weight="w")
+    with pytest.raises(ValueError):
+        shortest_paths(wedges, seeds, max_hops=-1)
+
+
 def test_hll_rollup_merge_invariance_and_accuracy(spark, sf_dir):
     """The mergeable-sketch contract: (a) union-merging daily sketches
     to weeks gives the SAME estimate as sketching each week directly
@@ -1828,6 +1865,48 @@ def test_categorical_association_pinned_values(spark):
 
     with pytest.raises(ValueError):
         categorical_association(dep, ["a"])
+
+
+def test_benford_deviation_pinned_values(spark):
+    """Benford audit against hand-computable cases: one value per
+    digit 1..9 gives uniform 1/9 observed shares and the closed-form
+    chi2/MAD; nulls, zeros, and negatives' signs are excluded/skipped;
+    a sub-1e-3 double (scientific rendering) still yields its leading
+    significant digit; absent digits appear with n=0 and still pay
+    expected chi-square mass; empty column list raises."""
+    import math
+
+    import pytest
+
+    from pandas_etl_spark.operators.profile import benford_deviation
+
+    uni = spark.createDataFrame(
+        [(float(d),) for d in range(1, 10)] + [(None,), (0.0,)],
+        "v double",
+    )
+    rows = {r["digit"]: r for r in benford_deviation(uni, ["v"]).collect()}
+    assert sorted(rows) == list(range(1, 10))
+    e = [math.log10(1 + 1 / d) for d in range(1, 10)]
+    chi2 = 9 * sum((1 / 9 - ed) ** 2 / ed for ed in e)
+    mad = sum(abs(1 / 9 - ed) for ed in e) / 9
+    for d in range(1, 10):
+        r = rows[d]
+        assert r["n"] == 1 and r["col_name"] == "v"
+        assert abs(r["obs_share"] - round(1 / 9, 6)) < 1e-6
+        assert abs(r["benford_share"] - e[d - 1]) < 1e-6
+        assert abs(r["chi2"] - chi2) < 1e-5
+        assert abs(r["mad"] - mad) < 1e-6
+
+    # scientific rendering keeps the significant digit; 7 absent
+    sci = spark.createDataFrame([(0.00042,), (42.0,)], "v double")
+    rows = {r["digit"]: r for r in benford_deviation(sci, ["v"]).collect()}
+    assert rows[4]["n"] == 2 and rows[4]["obs_share"] == 1.0
+    assert rows[7]["n"] == 0 and rows[7]["obs_share"] == 0.0
+    # absent digits still pay their expected mass: chi2 > 0
+    assert rows[7]["chi2"] > 0
+
+    with pytest.raises(ValueError):
+        benford_deviation(uni, [])
 
 
 def test_key_skew_profile_exact_gini(spark):

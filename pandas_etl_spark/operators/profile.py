@@ -268,3 +268,76 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def benford_deviation(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Benford's-law conformity audit — the classic fraud / data-entry
+    anomaly screen for naturally-occurring positive amounts: per
+    column, the observed first-significant-digit distribution against
+    the Benford expectation log10(1 + 1/d), with the column-level
+    chi-square statistic and Nigrini's mean-absolute-deviation (MAD)
+    conformity score attached to every digit row. Returns 9 rows per
+    column: (col_name, digit, n, obs_share, benford_share, chi2, mad).
+
+    First-digit extraction is string-based — the first [1-9] in the
+    value's string rendering — which is format-agnostic (plain or
+    scientific notation both lead with the most significant digit), so
+    it is stable across engines regardless of how each renders
+    doubles. Nulls, zeros, and digit-free renderings are excluded.
+
+    Scale shape: ONE map-side-combinable 9-bucket count aggregate over
+    the data per column; the digit domain (a 9-row range, left-joined
+    so absent digits score 0 observed and still pay their expected
+    chi-square mass) and the chi2/MAD fold all run on 9-row frames.
+    Deterministic; callers round shares/scores for cross-engine
+    comparison."""
+    if not cols:
+        raise ValueError("benford_deviation: need >= 1 column")
+    spark = df.sparkSession
+    dom = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("id")).alias("e"),
+    )
+    out = None
+    for c in cols:
+        digits = df.select(
+            F.regexp_extract(F.col(c).cast("string"), "[1-9]", 0)
+            .cast("int")
+            .alias("digit")
+        ).filter(F.col("digit").isNotNull())
+        cnt = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+        full = dom.join(cnt, "digit", "left").select(
+            "digit", "e", F.coalesce("n", F.lit(0)).alias("n")
+        )
+        tot = full.agg(F.sum("n").alias("nt"))
+        scored = full.crossJoin(F.broadcast(tot)).select(
+            "digit",
+            "n",
+            "e",
+            "nt",
+            (F.col("n").cast("double") / F.col("nt")).alias("p"),
+        )
+        colstats = scored.agg(
+            (
+                F.max("nt")
+                * F.sum(
+                    (F.col("p") - F.col("e"))
+                    * (F.col("p") - F.col("e"))
+                    / F.col("e")
+                )
+            ).alias("chi2"),
+            (F.sum(F.abs(F.col("p") - F.col("e"))) / F.lit(9.0)).alias(
+                "mad"
+            ),
+        )
+        row = scored.crossJoin(F.broadcast(colstats)).select(
+            F.lit(c).alias("col_name"),
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("p", 6).alias("obs_share"),
+            F.round("e", 6).alias("benford_share"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round("mad", 6).alias("mad"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

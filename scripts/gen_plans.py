@@ -57,6 +57,7 @@ NOTES = {
     "assortativity_parts": "Degree-mixing corr: degree aggregate + two endpoint equi-joins + ONE 1-row Pearson corr aggregate with a map-side partial — no iteration, no windows, nothing driver-sized.",
     "survival_km_customers": "Kaplan-Meier: the o_custkey aggregate is the ONLY data-sized shuffle; observation-end and total ride a broadcast 1-row frame; both cumulative windows (at-risk countdown, exp-sum-ln survival product) run single-partition over the per-duration aggregate — bounded by the day domain, never customer-sized.",
     "assoc_cats_orders": "Categorical MI + Cramer's V: per pair, ONE map-side-combinable joint-count aggregate over the data; marginals re-aggregate the |X|x|Y| joint table (never the data) and the 1-row scores union across pairs — three scans, no windows over data-sized frames.",
+    "benford_price_audit": "Benford conformity: per column ONE map-side-combinable 9-bucket digit-count aggregate is the only data-sized work; the digit domain, chi-square and MAD folds all run on 9-row broadcast frames.",
 }
 
 

@@ -102,6 +102,7 @@ EXTENDED = [
     "assoc_cats_orders",
     "cheapest_paths_parts",
     "benford_price_audit",
+    "holt_trend_daily",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

@@ -1991,3 +1991,92 @@ def q_cheapest_paths_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.col("node").alias("part"), F.round("cost", 6).alias("cost")
     )
+
+
+_HOLT_A = 0.5
+_HOLT_B = 0.3
+
+
+@query(
+    "holt_trend_daily",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+        SELECT o_orderpriority AS priority,
+               date_trunc('day', o_orderdate) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS y,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY date_trunc('day', o_orderdate)) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        GROUP BY 1, 2
+    ),
+    hw(priority, rn, l, b) AS (
+        SELECT s1.priority, 1, s1.y, s2.y - s1.y
+        FROM s s1 JOIN s s2
+          ON s2.priority = s1.priority AND s1.rn = 1 AND s2.rn = 2
+        UNION ALL
+        SELECT h.priority, h.rn + 1,
+               {_HOLT_A!r}e0 * s.y + {1 - _HOLT_A!r}e0 * (h.l + h.b),
+               {_HOLT_B!r}e0 * (({_HOLT_A!r}e0 * s.y
+                   + {1 - _HOLT_A!r}e0 * (h.l + h.b)) - h.l)
+                   + {1 - _HOLT_B!r}e0 * h.b
+        FROM hw h JOIN s
+          ON s.priority = h.priority AND s.rn = h.rn + 1
+    )
+    SELECT s.priority, s.d, round(s.y, 6) AS y,
+           round(h.l, 6) AS level, round(h.b, 6) AS trend,
+           round(hp.l + hp.b, 6) AS fitted
+    FROM s
+    JOIN hw h ON h.priority = s.priority AND h.rn = s.rn
+    LEFT JOIN hw hp ON hp.priority = s.priority AND hp.rn = s.rn - 1
+    """,
+)
+def q_holt_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (operators/forecast.holt_linear) of
+    the daily revenue series per order priority (2001 onward — a
+    months-long series that keeps the oracle's recursion depth bounded):
+    level, trend, and the one-step-ahead fitted value for every
+    observed day — the recursive
+    member of the time-series family beside seasonal decomposition and
+    EWM (two coupled states, so no SQL window expresses it; the
+    recurrence IS the applyInPandas UDF).
+
+    Scale shape: the 100 TB order stream collapses FIRST into the
+    (priority, day) aggregate — one data-sized shuffle, day-domain
+    bounded output — and only then does the per-series recurrence run,
+    one series per task (parallelism = #series, length ≤ day domain).
+    Daily revenue sums exact integer cents so both engines seed the
+    recursion with bit-identical doubles; the recurrence uses the
+    textbook operand order on both sides, making level/trend/fitted
+    bit-reproducible (rounded to 6 for the hash). Full oracle: DuckDB
+    replays the recursion as a recursive CTE over the same series."""
+    from pandas_etl_spark.operators.forecast import holt_linear
+
+    daily = (
+        ensure_parallelism(load_table(spark, sf_dir, "orders"))
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("d"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("double")
+                / 100
+            ).alias("rev")
+        )
+    )
+    res = holt_linear(
+        daily, "priority", "d", "rev", alpha=_HOLT_A, beta=_HOLT_B
+    )
+    return res.select(
+        "priority",
+        "d",
+        F.round("y", 6).alias("y"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("fitted", 6).alias("fitted"),
+    )

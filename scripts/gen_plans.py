@@ -58,6 +58,7 @@ NOTES = {
     "survival_km_customers": "Kaplan-Meier: the o_custkey aggregate is the ONLY data-sized shuffle; observation-end and total ride a broadcast 1-row frame; both cumulative windows (at-risk countdown, exp-sum-ln survival product) run single-partition over the per-duration aggregate — bounded by the day domain, never customer-sized.",
     "assoc_cats_orders": "Categorical MI + Cramer's V: per pair, ONE map-side-combinable joint-count aggregate over the data; marginals re-aggregate the |X|x|Y| joint table (never the data) and the 1-row scores union across pairs — three scans, no windows over data-sized frames.",
     "benford_price_audit": "Benford conformity: per column ONE map-side-combinable 9-bucket digit-count aggregate is the only data-sized work; the digit domain, chi-square and MAD folds all run on 9-row broadcast frames.",
+    "holt_trend_daily": "Holt smoothing: the pushed date filter + ONE (priority,day) aggregate collapse the data before anything sequential; the recurrence runs as a single FlatMapGroupsInPandas over day-domain-bounded series, one series per task.",
 }
 
 

@@ -1909,6 +1909,51 @@ def test_benford_deviation_pinned_values(spark):
         benford_deviation(uni, [])
 
 
+def test_holt_linear_pinned_recurrence(spark):
+    """Holt smoothing against the hand-run textbook recurrence: level,
+    trend, and one-step fitted reproduce the Python fold exactly;
+    input row order is irrelevant (the operator sorts per series);
+    single-row series get (level=y, trend=0, fitted=None); multiple
+    independent series smooth independently; bad alpha/beta raise."""
+    import pytest
+
+    from pandas_etl_spark.operators.forecast import holt_linear
+
+    ys = [10.0, 12.0, 11.0, 15.0, 14.0]
+    a, b = 0.5, 0.3
+    lv, tr = [ys[0]], [ys[1] - ys[0]]
+    fitted = [None]
+    for t in range(1, len(ys)):
+        l_new = a * ys[t] + (1 - a) * (lv[-1] + tr[-1])
+        b_new = b * (l_new - lv[-1]) + (1 - b) * tr[-1]
+        fitted.append(lv[-1] + tr[-1])
+        lv.append(l_new)
+        tr.append(b_new)
+
+    rows = [("s", t, ys[t]) for t in range(len(ys))]
+    rows += [("z", 0, 7.0)]  # single-row series
+    # shuffled input order: the operator must sort by the order col
+    rows = rows[::-1]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    got = {
+        (r["g"], r["t"]): r
+        for r in holt_linear(df, "g", "t", "v", alpha=a, beta=b).collect()
+    }
+    assert len(got) == 6
+    for t in range(len(ys)):
+        r = got[("s", t)]
+        assert r["y"] == ys[t]
+        assert r["level"] == lv[t] and r["trend"] == tr[t]
+        assert r["fitted"] == fitted[t]
+    rz = got[("z", 0)]
+    assert rz["level"] == 7.0 and rz["trend"] == 0.0 and rz["fitted"] is None
+
+    with pytest.raises(ValueError):
+        holt_linear(df, "g", "t", "v", alpha=0.0)
+    with pytest.raises(ValueError):
+        holt_linear(df, "g", "t", "v", beta=1.5)
+
+
 def test_key_skew_profile_exact_gini(spark):
     """Gini endpoints: uniform counts -> 0; a planted 97%-hot key ->
     2*394/(4*100) - 5/4 = 0.72 exactly; shares follow."""

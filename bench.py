@@ -103,6 +103,7 @@ EXTENDED = [
     "cheapest_paths_parts",
     "benford_price_audit",
     "holt_trend_daily",
+    "embedding_pca_project",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

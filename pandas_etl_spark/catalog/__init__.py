@@ -110,6 +110,7 @@ _PRIORITY = [
 # assortativity_parts / survival_km_customers / bfs_reach_parts /
 # assoc_cats_orders / cheapest_paths_parts / benford_price_audit /
 # holt_trend_daily (full oracles); plus rows-only k_core_parts /
+# embedding_pca_project /
 # ann_pq_topk / segment_neardup / stream_manifest_ingest /
 # ann_recall_audit / active_users_hll_rollup / audience_overlap_hll /
 # stream_hll_ingest)

@@ -461,3 +461,26 @@ def q_semantic_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lp.select(
         F.col("node").alias("vec_id"), F.col("label").alias("community")
     )
+
+
+@query("embedding_pca_project")
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed PCA (functions/decompose.pca_fit/project):
+    fit population PCA on ALL embeddings — per-batch moment rows via
+    one numpy matmul each, positional-sum combine, only the d+d²+1
+    moments ever reach the driver — then project every vector onto the
+    top-8 components (the decorrelation step ahead of semantic
+    clustering / whitened dedup). Rows-only driver check
+    (eigendecomposition is not SQL-expressible); orthonormality,
+    eigenvalue ordering, projected-variance ≡ eigenvalue, partition
+    invariance, and reconstruction-error monotonicity are
+    property-tested in tests/test_operators.py."""
+    from pandas_etl_spark.functions.decompose import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=8)
+    return pca_project(emb, model, "embedding", "proj").select(
+        "vec_id",
+        "label",
+        F.transform("proj", lambda x: F.round(x, 6)).alias("proj"),
+    )

@@ -59,6 +59,7 @@ NOTES = {
     "assoc_cats_orders": "Categorical MI + Cramer's V: per pair, ONE map-side-combinable joint-count aggregate over the data; marginals re-aggregate the |X|x|Y| joint table (never the data) and the 1-row scores union across pairs — three scans, no windows over data-sized frames.",
     "benford_price_audit": "Benford conformity: per column ONE map-side-combinable 9-bucket digit-count aggregate is the only data-sized work; the digit domain, chi-square and MAD folds all run on 9-row broadcast frames.",
     "holt_trend_daily": "Holt smoothing: the pushed date filter + ONE (priority,day) aggregate collapse the data before anything sequential; the recurrence runs as a single FlatMapGroupsInPandas over day-domain-bounded series, one series per task.",
+    "embedding_pca_project": "Exact PCA: the visible plan is projection only — one ArrowEvalPython matmul over the scan; the fit ran as its own bounded job (per-batch moment rows, positional-sum combine, d+d^2+1 collected moments), so no fit-side Exchange appears here.",
 }
 
 

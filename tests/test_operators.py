@@ -1909,6 +1909,74 @@ def test_benford_deviation_pinned_values(spark):
         benford_deviation(uni, [])
 
 
+def test_pca_fit_project_properties(spark, sf_dir):
+    """Exact-PCA invariants on the embeddings fixture: components are
+    orthonormal and eigenvalue-ordered; the projected coordinates'
+    population variance equals the eigenvalues and distinct components
+    are uncorrelated; the fit is partition-invariant (exact moments —
+    only summation-order ulps differ); whitening rescales to unit
+    variance; full-rank reconstruction is exact; k out of range and
+    empty input raise."""
+    import numpy as np
+    import pytest
+
+    from pandas_etl_spark.functions.decompose import pca_fit, pca_project
+    from pandas_etl_spark.sources import load_table
+
+    emb = load_table(spark, str(sf_dir), "embeddings")
+    model = pca_fit(emb, "embedding", k=8)
+    W = model.components
+    assert W.shape == (8, 64)
+    assert np.allclose(W @ W.T, np.eye(8), atol=1e-9)
+    ev = model.explained_var
+    assert all(ev[i] >= ev[i + 1] >= 0 for i in range(7))
+    # sign convention: largest-|coordinate| entry positive
+    for row in W:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+    rows = pca_project(emb, model, "embedding").select("proj").collect()
+    P = np.array([r["proj"] for r in rows])
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    # population variance of each projected coord == its eigenvalue,
+    # and coords are uncorrelated
+    C = (P - P.mean(axis=0)).T @ (P - P.mean(axis=0)) / len(P)
+    assert np.allclose(np.diag(C), ev, rtol=1e-6, atol=1e-9)
+    assert np.allclose(C - np.diag(np.diag(C)), 0, atol=1e-6)
+
+    # partition invariance of the exact fit
+    model2 = pca_fit(emb.repartition(7), "embedding", k=8)
+    assert np.allclose(model2.explained_var, ev, rtol=1e-8, atol=1e-10)
+    assert np.allclose(np.abs(model2.components), np.abs(W), atol=1e-7)
+
+    # whitening: unit variance per coord
+    rows = pca_project(emb, model, "embedding", whiten=True).select(
+        "proj"
+    ).collect()
+    Pw = np.array([r["proj"] for r in rows])
+    assert np.allclose(Pw.var(axis=0), 1.0, rtol=1e-6)
+
+    # full-rank reconstruction is exact
+    full = pca_fit(emb, "embedding", k=64)
+    Pf = (X - full.mean) @ full.components.T
+    assert np.allclose(
+        Pf @ full.components + full.mean, X, atol=1e-8
+    )
+    # top-8 residual: explained variance matches the eigen gap
+    resid = X - (P @ W + model.mean)
+    total_var = ((X - X.mean(axis=0)) ** 2).sum(axis=1).mean()
+    assert np.isclose(
+        (resid**2).sum(axis=1).mean(), total_var - ev.sum(), rtol=1e-6
+    )
+
+    with pytest.raises(ValueError):
+        pca_fit(emb, "embedding", k=0)
+    with pytest.raises(ValueError):
+        pca_fit(emb.limit(0), "embedding", k=2)
+
+
 def test_holt_linear_pinned_recurrence(spark):
     """Holt smoothing against the hand-run textbook recurrence: level,
     trend, and one-step fitted reproduce the Python fold exactly;

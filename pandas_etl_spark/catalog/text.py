@@ -409,6 +409,99 @@ def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest({_DD_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    w AS (
+        SELECT id, term, tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS w
+        FROM tf JOIN dfreq USING (term), n
+    ),
+    norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+    dots AS (
+        SELECT q.id AS query_id, d.id AS neighbor_id, sum(d.w * q.w) AS dot
+        FROM w d JOIN w q USING (term)
+        WHERE q.id < 3 AND d.id <> q.id
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(dot / (dn.nrm * qn.nrm), 6) DESC,
+                            neighbor_id) AS rn
+        FROM dots
+        JOIN norms dn ON dn.id = dots.neighbor_id
+        JOIN norms qn ON qn.id = dots.query_id
+        QUALIFY rn <= 20
+    ),
+    dlen AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+    idf AS (
+        SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf,
+               stats.avgdl AS avgdl
+        FROM dfreq, stats
+    ),
+    bscored AS (
+        SELECT tf.id, tf.term,
+               idf.idf * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / idf.avgdl)) AS s
+        FROM tf JOIN dlen USING (id) JOIN idf USING (term)
+    ),
+    b AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(sum(s), 6) DESC, neighbor_id) AS rn
+        FROM (
+            SELECT q.query_id, bscored.id AS neighbor_id, s
+            FROM bscored
+            JOIN (SELECT DISTINCT id AS query_id, term FROM tf
+                  WHERE id < 3) q USING (term)
+            WHERE bscored.id <> q.query_id
+        )
+        GROUP BY query_id, neighbor_id
+        QUALIFY rn <= 20
+    ),
+    fused AS (
+        SELECT coalesce(t.query_id, b.query_id) AS query_id,
+               coalesce(t.neighbor_id, b.neighbor_id) AS neighbor_id,
+               CAST(t.rn AS BIGINT) AS r_tfidf,
+               CAST(b.rn AS BIGINT) AS r_bm25,
+               round(coalesce(1e0 / (60 + t.rn), 0)
+                     + coalesce(1e0 / (60 + b.rn), 0), 6) AS rrf
+        FROM t FULL OUTER JOIN b
+          ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+    )
+    SELECT query_id, neighbor_id, r_tfidf, r_bm25, rrf,
+           CAST(rn AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, neighbor_id) AS rn
+          FROM fused)
+    WHERE rn <= 5
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion
+    (functions/text.hybrid_rrf_topk): TF-IDF cosine and Okapi BM25
+    each retrieve to depth 20 per query, candidates fuse by
+    Σ 1/(60+rank), fused top-5 returned — the zero-tuning way to
+    combine rankers with incomparable score scales, completing the
+    retrieval family (dense ANN / TF-IDF / BM25 / fused). The two legs
+    keep their inverted-index term-join plans; fusion itself touches
+    only query-bounded rank lists (full-outer join + per-query window
+    over ≤ 40 candidates). Ranks are integers so the RRF arithmetic is
+    bit-identical across engines. Full oracle replays both legs and
+    the fusion."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return tx.hybrid_rrf_topk(d, "text", "doc_id", n_queries=3, k=5)
+
+
+@query(
     "group_percentiles",
     oracle="""
     SELECT l_returnflag,

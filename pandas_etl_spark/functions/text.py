@@ -865,6 +865,63 @@ def bm25_topk(
     )
 
 
+def hybrid_rrf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_queries: int = 3,
+    k: int = 5,
+    k_each: int = 20,
+    k_rrf: int = 60,
+    query_ids=None,
+) -> DataFrame:
+    """Hybrid lexical retrieval by reciprocal-rank fusion (Cormack et
+    al. 2009): run BOTH rankers — TF-IDF cosine and Okapi BM25 — to
+    depth ``k_each`` per query, score every candidate
+    ``sum over systems of 1 / (k_rrf + rank)`` (a document missing from
+    one system's list contributes 0 for it), and return the fused
+    top-``k``. RRF is the standard zero-tuning way to combine rankers
+    whose raw scores are incomparable; k_rrf=60 is the canonical
+    damping constant.
+
+    Scale shape: the two retrieval legs are the existing
+    inverted-index term-join plans; the fusion itself works on
+    QUERY-BOUNDED frames only — a full-outer equi-join of two
+    ≤ |queries|·k_each rank lists on (query, doc) plus a per-query
+    window over ≤ 2·k_each candidates. Ranks are integers, so the RRF
+    score is bit-deterministic across engines (two exact double
+    reciprocals summed); rounding to 6 before the final rank keeps the
+    (rrf DESC, id ASC) order engine-stable."""
+    from pyspark.sql import Window as W
+
+    lex = tfidf_cosine_topk(
+        df, text_col, id_col, n_queries, k_each, query_ids=query_ids
+    ).select("query_id", "neighbor_id", F.col("rnk").alias("r_tfidf"))
+    bm = bm25_topk(
+        df, text_col, id_col, n_queries, k_each, query_ids=query_ids
+    ).select("query_id", "neighbor_id", F.col("rnk").alias("r_bm25"))
+    fused = lex.join(bm, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        "r_tfidf",
+        "r_bm25",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("r_tfidf")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("r_bm25")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -60,6 +60,7 @@ NOTES = {
     "benford_price_audit": "Benford conformity: per column ONE map-side-combinable 9-bucket digit-count aggregate is the only data-sized work; the digit domain, chi-square and MAD folds all run on 9-row broadcast frames.",
     "holt_trend_daily": "Holt smoothing: the pushed date filter + ONE (priority,day) aggregate collapse the data before anything sequential; the recurrence runs as a single FlatMapGroupsInPandas over day-domain-bounded series, one series per task.",
     "embedding_pca_project": "Exact PCA: the visible plan is projection only — one ArrowEvalPython matmul over the scan; the fit ran as its own bounded job (per-batch moment rows, positional-sum combine, d+d^2+1 collected moments), so no fit-side Exchange appears here.",
+    "hybrid_search_rrf": "RRF fusion: both retrieval legs keep the inverted-index term-join shape (query side broadcasts); the fusion is a full-outer join of two query-bounded rank lists + one per-query window over <= 40 candidates — nothing corpus-sized after the legs.",
 }
 
 

@@ -957,6 +957,40 @@ def test_lexical_search_explicit_query_ids(spark):
     assert {r["query_id"] for r in bm.collect()} == {"doc-a"}
 
 
+def test_hybrid_rrf_fusion_invariants(spark):
+    """RRF fusion on a tiny corpus: every fused row carries the exact
+    Σ 1/(60+rank) of its per-system ranks (missing system → 0); a doc
+    top-ranked by BOTH systems tops the fusion; every candidate comes
+    from at least one leg; query_ids pass-through works on string
+    ids."""
+    from pandas_etl_spark.functions import text as tx
+
+    rows = [
+        ("doc-a", "spark shuffles data between stages"),
+        ("doc-b", "spark broadcasts small tables"),
+        ("doc-c", "ducks swim in ponds"),
+        ("doc-d", "spark shuffles data and broadcasts tables"),
+        ("doc-e", "spark shuffles data between stages quickly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = tx.hybrid_rrf_topk(
+        df, "text", "doc_id", query_ids=["doc-a"], k=4, k_each=4
+    ).collect()
+    assert got and all(r["query_id"] == "doc-a" for r in got)
+    for r in got:
+        expect = 0.0
+        if r["r_tfidf"] is not None:
+            expect += 1.0 / (60 + r["r_tfidf"])
+        if r["r_bm25"] is not None:
+            expect += 1.0 / (60 + r["r_bm25"])
+        assert r["rrf"] == round(expect, 6)
+        assert r["r_tfidf"] is not None or r["r_bm25"] is not None
+    # doc-e shares the whole query text — rank 1 in both systems
+    top = min(got, key=lambda r: r["rnk"])
+    assert top["neighbor_id"] == "doc-e"
+    assert top["r_tfidf"] == 1 and top["r_bm25"] == 1
+
+
 def test_containment_catches_doc_inside_doc(spark):
     """A short doc verbatim inside a much longer page: Jaccard scores it
     far below any dedup threshold, containment scores it 1.0 — the case

@@ -509,6 +509,49 @@ def q_assoc_cats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_association(o, ["status", "priority", "order_year"])
 
 
+_SPEARMAN_PAIR_SQL = """
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(ra, rb), 6) AS spearman_rho
+    FROM (
+        SELECT rank() OVER (ORDER BY {a})
+                   + (count(*) OVER (PARTITION BY {a}) - 1) / 2.0 AS ra,
+               rank() OVER (ORDER BY {b})
+                   + (count(*) OVER (PARTITION BY {b}) - 1) / 2.0 AS rb
+        FROM lineitem
+        WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+    )"""
+
+
+@query(
+    "spearman_corr_lineitem",
+    oracle=_SPEARMAN_PAIR_SQL.format(a="l_quantity", b="l_extendedprice")
+    + "\n    UNION ALL"
+    + _SPEARMAN_PAIR_SQL.format(a="l_quantity", b="l_discount")
+    + "\n    UNION ALL"
+    + _SPEARMAN_PAIR_SQL.format(a="l_extendedprice", b="l_discount"),
+)
+def q_spearman_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/profile
+    .spearman_correlation) over quantity / extended price / discount —
+    the monotonic-dependence profiler beside Pearson corr_matrix and
+    the categorical association audit (quantity→price is strongly
+    monotonic even though the relation is scale-dependent; discount is
+    independent of both). Ranks come WITHOUT a global sort: per pair
+    one joint-count aggregate is the only data-sized shuffle, average
+    ranks run as distributed prefix-sums over each column's marginal
+    counts, and the centered correlation folds over the joint table.
+    Full oracle: DuckDB average-rank windows + corr."""
+    from pandas_etl_spark.operators.profile import spearman_correlation
+
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem")).select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return spearman_correlation(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
 @query(
     "benford_price_audit",
     oracle="""

@@ -34,8 +34,18 @@ def global_running_sum(
     (which must be a TOTAL order — ties make the prefix sum
     nondeterministic), computed without a single-partition window."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint PINS the range partitioning: the per-partition
+    # totals job and the final output job must see the SAME partition
+    # boundaries, but an uncached repartitionByRange re-runs its
+    # boundary SAMPLING on every action — and AQE can present the
+    # sampler differently-coalesced input per job, moving boundary keys
+    # between partitions so the offsets map (collected in job 1) gets
+    # applied to the wrong rows in job 2. Observed: a 60k-key prefix
+    # sum whose final cumulative lost 258 rows (spearman audit, r5).
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w = (
         Window.partitionBy("__pid")

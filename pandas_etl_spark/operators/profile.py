@@ -341,3 +341,95 @@ def benford_deviation(df: DataFrame, cols: list[str]) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def spearman_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Spearman rank correlation — the monotonic-dependence
+    profiler beside Pearson ``corr_matrix`` (robust to outliers and
+    nonlinearity; ties get average ranks, the standard tie-corrected
+    estimator). Returns (col_a, col_b, n, spearman_rho) per unordered
+    pair, pairwise-complete (rows null in either column drop for that
+    pair, and ranks are recomputed on the surviving subset).
+
+    Scale shape — ranks WITHOUT a global sort and WITHOUT joining
+    ranks back onto the data: per pair, ONE map-side-combinable joint
+    (value_a, value_b) count aggregate is the only data-sized shuffle;
+    marginal counts re-aggregate the joint table, each column's
+    average ranks come from the three-step distributed prefix-sum of
+    :mod:`operators.prefix` over its |distinct| marginal rows, and the
+    correlation folds over the joint table weighted by cell count.
+    Ranks are centered by the exact mean (n+1)/2 before the product
+    fold, so the rho numerator never suffers the n³-scale catastrophic
+    cancellation of the raw-sum formula. Constant columns (zero rank
+    variance) return NULL rho."""
+    from pandas_etl_spark.operators.prefix import global_running_sum
+
+    if len(cols) < 2:
+        raise ValueError("spearman_correlation: need >= 2 columns")
+
+    def _ranks(joint: DataFrame, key: str, out: str) -> DataFrame:
+        marg = joint.groupBy(key).agg(F.sum("c").alias("__mc"))
+        run = global_running_sum(marg, [F.col(key)], "__mc", "__cum")
+        return run.select(
+            key,
+            (
+                F.col("__cum").cast("double")
+                - F.col("__mc")
+                + (F.col("__mc") + F.lit(1.0)) / 2
+            ).alias(out),
+        )
+
+    out = None
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            joint = (
+                df.select(F.col(a).alias("va"), F.col(b).alias("vb"))
+                .filter(F.col("va").isNotNull() & F.col("vb").isNotNull())
+                .groupBy("va", "vb")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            tot = joint.agg(F.sum("c").alias("n"))
+            ra = _ranks(joint, "va", "ra")
+            rb = _ranks(joint, "vb", "rb")
+            cen = (F.col("n") + F.lit(1.0)) / 2
+            folded = (
+                joint.join(ra, "va")
+                .join(rb, "vb")
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    "c",
+                    "n",
+                    (F.col("ra") - cen).alias("da"),
+                    (F.col("rb") - cen).alias("db"),
+                )
+                .agg(
+                    F.first(F.lit(a)).alias("col_a"),
+                    F.first(F.lit(b)).alias("col_b"),
+                    F.first("n").cast("bigint").alias("n"),
+                    F.sum(F.col("c") * F.col("da") * F.col("db")).alias(
+                        "_sab"
+                    ),
+                    F.sum(F.col("c") * F.col("da") * F.col("da")).alias(
+                        "_saa"
+                    ),
+                    F.sum(F.col("c") * F.col("db") * F.col("db")).alias(
+                        "_sbb"
+                    ),
+                )
+                .select(
+                    "col_a",
+                    "col_b",
+                    "n",
+                    F.when(
+                        (F.col("_saa") > 0) & (F.col("_sbb") > 0),
+                        F.round(
+                            F.col("_sab")
+                            / F.sqrt(F.col("_saa") * F.col("_sbb")),
+                            6,
+                        ),
+                    ).alias("spearman_rho"),
+                )
+            )
+            out = folded if out is None else out.unionAll(folded)
+    return out

@@ -61,6 +61,7 @@ NOTES = {
     "holt_trend_daily": "Holt smoothing: the pushed date filter + ONE (priority,day) aggregate collapse the data before anything sequential; the recurrence runs as a single FlatMapGroupsInPandas over day-domain-bounded series, one series per task.",
     "embedding_pca_project": "Exact PCA: the visible plan is projection only — one ArrowEvalPython matmul over the scan; the fit ran as its own bounded job (per-batch moment rows, positional-sum combine, d+d^2+1 collected moments), so no fit-side Exchange appears here.",
     "hybrid_search_rrf": "RRF fusion: both retrieval legs keep the inverted-index term-join shape (query side broadcasts); the fusion is a full-outer join of two query-bounded rank lists + one per-query window over <= 40 candidates — nothing corpus-sized after the legs.",
+    "spearman_corr_lineitem": "Spearman without a global sort: per pair ONE data-sized joint-count aggregate; average ranks are distributed prefix-sums over the |distinct|-sized marginals (localCheckpoint pins the range partitioning); the centered correlation folds over the joint table — no single-partition Window.orderBy anywhere.",
 }
 
 

@@ -2056,6 +2056,78 @@ def test_holt_linear_pinned_recurrence(spark):
         holt_linear(df, "g", "t", "v", beta=1.5)
 
 
+def test_spearman_correlation_pinned_values(spark):
+    """Spearman against hand-checkable cases: any strictly monotone
+    (even nonlinear) relation scores exactly 1, reversed scores -1;
+    ties reproduce pandas' average-rank Pearson exactly; nulls drop
+    pairwise (n reflects it); constant columns give NULL rho; < 2
+    columns raises."""
+    import pandas as pd
+    import pytest
+
+    from pandas_etl_spark.operators.profile import spearman_correlation
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    mono = spark.createDataFrame(
+        [(x, x**3, -x) for x in xs], "a double, b double, c double"
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r
+        for r in spearman_correlation(mono, ["a", "b", "c"]).collect()
+    }
+    assert got[("a", "b")]["spearman_rho"] == 1.0
+    assert got[("a", "c")]["spearman_rho"] == -1.0
+    assert got[("b", "c")]["spearman_rho"] == -1.0
+    assert got[("a", "b")]["n"] == 6
+
+    # ties: match pandas average-rank Pearson
+    rows = [(1.0, 2.0), (1.0, 1.0), (2.0, 2.0), (3.0, 1.0), (3.0, 3.0)]
+    tied = spark.createDataFrame(rows, "a double, b double")
+    pdf = pd.DataFrame(rows, columns=["a", "b"])
+    expect = pdf["a"].rank(method="average").corr(pdf["b"].rank(method="average"))
+    r = spearman_correlation(tied, ["a", "b"]).first()
+    assert abs(r["spearman_rho"] - round(expect, 6)) <= 1e-6
+
+    # pairwise null drop + constant column -> NULL rho
+    nul = spark.createDataFrame(
+        [(1.0, 1.0, 5.0), (2.0, None, 5.0), (3.0, 3.0, 5.0)],
+        "a double, b double, k double",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r
+        for r in spearman_correlation(nul, ["a", "b", "k"]).collect()
+    }
+    assert got[("a", "b")]["n"] == 2 and got[("a", "b")]["spearman_rho"] == 1.0
+    assert got[("a", "k")]["spearman_rho"] is None
+
+    with pytest.raises(ValueError):
+        spearman_correlation(mono, ["a"])
+
+
+def test_global_running_sum_conservation_large_domain(spark):
+    """Regression (r5): global_running_sum must PIN its range
+    partitioning — before the fix, the offsets map was collected from
+    one execution of repartitionByRange and applied to a RE-SAMPLED
+    one, silently dropping rows from the cumulative (a 60k-key prefix
+    sum lost 258 rows). Conservation invariants on a 60k-key domain:
+    the max cumulative equals the grand total and Σ per-key cum is the
+    exact closed form."""
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.operators.prefix import global_running_sum
+
+    n = 60000
+    df = spark.range(n).select(
+        (F.col("id") * 0.01).alias("k"), F.lit(1).alias("one")
+    )
+    run = global_running_sum(df, [F.col("k")], "one", "cum")
+    agg = run.agg(
+        F.max("cum").alias("mx"), F.sum("cum").alias("s")
+    ).first()
+    assert agg["mx"] == n
+    assert agg["s"] == n * (n + 1) // 2
+
+
 def test_key_skew_profile_exact_gini(spark):
     """Gini endpoints: uniform counts -> 0; a planted 97%-hot key ->
     2*394/(4*100) - 5/4 = 0.72 exactly; shares follow."""

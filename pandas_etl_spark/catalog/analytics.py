@@ -1484,6 +1484,62 @@ def q_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ks_price_drift",
+    oracle="""
+    WITH t AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 2 END AS s
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    vals AS (
+        SELECT v,
+               sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
+        FROM t GROUP BY v
+    ),
+    tot AS (
+        SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+               CAST(sum(c2) AS DOUBLE) AS n2
+        FROM vals
+    ),
+    cum AS (
+        SELECT sum(c1) OVER (ORDER BY v) AS cu1,
+               sum(c2) OVER (ORDER BY v) AS cu2
+        FROM vals
+    ),
+    d AS (SELECT max(abs(cu1 / n1 - cu2 / n2)) AS d FROM cum, tot)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(d, 6) AS ks_d,
+           round(1.358e0 * sqrt((n1 + n2) / (n1 * n2)), 6) AS ks_crit,
+           d > 1.358e0 * sqrt((n1 + n2) / (n1 * n2)) AS drifted
+    FROM d, tot
+    """,
+)
+def q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test
+    (operators/quality.ks_two_sample): the order-price distribution
+    before vs after 1998-01-01 — the bin-free complement of
+    psi_value_drift (PSI coarsens into 10 bins; KS measures the exact
+    max ECDF gap, so it catches shape shifts PSI's binning can hide).
+    One union+aggregate pass collapses both samples to pooled
+    per-value counts; both ECDFs are distributed prefix-sums over the
+    |distinct|-sized value table (no global sort of the raw data) and
+    the max-gap fold is one aggregate. Integer-count ratios make D
+    bit-deterministic; the drift verdict compares unrounded D to the
+    5% critical value. Full oracle via cumulative windows."""
+    from pandas_etl_spark.operators.quality import ks_two_sample
+
+    o = ensure_parallelism(load_table(spark, sf_dir, "orders"))
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return ks_two_sample(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+    )
+
+
+@query(
     "psi_value_drift",
     oracle="""
     WITH bounds AS (

@@ -2128,6 +2128,37 @@ def test_global_running_sum_conservation_large_domain(spark):
     assert agg["s"] == n * (n + 1) // 2
 
 
+def test_ks_two_sample_pinned_values(spark):
+    """KS statistic against hand-computable cases: identical samples
+    give D = 0 / no drift; disjoint supports give D = 1 / drift; a
+    half-shifted sample gives the exact step-function gap; nulls are
+    excluded; the critical value follows the closed form."""
+    import math
+
+    from pandas_etl_spark.operators.quality import ks_two_sample
+
+    def mk(vals):
+        return spark.createDataFrame([(v,) for v in vals], "x double")
+
+    a = mk([1.0, 2.0, 3.0, 4.0])
+    r = ks_two_sample(a, mk([1.0, 2.0, 3.0, 4.0]), "x").first()
+    assert r["ks_d"] == 0.0 and not r["drifted"]
+    assert r["n1"] == 4 and r["n2"] == 4
+    assert r["ks_crit"] == round(1.358 * math.sqrt(8 / 16), 6)
+
+    r = ks_two_sample(a, mk([10.0, 11.0, 12.0, 13.0]), "x").first()
+    assert r["ks_d"] == 1.0 and r["drifted"]
+
+    # b = a shifted by 2: ECDF gap peaks at 0.5 (values 3,4 seen by a
+    # fully, by b half/none)
+    r = ks_two_sample(a, mk([3.0, 4.0, 5.0, 6.0]), "x").first()
+    assert r["ks_d"] == 0.5
+
+    # nulls excluded from counts
+    r = ks_two_sample(a, mk([1.0, 2.0, None, None]), "x").first()
+    assert r["n2"] == 2
+
+
 def test_key_skew_profile_exact_gini(spark):
     """Gini endpoints: uniform counts -> 0; a planted 97%-hot key ->
     2*394/(4*100) - 5/4 = 0.72 exactly; shares follow."""

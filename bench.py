@@ -107,6 +107,7 @@ EXTENDED = [
     "hybrid_search_rrf",
     "spearman_corr_lineitem",
     "ks_price_drift",
+    "mwu_purchase_vs_click",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

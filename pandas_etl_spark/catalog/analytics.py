@@ -1540,6 +1540,66 @@ def q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mwu_purchase_vs_click",
+    oracle="""
+    WITH t AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS s
+        FROM events
+        WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    vals AS (
+        SELECT v,
+               sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
+        FROM t GROUP BY v
+    ),
+    cum AS (
+        SELECT c1, c2, c1 + c2 AS ct,
+               sum(c1 + c2) OVER (ORDER BY v) AS cu
+        FROM vals
+    ),
+    folded AS (
+        SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+               CAST(sum(c2) AS DOUBLE) AS n2,
+               CAST(sum(c1 * (cu - ct + (ct + 1) / 2.0)) AS DOUBLE) AS r1,
+               CAST(sum(CAST(ct AS DOUBLE) * ct * ct - ct) AS DOUBLE)
+                   AS tsum
+        FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(r1 - n1 * (n1 + 1) / 2, 6) AS u1,
+           round(CASE WHEN n1 * n2 / 12 * ((n1 + n2 + 1)
+                          - tsum / ((n1 + n2) * (n1 + n2 - 1))) > 0
+                 THEN (r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+                      / sqrt(n1 * n2 / 12 * ((n1 + n2 + 1)
+                             - tsum / ((n1 + n2) * (n1 + n2 - 1))))
+                 ELSE 0.0 END, 6) AS z_score
+    FROM folded
+    """,
+)
+def q_mwu_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U location test (operators/quality.mann_whitney_u):
+    do purchase events carry systematically larger values than clicks?
+    The rank-based complement of ks_price_drift (KS answers "same
+    shape?", MWU answers "same location?" without assuming normality)
+    with the tie-corrected normal approximation. Same scale shape as
+    KS: one union+aggregate pass to pooled per-value counts, average
+    ranks from the distributed prefix-sum, one fold — and because
+    average ranks are half-integers weighted by integer counts, every
+    sum is exactly representable, making U and z bit-deterministic in
+    any summation order. Full oracle via cumulative windows."""
+    from pandas_etl_spark.operators.quality import mann_whitney_u
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    return mann_whitney_u(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        "value",
+    )
+
+
+@query(
     "psi_value_drift",
     oracle="""
     WITH bounds AS (

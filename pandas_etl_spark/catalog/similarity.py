@@ -478,6 +478,12 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_etl_spark.functions.decompose import pca_fit, pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.isEmpty():  # a fit needs >= 1 vector; empty in, empty out
+        return emb.select(
+            "vec_id",
+            "label",
+            F.lit(None).cast("array<double>").alias("proj"),
+        )
     model = pca_fit(emb, "embedding", k=8)
     return pca_project(emb, model, "embedding", "proj").select(
         "vec_id",

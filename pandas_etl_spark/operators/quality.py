@@ -209,3 +209,73 @@ def ks_two_sample(
             (F.col("_d") > crit).alias("drifted"),
         )
     )
+
+
+def mann_whitney_u(
+    df1: DataFrame, df2: DataFrame, col: str
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample location test —
+    the rank-based complement of the KS shape test: U1 = R1 -
+    n1(n1+1)/2 where R1 is the average-rank sum of sample 1 in the
+    pooled ranking, with the tie-corrected normal approximation
+    z = (U1 - n1·n2/2) / sqrt(n1·n2/12 · ((N+1) - Σ(t³-t)/(N(N-1))))
+    (the standard large-sample form). Returns one row
+    (n1, n2, u1, z_score).
+
+    Scale shape: one union+aggregate pass collapses both samples to
+    pooled per-value counts; average ranks come from the distributed
+    prefix-sum over the |distinct| value table (no global sort); the
+    rank-sum and tie-correction folds are one aggregate over that
+    table. R1 sums integer-plus-half average ranks weighted by integer
+    counts — exact in doubles well past any test-scale N — so U and z
+    are deterministic across engines (rounded to 6 for comparison)."""
+    from pandas_etl_spark.operators.prefix import global_running_sum
+
+    tagged = (
+        df1.select(F.col(col).alias("v"), F.lit(1).alias("s"))
+        .unionAll(df2.select(F.col(col).alias("v"), F.lit(2).alias("s")))
+        .filter(F.col("v").isNotNull())
+    )
+    vals = tagged.groupBy("v").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("s") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    run = global_running_sum(
+        vals.withColumn("ct", F.col("c1") + F.col("c2")),
+        [F.col("v")],
+        "ct",
+        "cum",
+    )
+    # average rank of every row holding value v (1-based)
+    ar = (
+        F.col("cum").cast("double")
+        - F.col("ct")
+        + (F.col("ct") + F.lit(1.0)) / 2
+    )
+    folded = run.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+        F.sum(F.col("c1") * ar).alias("r1"),
+        F.sum(
+            F.col("ct").cast("double") * F.col("ct") * F.col("ct")
+            - F.col("ct")
+        ).alias("tsum"),
+    )
+    n = F.col("n1") + F.col("n2")
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    mu = F.col("n1") * F.col("n2") / 2
+    var = (
+        F.col("n1")
+        * F.col("n2")
+        / 12
+        * ((n + 1) - F.col("tsum") / (n * (n - 1)))
+    )
+    return folded.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(u1, 6).alias("u1"),
+        F.round(
+            F.when(var > 0, (u1 - mu) / F.sqrt(var)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("z_score"),
+    )

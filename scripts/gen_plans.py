@@ -63,6 +63,7 @@ NOTES = {
     "hybrid_search_rrf": "RRF fusion: both retrieval legs keep the inverted-index term-join shape (query side broadcasts); the fusion is a full-outer join of two query-bounded rank lists + one per-query window over <= 40 candidates — nothing corpus-sized after the legs.",
     "spearman_corr_lineitem": "Spearman without a global sort: per pair ONE data-sized joint-count aggregate; average ranks are distributed prefix-sums over the |distinct|-sized marginals (localCheckpoint pins the range partitioning); the centered correlation folds over the joint table — no single-partition Window.orderBy anywhere.",
     "ks_price_drift": "Exact KS: one union+aggregate collapses both samples to pooled per-value counts (the only data-sized shuffle); both ECDFs are distributed prefix-sums over the |distinct| value table and the max-gap fold is one aggregate — the raw rows are never globally sorted.",
+    "mwu_purchase_vs_click": "Mann-Whitney U: same pooled-count + prefix-sum shape as KS; the rank-sum and tie-correction folds are ONE aggregate over the |distinct| value table, and every summand is a half-integer times an integer — exactly representable, so summation order is irrelevant.",
 }
 
 

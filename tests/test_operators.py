@@ -2159,6 +2159,34 @@ def test_ks_two_sample_pinned_values(spark):
     assert r["n2"] == 2
 
 
+def test_mann_whitney_u_pinned_values(spark):
+    """MWU against hand-computed cases: sample1 entirely below
+    sample2 gives U1 = 0, entirely above gives U1 = n1·n2; a small
+    mixed case reproduces the textbook U and tie-free z; all-ties
+    input has zero variance and returns z = 0 via the guard."""
+    import math
+
+    from pandas_etl_spark.operators.quality import mann_whitney_u
+
+    def mk(vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "x double")
+
+    r = mann_whitney_u(mk([1, 2]), mk([3, 4]), "x").first()
+    assert r["u1"] == 0.0
+    r = mann_whitney_u(mk([3, 4]), mk([1, 2]), "x").first()
+    assert r["u1"] == 4.0
+
+    # {1,3,4} vs {2}: R1 = 1+3+4 = 8, U1 = 8-6 = 2, mu = 1.5,
+    # var = 3*1/12*5 = 1.25, z = 0.5/sqrt(1.25)
+    r = mann_whitney_u(mk([1, 3, 4]), mk([2]), "x").first()
+    assert r["u1"] == 2.0
+    assert abs(r["z_score"] - round(0.5 / math.sqrt(1.25), 6)) <= 1e-6
+
+    # every value tied: tie correction zeroes the variance -> z = 0
+    r = mann_whitney_u(mk([5, 5]), mk([5, 5]), "x").first()
+    assert r["u1"] == 2.0 and r["z_score"] == 0.0
+
+
 def test_key_skew_profile_exact_gini(spark):
     """Gini endpoints: uniform counts -> 0; a planted 97%-hot key ->
     2*394/(4*100) - 5/4 = 0.72 exactly; shares follow."""

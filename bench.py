@@ -108,6 +108,8 @@ EXTENDED = [
     "spearman_corr_lineitem",
     "ks_price_drift",
     "mwu_purchase_vs_click",
+    "theil_sen_trend",
+    "cusum_revenue_shift",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

@@ -2196,3 +2196,120 @@ def q_holt_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 6).alias("trend"),
         F.round("fitted", 6).alias("fitted"),
     )
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS priority,
+               date_diff('day', DATE '2001-01-01',
+                         CAST(o_orderdate AS DATE)) AS x,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS y
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        GROUP BY 1, 2
+    ),
+    sl AS (
+        SELECT a.priority,
+               quantile_cont((b.y - a.y) / CAST(b.x - a.x AS DOUBLE), 0.5)
+                   AS slope
+        FROM s a JOIN s b ON a.priority = b.priority AND a.x < b.x
+        GROUP BY 1
+    )
+    SELECT s.priority, CAST(count(*) AS BIGINT) AS n_points,
+           round(any_value(sl.slope), 6) AS slope,
+           round(quantile_cont(s.y - sl.slope * s.x, 0.5), 6) AS intercept
+    FROM s JOIN sl USING (priority)
+    GROUP BY s.priority
+    """,
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-revenue trend per order priority
+    (operators/forecast.theil_sen) over the same 2001+ series Holt
+    smooths — the outlier-resistant slope (median of all pairwise
+    slopes, ~29% breakdown) that a few holiday-spike days cannot drag
+    the way least squares would. The O(n²) pair self-join runs on the
+    DAY-DOMAIN aggregate (≤ ~210 points/series here), keyed on the
+    group so series parallelize; raw orders are touched once by the
+    exact-cents daily aggregate. Slope/intercept medians use the
+    bit-equal percentile interpolation. Full oracle."""
+    from pandas_etl_spark.operators.forecast import theil_sen
+
+    daily = (
+        ensure_parallelism(load_table(spark, sf_dir, "orders"))
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("2001-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("double")
+                / 100
+            ).alias("y")
+        )
+    )
+    res = theil_sen(daily, "x", "y", ["priority"])
+    return res.select(
+        "priority",
+        F.col("n_points").cast("bigint").alias("n_points"),
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+@query(
+    "cusum_revenue_shift",
+    oracle="""
+    WITH s AS (
+        SELECT date_trunc('day', o_orderdate) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) AS yc
+        FROM orders GROUP BY 1
+    ),
+    st AS (
+        SELECT avg(yc) AS mu, stddev_pop(yc) AS sd, count(*) AS n FROM s
+    ),
+    cum AS (
+        SELECT d, sum(yc) OVER (ORDER BY d) AS cu,
+               count(*) OVER (ORDER BY d) AS t
+        FROM s
+    ),
+    sc AS (SELECT d, abs(cu - t * st.mu) AS a FROM cum, st)
+    SELECT d AS change_point, CAST(st.n AS BIGINT) AS n,
+           round(a, 6) AS max_cusum,
+           round(CASE WHEN st.sd > 0 THEN a / (st.sd * sqrt(st.n))
+                 ELSE 0.0 END, 6) AS cusum_stat
+    FROM sc, st
+    ORDER BY a DESC, d ASC
+    LIMIT 1
+    """,
+)
+def q_cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift change-point scan
+    (operators/forecast.cusum_changepoint) over the daily total
+    revenue series (in exact cents): the day where the cumulative
+    deviation from the global mean peaks, plus the Brownian-bridge
+    normalized shift score — the monitoring op that answers WHEN the
+    level changed (PSI/KS answer WHETHER two windows differ). One
+    exact-cents daily aggregate is the only data-sized shuffle; the
+    cumulative window runs over the day-domain series. S_t is
+    cum(y) - t·ȳ with integer-valued y, so it is bit-identical across
+    engines regardless of window summation association. Full oracle."""
+    from pandas_etl_spark.operators.forecast import cusum_changepoint
+
+    daily = (
+        ensure_parallelism(load_table(spark, sf_dir, "orders"))
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("double")
+            .alias("yc")
+        )
+    )
+    return cusum_changepoint(daily, "d", "yc")

@@ -92,3 +92,119 @@ def holt_linear(
         .groupBy(series_col)
         .applyInPandas(smooth, schema)
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Theil-Sen robust trend estimate per group: the MEDIAN of all
+    pairwise slopes (y_j - y_i)/(x_j - x_i), x_i < x_j — the standard
+    outlier-resistant alternative to least squares (breakdown point
+    ~29%), plus the matching intercept median(y - slope·x). Returns
+    (group..., n_points, slope, intercept).
+
+    Scale shape: the O(n²) pair enumeration is intended for
+    DOMAIN-BOUNDED series (a daily/hourly aggregate — the caller
+    collapses raw data first), exactly like the repo's other
+    windowed-series operators; the self-join is keyed on the group
+    columns so groups parallelize, and the median is one percentile
+    aggregate over the pair frame. Slopes are deterministic doubles,
+    and the median interpolation (Spark percentile ≡ DuckDB
+    quantile_cont, proven bit-equal by percentiles_exact) keeps
+    results engine-stable."""
+    gcols = list(group_cols or [])
+    a = df.select(
+        *gcols, F.col(x_col).alias("__x1"), F.col(y_col).alias("__y1")
+    )
+    b = df.select(
+        *gcols, F.col(x_col).alias("__x2"), F.col(y_col).alias("__y2")
+    )
+    pairs = (
+        a.join(b, gcols) if gcols else a.crossJoin(b)
+    ).filter(F.col("__x1") < F.col("__x2"))
+    slope_expr = (F.col("__y2") - F.col("__y1")) / (
+        F.col("__x2") - F.col("__x1")
+    ).cast("double")
+    slopes = (
+        pairs.groupBy(*gcols)
+        .agg(F.percentile(slope_expr, 0.5).alias("slope"))
+    )
+    joined = (
+        df.join(F.broadcast(slopes), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(slopes))
+    )
+    return (
+        joined.groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.first("slope").alias("slope"),
+            F.percentile(
+                F.col(y_col) - F.col("slope") * F.col(x_col), 0.5
+            ).alias("intercept"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame, order_col: str, value_col: str
+) -> DataFrame:
+    """CUSUM mean-shift change-point detection over an ordered series:
+    S_t = Σ_{i<=t} (y_i - ȳ); the change point is the argmax of |S_t|
+    (ties -> earliest), and the normalized statistic
+    |S|_max / (σ·sqrt(n)) is the scale-free shift score (≳ 1.36
+    corresponds to 5% significance under the Brownian-bridge limit,
+    the same constant family as the KS test). Returns one row
+    (change_point, n, max_cusum, cusum_stat).
+
+    Scale shape: intended for DOMAIN-BOUNDED series (the caller
+    aggregates raw data to a daily/hourly series first); the ordered
+    cumulative runs in one window over that bounded frame, with ȳ and
+    σ riding a broadcast 1-row aggregate. Cross-engine determinism:
+    S_t is computed as cum(y)_t - t·ȳ — NOT as a running sum of
+    (y - ȳ) — so when the caller passes integer-scaled values (e.g.
+    cents) the cumulative is exact under ANY summation association
+    (window implementations differ: running fold vs segment tree) and
+    S_t is bit-identical everywhere."""
+    from pyspark.sql import Window as W
+
+    stats = df.agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_pop(value_col).alias("__sd"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__cum", F.sum(value_col).over(w))
+        .withColumn("__t", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__s", F.col("__cum") - F.col("__t") * F.col("__mu")
+        )
+        .select(
+            F.col(order_col).alias("change_point"),
+            "__n",
+            "__s",
+            "__sd",
+        )
+    )
+    return (
+        cum.orderBy(F.abs(F.col("__s")).desc(), F.col("change_point").asc())
+        .limit(1)
+        .select(
+            "change_point",
+            F.col("__n").cast("bigint").alias("n"),
+            F.round(F.abs(F.col("__s")), 6).alias("max_cusum"),
+            F.round(
+                F.when(
+                    F.col("__sd") > 0,
+                    F.abs(F.col("__s"))
+                    / (F.col("__sd") * F.sqrt(F.col("__n"))),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cusum_stat"),
+        )
+    )

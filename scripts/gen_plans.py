@@ -64,6 +64,8 @@ NOTES = {
     "spearman_corr_lineitem": "Spearman without a global sort: per pair ONE data-sized joint-count aggregate; average ranks are distributed prefix-sums over the |distinct|-sized marginals (localCheckpoint pins the range partitioning); the centered correlation folds over the joint table — no single-partition Window.orderBy anywhere.",
     "ks_price_drift": "Exact KS: one union+aggregate collapses both samples to pooled per-value counts (the only data-sized shuffle); both ECDFs are distributed prefix-sums over the |distinct| value table and the max-gap fold is one aggregate — the raw rows are never globally sorted.",
     "mwu_purchase_vs_click": "Mann-Whitney U: same pooled-count + prefix-sum shape as KS; the rank-sum and tie-correction folds are ONE aggregate over the |distinct| value table, and every summand is a half-integer times an integer — exactly representable, so summation order is irrelevant.",
+    "theil_sen_trend": "Theil-Sen: the exact-cents daily aggregate is the only data-sized shuffle; the O(n^2) pair self-join and both percentile medians run on the day-domain series, keyed on priority so series parallelize.",
+    "cusum_revenue_shift": "CUSUM: ONE exact-cents daily aggregate collapses the data; the cumulative window + argmax TakeOrdered run over the day-domain series with the 1-row stats frame broadcast.",
 }
 
 

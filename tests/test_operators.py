@@ -2187,6 +2187,67 @@ def test_mann_whitney_u_pinned_values(spark):
     assert r["u1"] == 2.0 and r["z_score"] == 0.0
 
 
+def test_theil_sen_pinned_values(spark):
+    """Theil-Sen robustness: exact-line points give the exact
+    slope/intercept; ONE wild outlier among 9 line points leaves the
+    slope-median untouched (the estimator's whole point — OLS would
+    move); groups fit independently."""
+    from pandas_etl_spark.operators.forecast import theil_sen
+
+    line = [(float(x), 3.0 * x + 2.0, "g") for x in range(9)]
+    df = spark.createDataFrame(line, "x double, y double, g string")
+    r = theil_sen(df, "x", "y", ["g"]).first()
+    assert r["slope"] == 3.0 and r["intercept"] == 2.0 and r["n_points"] == 9
+
+    outl = line[:-1] + [(8.0, 1000.0, "g")]
+    r = theil_sen(
+        spark.createDataFrame(outl, "x double, y double, g string"),
+        "x",
+        "y",
+        ["g"],
+    ).first()
+    # 8 of 36 pairwise slopes involve the outlier -> median still 3
+    assert r["slope"] == 3.0
+
+    two = line + [(float(x), -x + 7.0, "h") for x in range(5)]
+    got = {
+        r["g"]: r
+        for r in theil_sen(
+            spark.createDataFrame(two, "x double, y double, g string"),
+            "x",
+            "y",
+            ["g"],
+        ).collect()
+    }
+    assert got["g"]["slope"] == 3.0 and got["h"]["slope"] == -1.0
+    assert got["h"]["intercept"] == 7.0
+
+
+def test_cusum_changepoint_pinned_values(spark):
+    """CUSUM on a clean level shift [0,0,0,10,10,10]: |S| peaks at the
+    last pre-shift point (day 3) with max 15 and normalized stat
+    15/(5·sqrt(6)); a constant series has zero stat via the sd
+    guard."""
+    import math
+
+    from pandas_etl_spark.operators.forecast import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [(t, [0.0, 0.0, 0.0, 10.0, 10.0, 10.0][t - 1]) for t in range(1, 7)],
+        "t int, y double",
+    )
+    r = cusum_changepoint(df, "t", "y").first()
+    assert r["change_point"] == 3 and r["n"] == 6
+    assert r["max_cusum"] == 15.0
+    assert abs(r["cusum_stat"] - round(15 / (5 * math.sqrt(6)), 6)) <= 1e-6
+
+    flat = spark.createDataFrame(
+        [(t, 4.0) for t in range(1, 5)], "t int, y double"
+    )
+    r = cusum_changepoint(flat, "t", "y").first()
+    assert r["max_cusum"] == 0.0 and r["cusum_stat"] == 0.0
+
+
 def test_key_skew_profile_exact_gini(spark):
     """Gini endpoints: uniform counts -> 0; a planted 97%-hot key ->
     2*394/(4*100) - 5/4 = 0.72 exactly; shares follow."""

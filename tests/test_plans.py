@@ -481,3 +481,40 @@ def test_unicode_normalize_pure_map(spark, sf_dir):
     assert "Exchange" not in tree.split("ArrowEvalPython")[0]
     for op in ("HashAggregate", "Join", "Window", "Generate"):
         assert op not in plan, op
+
+
+def test_benford_single_aggregate_per_column(spark, sf_dir):
+    """Benford's audit plans per column as ONE map-side-combinable
+    digit-count aggregate over the data (partial_count visible) with
+    no Python stage, no window, and no cartesian beyond the sanctioned
+    1-row stat broadcasts."""
+    plan = plan_of(spark, sf_dir, "benford_price_audit")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_tests_no_global_sort_of_raw_rows(spark, sf_dir):
+    """KS / MWU / Spearman never sort the raw rows globally: every
+    Window in the plan is PARTITIONED (the prefix-sum's per-partition
+    running total), so no single-partition Window.orderBy over a
+    data-sized frame appears, and there is no Python stage."""
+    for name in ("ks_price_drift", "mwu_purchase_vs_click",
+                 "spearman_corr_lineitem"):
+        plan = plan_of(spark, sf_dir, name)
+        for line in plan.splitlines():
+            if "Arguments" in line and "partitionBy" not in line:
+                continue
+            if line.strip().startswith("Window ["):
+                assert "__pid" in line or "partitionBy" in line, (name, line)
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_theil_sen_group_keyed_pair_join(spark, sf_dir):
+    """Theil-Sen's O(n^2) pair enumeration must be an equi join keyed
+    on the series (priority) — never a cartesian — and both medians
+    must be percentile aggregates, not windows."""
+    plan = plan_of(spark, sf_dir, "theil_sen_trend")
+    assert "CartesianProduct" not in plan
+    assert plan.count("percentile") >= 2

@@ -110,6 +110,7 @@ EXTENDED = [
     "mwu_purchase_vs_click",
     "theil_sen_trend",
     "cusum_revenue_shift",
+    "semantic_decontaminate",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

@@ -490,3 +490,45 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("proj", lambda x: F.round(x, 6)).alias("proj"),
     )
+
+
+@query(
+    "semantic_decontaminate",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    tr AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS tv
+        FROM embeddings WHERE vec_id % 20 <> 0
+    ),
+    bad AS (
+        SELECT DISTINCT tr.vec_id
+        FROM tr, ev
+        WHERE list_dot_product(tr.tv, ev.qv)
+              / (sqrt(list_dot_product(tr.tv, tr.tv))
+                 * sqrt(list_dot_product(ev.qv, ev.qv))) >= 0.35
+    )
+    SELECT tr.vec_id, tr.label
+    FROM tr LEFT JOIN bad USING (vec_id)
+    WHERE bad.vec_id IS NULL
+    """,
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination
+    (functions/similarity.semantic_decontaminate): the 5%
+    held-out-eval split (vec_id % 20 = 0) is scrubbed from the train
+    split at cosine ≥ 0.35 — the semantic sibling of the n-gram
+    `decontaminate` gate (paraphrased eval leakage has no 5-gram
+    overlap but lives in the same embedding neighborhood). Eval
+    vectors broadcast; the corpus is scanned once with deterministic
+    sequential-fold JVM cosines and never shuffles (the tiny
+    contaminated-id list broadcasts into the anti join). Full oracle:
+    brute-force cosine cross join in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 20 == 0)
+    tr = emb.filter(F.col("vec_id") % 20 != 0)
+    return sim.semantic_decontaminate(tr, ev, threshold=0.35).select(
+        "vec_id", "label"
+    )

@@ -938,3 +938,37 @@ def ann_ivf_indexed(
     return salted_topk(
         cand, "query_id", [F.desc("cosine_sim"), F.asc("neighbor_id")], k
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level eval decontamination: drop every TRAIN vector
+    whose cosine similarity to ANY eval vector reaches ``threshold`` —
+    the semantic sibling of the 5-gram `decontaminate` gate (n-gram
+    overlap misses paraphrased eval leakage; embedding cosine catches
+    it). Returns the surviving train rows unchanged.
+
+    Scale shape: the eval set (benchmarks — thousands of rows, never
+    corpus-sized) broadcasts; the corpus is scanned ONCE computing
+    deterministic sequential-fold cosines against the broadcast eval
+    vectors (JVM higher-order functions, no Python), and the
+    contaminated-id list — bounded by the leak count, in practice tiny
+    — broadcasts back for the anti join, so the corpus never shuffles
+    at all (same explicit-broadcast pattern as curate_corpus's drop
+    list, VERDICT r4 #2)."""
+    ev = F.broadcast(
+        eval_df.select(F.col(vec_col).alias("__ev"))
+    )
+    contaminated = (
+        train.select(id_col, vec_col)
+        .crossJoin(ev)
+        .where(cosine(F.col(vec_col), F.col("__ev")) >= F.lit(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(F.broadcast(contaminated), id_col, "left_anti")

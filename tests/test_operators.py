@@ -991,6 +991,40 @@ def test_hybrid_rrf_fusion_invariants(spark):
     assert top["r_tfidf"] == 1 and top["r_bm25"] == 1
 
 
+def test_semantic_decontaminate_pinned(spark):
+    """Embedding decontamination on constructed vectors: a train
+    vector that is a scaled copy of an eval vector (cosine 1) drops; a
+    paraphrase-like near-copy above threshold drops; orthogonal
+    vectors survive; cosine is scale-invariant so magnitude never
+    matters; empty eval set keeps everything."""
+    from pandas_etl_spark.functions.similarity import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0, 0.0]),   # scaled copy -> cos 1 -> drop
+            (2, [0.9, 0.1, 0.0, 0.0]),   # near-copy -> drop at 0.9
+            (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> keep
+            (4, [0.0, 0.0, 5.0, 5.0]),   # orthogonal, big norm -> keep
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept = {
+        r["vec_id"]
+        for r in semantic_decontaminate(train, ev, threshold=0.9).collect()
+    }
+    assert kept == {3, 4}
+
+    empty_ev = ev.limit(0)
+    kept = {
+        r["vec_id"]
+        for r in semantic_decontaminate(train, empty_ev, 0.9).collect()
+    }
+    assert kept == {1, 2, 3, 4}
+
+
 def test_containment_catches_doc_inside_doc(spark):
     """A short doc verbatim inside a much longer page: Jaccard scores it
     far below any dedup threshold, containment scores it 1.0 — the case

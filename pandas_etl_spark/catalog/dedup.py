@@ -457,6 +457,45 @@ def q_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jw_match_pairs",
+    oracle="""
+    WITH side AS (
+        SELECT p_partkey AS id, p_name AS t,
+               t[-1] AS blk
+        FROM (SELECT p_partkey, p_name,
+                     string_split(p_name, ' ') AS t FROM part)
+    )
+    SELECT a.id AS id_l, b.id AS id_r,
+           a.t AS text_l, b.t AS text_r,
+           round(jaro_winkler_similarity(a.t, b.t), 6) AS jw_sim
+    FROM side a JOIN side b ON a.blk = b.blk AND a.id < b.id
+    WHERE round(jaro_winkler_similarity(a.t, b.t), 6) >= 0.97
+    """,
+)
+def q_jw_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage on part names scored by Jaro-Winkler ≥ 0.97
+    (functions/dedup.jaro_winkler_pairs) — the length-normalized,
+    prefix-weighted scorer beside fuzzy_match_pairs' raw Levenshtein
+    (edit distance over-penalizes long names; JW is the standard
+    name-matching similarity). Same head-noun blocking, ONE key
+    shuffle, in-block i<j candidates, then an Arrow-batched Python
+    scorer (JW has no Catalyst builtin). The Python implementation is
+    verified value-identical to DuckDB's jaro_winkler_similarity
+    (same match window, transposition halving, and 0.7 boost
+    threshold), so the oracle scores with the builtin."""
+    p = ensure_parallelism(load_table(spark, sf_dir, "part"))
+    from pandas_etl_spark.functions.dedup import jaro_winkler_pairs
+
+    return jaro_winkler_pairs(
+        p,
+        "p_name",
+        "p_partkey",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        min_sim=0.97,
+    )
+
+
+@query(
     "dedup_multi_signal",
     oracle=f"""
     WITH RECURSIVE

@@ -23,6 +23,7 @@ Everything is built-in Catalyst expressions; no Python on the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -958,6 +959,100 @@ def fuzzy_pairs(
         .withColumn("dist", F.levenshtein("text_l", "text_r").cast("bigint"))
         .filter(F.col("dist") <= max_dist)
         .select("id_l", "id_r", "text_l", "text_r", "dist")
+    )
+
+
+def jaro_winkler(s1: str, s2: str) -> float:
+    """Textbook Jaro-Winkler similarity (match window
+    max(|s1|,|s2|)//2 - 1, transpositions = half the out-of-order
+    matches, Winkler prefix boost l≤4 · 0.1 · (1-jaro) applied only
+    when jaro > 0.7) — the same variant DuckDB's
+    jaro_winkler_similarity implements, verified value-by-value in the
+    unit tests so the catalog oracle can score with the built-in."""
+    if not s1 or not s2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    jaro = (
+        matches / l1 + matches / l2 + (matches - t) / matches
+    ) / 3
+    if jaro > 0.7:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        return jaro + prefix * 0.1 * (1 - jaro)
+    return jaro
+
+
+def jaro_winkler_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: Column | str,
+    min_sim: float = 0.9,
+) -> DataFrame:
+    """Blocked record linkage scored by Jaro-Winkler — the
+    normalized-similarity sibling of :func:`fuzzy_pairs` (Levenshtein
+    counts edits, so it over-penalizes long strings; JW is
+    length-normalized and prefix-weighted, the standard name-matching
+    scorer). Same Fellegi-Sunter blocking plan: ONE hash shuffle on
+    the blocking key, in-block i<j pairs bounded by Σ|block|², then an
+    Arrow-batched scorer (JW has no Catalyst builtin — the per-pair
+    scan IS the UDF) and the threshold filter. Scores round to 6
+    BEFORE the filter so the cut is engine-stable. Returns
+    (id_l, id_r, text_l, text_r, jw_sim)."""
+
+    @F.pandas_udf("double")
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    side = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t"), b.alias("blk")
+    )
+    left = side.select(
+        F.col("id").alias("id_l"), F.col("t").alias("text_l"), "blk"
+    )
+    right = side.select(
+        F.col("id").alias("id_r"), F.col("t").alias("text_r"), "blk"
+    )
+    return (
+        left.join(right, "blk")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .withColumn("jw_sim", F.round(_jw("text_l", "text_r"), 6))
+        .filter(F.col("jw_sim") >= min_sim)
+        .select("id_l", "id_r", "text_l", "text_r", "jw_sim")
     )
 
 

@@ -361,15 +361,21 @@ def spearman_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
     Ranks are centered by the exact mean (n+1)/2 before the product
     fold, so the rho numerator never suffers the n³-scale catastrophic
     cancellation of the raw-sum formula. Constant columns (zero rank
-    variance) return NULL rho."""
+    variance) return NULL rho.
+
+    Fast path: pairwise-complete re-ranking only matters when nulls
+    exist, so columns proven null-free by one cheap aggregate get
+    their rank map built ONCE from global per-column counts and shared
+    across every pair — k prefix-sums instead of 2·C(k,2) when the
+    profiled columns are clean (the common case; 15.1→fewer jobs in
+    the sf0.1 bench)."""
     from pandas_etl_spark.operators.prefix import global_running_sum
 
     if len(cols) < 2:
         raise ValueError("spearman_correlation: need >= 2 columns")
 
-    def _ranks(joint: DataFrame, key: str, out: str) -> DataFrame:
-        marg = joint.groupBy(key).agg(F.sum("c").alias("__mc"))
-        run = global_running_sum(marg, [F.col(key)], "__mc", "__cum")
+    def _ranks(counted: DataFrame, key: str, out: str) -> DataFrame:
+        run = global_running_sum(counted, [F.col(key)], "__mc", "__cum")
         return run.select(
             key,
             (
@@ -377,6 +383,27 @@ def spearman_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
                 - F.col("__mc")
                 + (F.col("__mc") + F.lit(1.0)) / 2
             ).alias(out),
+        )
+
+    nulls = df.agg(
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c)
+            for c in cols
+        ]
+    ).first()
+    clean = {c for c in cols if (nulls[c] or 0) == 0}
+    shared_ra: dict[str, DataFrame] = {}
+    shared_rb: dict[str, DataFrame] = {}
+    for c in clean:
+        counts = df.groupBy(F.col(c).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__mc")
+        )
+        ranked = _ranks(counts, "__v", "__r").localCheckpoint()
+        shared_ra[c] = ranked.select(
+            F.col("__v").alias("va"), F.col("__r").alias("ra")
+        )
+        shared_rb[c] = ranked.select(
+            F.col("__v").alias("vb"), F.col("__r").alias("rb")
         )
 
     out = None
@@ -390,8 +417,19 @@ def spearman_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("c"))
             )
             tot = joint.agg(F.sum("c").alias("n"))
-            ra = _ranks(joint, "va", "ra")
-            rb = _ranks(joint, "vb", "rb")
+            if a in clean and b in clean:
+                ra, rb = shared_ra[a], shared_rb[b]
+            else:
+                ra = _ranks(
+                    joint.groupBy("va").agg(F.sum("c").alias("__mc")),
+                    "va",
+                    "ra",
+                )
+                rb = _ranks(
+                    joint.groupBy("vb").agg(F.sum("c").alias("__mc")),
+                    "vb",
+                    "rb",
+                )
             cen = (F.col("n") + F.lit(1.0)) / 2
             folded = (
                 joint.join(ra, "va")

@@ -67,6 +67,7 @@ NOTES = {
     "theil_sen_trend": "Theil-Sen: the exact-cents daily aggregate is the only data-sized shuffle; the O(n^2) pair self-join and both percentile medians run on the day-domain series, keyed on priority so series parallelize.",
     "cusum_revenue_shift": "CUSUM: ONE exact-cents daily aggregate collapses the data; the cumulative window + argmax TakeOrdered run over the day-domain series with the 1-row stats frame broadcast.",
     "semantic_decontaminate": "Semantic decontamination: the eval side rides a BroadcastNestedLoopJoin (deliberate bounded-broadcast scoring pass — every train vector scores against every eval vector once, JVM fold, no Python), and the contaminated-id list returns via BroadcastHashJoin LeftAnti — the corpus never shuffles.",
+    "jw_match_pairs": "Jaro-Winkler linkage: ONE hash shuffle on the blocking key, in-block i<j pair generation, then one ArrowEvalPython scorer stage and a row filter — no cartesian, no global sort; candidate volume is sum(|block|^2) by construction.",
 }
 
 

@@ -1025,6 +1025,60 @@ def test_semantic_decontaminate_pinned(spark):
     assert kept == {1, 2, 3, 4}
 
 
+def test_jaro_winkler_matches_duckdb_builtin(spark):
+    """The Python Jaro-Winkler must be value-identical to DuckDB's
+    jaro_winkler_similarity (the oracle scores with the builtin):
+    textbook constants, boost-threshold behavior (no boost at
+    jaro <= 0.7 despite a shared prefix), degenerate inputs, and the
+    blocked pair operator end-to-end on a tiny corpus."""
+    import duckdb
+
+    from pandas_etl_spark.functions.dedup import (
+        jaro_winkler,
+        jaro_winkler_pairs,
+    )
+
+    con = duckdb.connect()
+    cases = [
+        ("martha", "marhta"),      # 0.9611...
+        ("dixon", "dicksonx"),     # transpositions + boost
+        ("prefix", "prezzzzzzzzzz"),  # prefix but jaro < 0.7: NO boost
+        ("Brand#12", "Brand#13"),  # 4-char prefix cap
+        ("kitten", "sitting"),     # zero prefix
+        ("ab", "ba"),              # window 0 -> no matches
+        ("", "abc"),
+        ("same", "same"),
+    ]
+    for a, b in cases:
+        d = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert abs(jaro_winkler(a, b) - d) < 1e-12, (a, b)
+    assert jaro_winkler("martha", "marhta") == (
+        0.9611111111111111
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "smith alpha"),
+            (2, "smyth alpha"),
+            (3, "jones alpha"),
+            (4, "smith beta"),
+        ],
+        "id long, name string",
+    )
+    got = jaro_winkler_pairs(
+        df,
+        "name",
+        "id",
+        F.element_at(F.split(F.col("name"), " "), -1),
+        min_sim=0.9,
+    ).collect()
+    # only the smith/smyth pair inside the 'alpha' block clears 0.9
+    assert {(r["id_l"], r["id_r"]) for r in got} == {(1, 2)}
+    assert all(r["jw_sim"] >= 0.9 for r in got)
+
+
 def test_containment_catches_doc_inside_doc(spark):
     """A short doc verbatim inside a much longer page: Jaccard scores it
     far below any dedup threshold, containment scores it 1.0 — the case

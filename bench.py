@@ -112,6 +112,7 @@ EXTENDED = [
     "cusum_revenue_shift",
     "semantic_decontaminate",
     "jw_match_pairs",
+    "roc_auc_purchase",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

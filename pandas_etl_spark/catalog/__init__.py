@@ -111,8 +111,8 @@ _PRIORITY = [
 # assoc_cats_orders / cheapest_paths_parts / benford_price_audit /
 # holt_trend_daily / hybrid_search_rrf / spearman_corr_lineitem /
 # ks_price_drift / mwu_purchase_vs_click / theil_sen_trend /
-# cusum_revenue_shift / semantic_decontaminate / jw_match_pairs
-# (full oracles); plus
+# cusum_revenue_shift / semantic_decontaminate / jw_match_pairs /
+# roc_auc_purchase (full oracles); plus
 # rows-only k_core_parts /
 # embedding_pca_project /
 # ann_pq_topk / segment_neardup / stream_manifest_ingest /

@@ -1600,6 +1600,54 @@ def q_mwu_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "roc_auc_purchase",
+    oracle="""
+    WITH t AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    vals AS (SELECT v, sum(y) AS c1, sum(1 - y) AS c0 FROM t GROUP BY v),
+    cum AS (
+        SELECT c1, c0, c1 + c0 AS ct,
+               sum(c1 + c0) OVER (ORDER BY v) AS cu
+        FROM vals
+    ),
+    f AS (
+        SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+               CAST(sum(c0) AS DOUBLE) AS n0,
+               CAST(sum(c1 * (cu - ct + (ct + 1) / 2.0)) AS DOUBLE) AS r1
+        FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           round((r1 - n1 * (n1 + 1) / 2) / (n1 * n0), 6) AS auc,
+           round(2 * ((r1 - n1 * (n1 + 1) / 2) / (n1 * n0)) - 1, 6)
+               AS gini
+    FROM f
+    """,
+)
+def q_roc_auc_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (operators/quality.roc_auc): does the event value
+    column separate purchases from the other event types — the
+    model-evaluation primitive via the rank identity
+    AUC = (R1 - n1(n1+1)/2)/(n1·n0) with tie-corrected average ranks
+    (≡ the Mann-Whitney U scaled to [0,1]). One per-score-value count
+    aggregate + the distributed prefix-sum — no global sort, no
+    per-threshold sweep; every sum is a half-integer times an integer,
+    exactly representable, so AUC is bit-deterministic. Full oracle
+    via cumulative windows."""
+    from pandas_etl_spark.operators.quality import roc_auc
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    return roc_auc(
+        ev.withColumn("y", (F.col("event_type") == "purchase").cast("int")),
+        "value",
+        "y",
+    )
+
+
+@query(
     "psi_value_drift",
     oracle="""
     WITH bounds AS (

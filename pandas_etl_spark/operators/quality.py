@@ -279,3 +279,57 @@ def mann_whitney_u(
             6,
         ).alias("z_score"),
     )
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC-AUC of a score column against a binary label — the
+    model-evaluation primitive, computed by the rank identity
+    AUC = (R1 - n1(n1+1)/2) / (n1·n0) where R1 is the average-rank sum
+    of the positives in the pooled score ranking (ties get average
+    ranks, the standard tie-corrected AUC ≡ P(s+ > s-) + ½P(s+ = s-)).
+    Returns one row (n_pos, n_neg, auc, gini) with gini = 2·AUC - 1.
+
+    Scale shape: ONE per-score-value count aggregate (map-side
+    combinable), average ranks via the distributed prefix-sum over the
+    |distinct| score table, one fold — the rows are never globally
+    sorted, and no per-threshold sweep materializes. Average ranks are
+    half-integers weighted by integer counts, so every sum is exactly
+    representable and AUC is bit-deterministic in any order."""
+    from pandas_etl_spark.operators.prefix import global_running_sum
+
+    lab = F.col(label_col).cast("int")
+    vals = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(score_col).alias("v"))
+        .agg(
+            F.sum(lab).alias("c1"),
+            F.sum(F.lit(1) - lab).alias("c0"),
+        )
+    )
+    run = global_running_sum(
+        vals.withColumn("ct", F.col("c1") + F.col("c0")),
+        [F.col("v")],
+        "ct",
+        "cum",
+    )
+    ar = (
+        F.col("cum").cast("double")
+        - F.col("ct")
+        + (F.col("ct") + F.lit(1.0)) / 2
+    )
+    folded = run.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c0").cast("double").alias("n0"),
+        F.sum(F.col("c1") * ar).alias("r1"),
+    )
+    auc = (
+        F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    ) / (F.col("n1") * F.col("n0"))
+    return folded.select(
+        F.col("n1").cast("bigint").alias("n_pos"),
+        F.col("n0").cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(2 * auc - 1, 6).alias("gini"),
+    )

@@ -2336,6 +2336,39 @@ def test_cusum_changepoint_pinned_values(spark):
     assert r["max_cusum"] == 0.0 and r["cusum_stat"] == 0.0
 
 
+def test_roc_auc_pinned_values(spark):
+    """AUC endpoints and the tie convention: perfect separation -> 1,
+    inverted -> 0, all scores tied -> exactly 0.5; a mixed case
+    reproduces the hand-counted P(s+ > s-) + half-tie credit; gini =
+    2·AUC - 1; nulls in score or label are excluded."""
+    from pandas_etl_spark.operators.quality import roc_auc
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "s double, y int")
+
+    r = roc_auc(mk([(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)]), "s", "y").first()
+    assert r["auc"] == 1.0 and r["gini"] == 1.0
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+
+    r = roc_auc(mk([(4.0, 0), (3.0, 0), (1.0, 1), (2.0, 1)]), "s", "y").first()
+    assert r["auc"] == 0.0 and r["gini"] == -1.0
+
+    r = roc_auc(mk([(5.0, 0), (5.0, 1), (5.0, 0), (5.0, 1)]), "s", "y").first()
+    assert r["auc"] == 0.5 and r["gini"] == 0.0
+
+    # pos scores {2, 3}, neg scores {1, 3}: pairs (2>1), (3>1) win,
+    # (2<3) lose, (3=3) half -> AUC = 2.5/4
+    r = roc_auc(
+        mk([(2.0, 1), (3.0, 1), (1.0, 0), (3.0, 0)]), "s", "y"
+    ).first()
+    assert r["auc"] == 0.625
+
+    r = roc_auc(
+        mk([(1.0, 0), (2.0, 1), (None, 1), (9.0, None)]), "s", "y"
+    ).first()
+    assert r["n_pos"] == 1 and r["n_neg"] == 1 and r["auc"] == 1.0
+
+
 def test_key_skew_profile_exact_gini(spark):
     """Gini endpoints: uniform counts -> 0; a planted 97%-hot key ->
     2*394/(4*100) - 5/4 = 0.72 exactly; shares follow."""

@@ -113,6 +113,7 @@ EXTENDED = [
     "semantic_decontaminate",
     "jw_match_pairs",
     "roc_auc_purchase",
+    "calibration_purchase_score",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

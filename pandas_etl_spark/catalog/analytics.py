@@ -1648,6 +1648,61 @@ def q_roc_auc_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "calibration_purchase_score",
+    oracle="""
+    WITH src AS (
+        SELECT CAST(value AS DOUBLE) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    b AS (SELECT min(s) AS lo, max(s) AS hi FROM src),
+    binned AS (
+        SELECT least(9, CAST(floor(
+                   CASE WHEN b.hi > b.lo THEN (s - b.lo) / (b.hi - b.lo)
+                        ELSE 0.0 END * 10) AS INT)) AS bin,
+               CASE WHEN b.hi > b.lo THEN (s - b.lo) / (b.hi - b.lo)
+                    ELSE 0.0 END AS p,
+               y
+        FROM src, b
+    ),
+    cells AS (
+        SELECT bin, count(*) AS n, sum(p) AS sp, sum(y) AS sy
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n) AS nt FROM cells),
+    scored AS (
+        SELECT bin, n, sp / n AS conf, CAST(sy AS DOUBLE) / n AS acc,
+               CAST(n AS DOUBLE) / tot.nt * abs(sp / n - sy / n) AS wg
+        FROM cells, tot
+    ),
+    e AS (SELECT sum(wg) AS ece FROM scored)
+    SELECT bin, CAST(n AS BIGINT) AS n, round(conf, 6) AS mean_score,
+           round(acc, 6) AS pos_rate, round(e.ece, 6) AS ece
+    FROM scored, e
+    """,
+)
+def q_calibration_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table (operators/quality.calibration_bins): the
+    min-max-normalized event value as a purchase 'probability' against
+    the actual purchase outcome, 10 equi-width bins, with the Expected
+    Calibration Error on every row — the calibration half of model
+    evaluation beside roc_auc_purchase (a ranker can have AUC 1.0 and
+    still be badly calibrated). One broadcast bounds pass + ONE bin
+    aggregate over the data; ECE folds on the 10-row table. Full
+    oracle via the same binning arithmetic."""
+    from pandas_etl_spark.operators.quality import calibration_bins
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    return calibration_bins(
+        ev.withColumn("y", (F.col("event_type") == "purchase").cast("int")),
+        "value",
+        "y",
+        n_bins=10,
+    )
+
+
+@query(
     "psi_value_drift",
     oracle="""
     WITH bounds AS (

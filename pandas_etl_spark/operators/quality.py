@@ -333,3 +333,70 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.round(auc, 6).alias("auc"),
         F.round(2 * auc - 1, 6).alias("gini"),
     )
+
+
+def calibration_bins(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Reliability table for a score against a binary label — the
+    calibration half of model evaluation beside :func:`roc_auc` (AUC
+    measures ranking; calibration measures whether score LEVELS match
+    outcome rates). Scores min-max-normalize against broadcast global
+    bounds into ``n_bins`` equi-width bins (the PSI binning
+    convention); per bin: count, mean normalized score, positive rate,
+    and the |confidence - accuracy| gap whose count-weighted sum is
+    the Expected Calibration Error (attached to every row).
+
+    Scale shape: one 1-row bounds aggregate broadcast back, ONE
+    map-side-combinable bin aggregate over the data, ECE folded on the
+    n_bins-row table. Bin shares are integer-count ratios; means are
+    sums of identically-computed doubles (same normalize expression
+    both engines), rounded to 6."""
+    lab = F.col(label_col).cast("int")
+    src = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    bounds = src.agg(
+        F.min(F.col(score_col).cast("double")).alias("lo"),
+        F.max(F.col(score_col).cast("double")).alias("hi"),
+    )
+    p = F.when(
+        F.col("hi") > F.col("lo"),
+        (F.col(score_col).cast("double") - F.col("lo"))
+        / (F.col("hi") - F.col("lo")),
+    ).otherwise(F.lit(0.0))
+    binned = src.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(n_bins - 1), F.floor(p * n_bins).cast("int")
+        ).alias("bin"),
+        p.alias("p"),
+        lab.alias("y"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum("y").alias("sy"),
+    )
+    tot = cells.agg(F.sum("n").alias("nt"))
+    scored = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("sp") / F.col("n")).alias("conf"),
+        (F.col("sy").cast("double") / F.col("n")).alias("acc"),
+        (
+            F.col("n").cast("double")
+            / F.col("nt")
+            * F.abs(F.col("sp") / F.col("n") - F.col("sy") / F.col("n"))
+        ).alias("w_gap"),
+    )
+    ece = scored.agg(F.sum("w_gap").alias("ece"))
+    return (
+        scored.crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            "n",
+            F.round("conf", 6).alias("mean_score"),
+            F.round("acc", 6).alias("pos_rate"),
+            F.round("ece", 6).alias("ece"),
+        )
+    )

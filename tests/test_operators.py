@@ -2369,6 +2369,39 @@ def test_roc_auc_pinned_values(spark):
     assert r["n_pos"] == 1 and r["n_neg"] == 1 and r["auc"] == 1.0
 
 
+def test_calibration_bins_pinned_values(spark):
+    """Calibration table on constructed scores already in [0,1]:
+    bin assignment, per-bin mean score / positive rate, and the
+    count-weighted ECE reproduce hand arithmetic; a perfectly
+    calibrated score (p == outcome rate per bin) gives ECE 0; the
+    top-edge score lands in the last bin."""
+    from pandas_etl_spark.operators.quality import calibration_bins
+
+    # scores 0.0 and 1.0 fix bounds to [0,1]; two bins for easy math
+    rows = [
+        (0.0, 0), (0.1, 0), (0.1, 0),      # bin 0: conf .0667, acc 0
+        (0.9, 1), (0.9, 1), (1.0, 0),      # bin 1: conf .9333, acc 2/3
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = {
+        r["bin"]: r for r in calibration_bins(df, "s", "y", n_bins=2).collect()
+    }
+    assert set(got) == {0, 1} and got[0]["n"] == 3 and got[1]["n"] == 3
+    assert got[0]["mean_score"] == round(0.2 / 3, 6)
+    assert got[0]["pos_rate"] == 0.0
+    assert got[1]["mean_score"] == round(2.8 / 3, 6)
+    assert got[1]["pos_rate"] == round(2 / 3, 6)
+    exp_ece = 0.5 * (0.2 / 3) + 0.5 * abs(2.8 / 3 - 2 / 3)
+    assert abs(got[0]["ece"] - round(exp_ece, 6)) <= 1e-6
+
+    # perfectly calibrated two-bin score -> ECE 0
+    cal = [(0.0, 0), (0.0, 0), (1.0, 1), (1.0, 1)]
+    got = calibration_bins(
+        spark.createDataFrame(cal, "s double, y int"), "s", "y", 2
+    ).first()
+    assert got["ece"] == 0.0
+
+
 def test_key_skew_profile_exact_gini(spark):
     """Gini endpoints: uniform counts -> 0; a planted 97%-hot key ->
     2*394/(4*100) - 5/4 = 0.72 exactly; shares follow."""

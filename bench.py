@@ -114,6 +114,7 @@ EXTENDED = [
     "jw_match_pairs",
     "roc_auc_purchase",
     "calibration_purchase_score",
+    "quantile_normalize_sources",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

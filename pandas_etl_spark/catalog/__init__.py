@@ -112,7 +112,8 @@ _PRIORITY = [
 # holt_trend_daily / hybrid_search_rrf / spearman_corr_lineitem /
 # ks_price_drift / mwu_purchase_vs_click / theil_sen_trend /
 # cusum_revenue_shift / semantic_decontaminate / jw_match_pairs /
-# roc_auc_purchase / calibration_purchase_score (full oracles); plus
+# roc_auc_purchase / calibration_purchase_score /
+# quantile_normalize_sources (full oracles); plus
 # rows-only k_core_parts /
 # embedding_pca_project /
 # ann_pq_topk / segment_neardup / stream_manifest_ingest /

@@ -1703,6 +1703,83 @@ def q_calibration_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantile_normalize_sources",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, source AS g, CAST(n_chars AS DOUBLE) AS v
+        FROM documents
+        WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    ),
+    gv AS (SELECT g, v, count(*) AS c FROM src GROUP BY 1, 2),
+    gr AS (
+        SELECT g, v, c,
+               sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY g) AS ns
+        FROM gv
+    ),
+    pp AS (SELECT v AS pv, count(*) AS cp FROM src GROUP BY 1),
+    pc AS (SELECT pv, cp, sum(cp) OVER (ORDER BY pv) AS cumP FROM pp),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM src),
+    L AS (
+        SELECT g, v,
+               (CASE WHEN ns > 1
+                     THEN (cum - c + CAST(c + 1 AS DOUBLE) / 2 - 1)
+                          / (ns - 1)
+                     ELSE 0.5 END) * (N - 1) AS pos
+        FROM gr, nn
+    ),
+    L2 AS (
+        SELECT g, v, pos,
+               CAST(floor(pos) AS BIGINT) AS lo,
+               CAST(ceil(pos) AS BIGINT) AS hi
+        FROM L
+    ),
+    vl AS (
+        SELECT L2.g, L2.v, L2.pos, L2.lo, L2.hi, pc.pv AS vlo
+        FROM L2 JOIN pc
+          ON L2.lo >= pc.cumP - pc.cp AND L2.lo <= pc.cumP - 1
+    ),
+    m AS (
+        SELECT vl.g, vl.v,
+               vl.vlo + (vl.pos - vl.lo) * (pc.pv - vl.vlo) AS norm
+        FROM vl JOIN pc
+          ON vl.hi >= pc.cumP - pc.cp AND vl.hi <= pc.cumP - 1
+    )
+    SELECT s.doc_id, s.g AS source,
+           CAST(s.v AS BIGINT) AS n_chars,
+           round(m.norm, 6) AS normalized
+    FROM src s JOIN m ON m.g = s.g AND m.v = s.v
+    """,
+)
+def q_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization
+    (operators/quality.quantile_normalize) of document length: every
+    source's n_chars distribution maps onto the POOLED length
+    distribution (within-source average-rank ECDF → pooled
+    linear-interpolated inverse CDF) — the batch-effect corrector that
+    makes heterogeneous corpus sources comparable before
+    length-based quality gates. Two count aggregates collapse the
+    data; within-source ranks run per-group-partitioned, pooled
+    positions via the pinned prefix-sum, the inverse-CDF lookup is a
+    broadcast range join on the pooled distinct-length table, and the
+    finished (source, value) map broadcasts back — the rows never
+    shuffle. Integer counts + exact half-integer ranks make every
+    intermediate bit-deterministic. Full oracle."""
+    from pandas_etl_spark.operators.quality import quantile_normalize
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "n_chars"
+    )
+    res = quantile_normalize(d, "n_chars", "source", out_col="__norm")
+    return res.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("__norm", 6).alias("normalized"),
+    )
+
+
+@query(
     "psi_value_drift",
     oracle="""
     WITH bounds AS (

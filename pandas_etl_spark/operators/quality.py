@@ -400,3 +400,106 @@ def calibration_bins(
             F.round("ece", 6).alias("ece"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_col: str = "normalized",
+) -> DataFrame:
+    """Cross-group quantile normalization — the batch-effect corrector
+    for heterogeneous corpora: every value is replaced by the POOLED
+    distribution's quantile at its within-group ECDF position, so all
+    groups end up with the same marginal distribution (the microarray
+    / multi-source-corpus standardization). Position
+    p = (avg_rank - 1)/(n_g - 1) (ties -> average rank, single-row
+    groups -> 0.5); the pooled inverse CDF interpolates linearly at
+    p·(N-1) over the pooled sorted multiset — quantile_cont semantics,
+    so a group identical to the pool maps (nearly) onto itself.
+
+    Scale shape: two aggregates collapse the data — per-(group, value)
+    counts and pooled per-value counts. Within-group ranks run as a
+    window PARTITIONED by group over the count table (groups
+    parallelize; per-group frame = that group's distinct values);
+    pooled cumulative positions come from the pinned distributed
+    prefix-sum. The inverse-CDF lookup is a broadcast RANGE join of
+    the (group, value)-level frame against the pooled DISTINCT-value
+    table — the one deliberate broadcast: quantile maps are built on
+    bounded-domain columns (lengths, scores, quality values); for an
+    unbounded continuous domain, range-partition both sides on the
+    cumulative index instead. The finished (group, value) -> out map
+    broadcasts back onto the rows, so the raw data never shuffles.
+    All inputs to the arithmetic are integer counts and the original
+    values, making every intermediate bit-deterministic."""
+    from pyspark.sql import Window as W
+
+    from pandas_etl_spark.operators.prefix import global_running_sum
+
+    src = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    gv = src.groupBy(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    wg = W.partitionBy("__g").orderBy("__v")
+    ranked = gv.select(
+        "__g",
+        "__v",
+        "__c",
+        F.sum("__c").over(wg).alias("__cum"),
+        F.sum("__c").over(W.partitionBy("__g")).alias("__ns"),
+    )
+    r = (
+        F.col("__cum").cast("double")
+        - F.col("__c")
+        + (F.col("__c") + F.lit(1.0)) / 2
+    )
+    pooled = src.groupBy(F.col(value_col).cast("double").alias("__pv")).agg(
+        F.count(F.lit(1)).alias("__cp")
+    )
+    pooled = global_running_sum(pooled, [F.col("__pv")], "__cp", "__cumP")
+    nn = pooled.agg(F.sum("__cp").cast("double").alias("__N"))
+    pos = (
+        F.when(
+            F.col("__ns") > 1,
+            (r - 1) / (F.col("__ns") - 1),
+        )
+        .otherwise(F.lit(0.5))
+        * (F.col("__N") - 1)
+    )
+    lookup = ranked.crossJoin(F.broadcast(nn)).select(
+        "__g",
+        "__v",
+        pos.alias("__pos"),
+        F.floor(pos).cast("bigint").alias("__lo"),
+        F.ceil(pos).cast("bigint").alias("__hi"),
+    )
+    p_b = F.broadcast(pooled)
+    with_lo = lookup.join(
+        p_b,
+        (F.col("__lo") >= F.col("__cumP") - F.col("__cp"))
+        & (F.col("__lo") <= F.col("__cumP") - 1),
+    ).select(
+        "__g", "__v", "__pos", "__lo", "__hi", F.col("__pv").alias("__vlo")
+    )
+    mapping = with_lo.join(
+        p_b,
+        (F.col("__hi") >= F.col("__cumP") - F.col("__cp"))
+        & (F.col("__hi") <= F.col("__cumP") - 1),
+    ).select(
+        F.col("__g").alias(f"__map_{group_col}"),
+        F.col("__v").alias(f"__map_{value_col}"),
+        (
+            F.col("__vlo")
+            + (F.col("__pos") - F.col("__lo"))
+            * (F.col("__pv") - F.col("__vlo"))
+        ).alias(out_col),
+    )
+    return df.join(
+        F.broadcast(mapping),
+        (F.col(group_col) == F.col(f"__map_{group_col}"))
+        & (F.col(value_col).cast("double") == F.col(f"__map_{value_col}")),
+        "left",
+    ).drop(f"__map_{group_col}", f"__map_{value_col}")

@@ -70,6 +70,7 @@ NOTES = {
     "jw_match_pairs": "Jaro-Winkler linkage: ONE hash shuffle on the blocking key, in-block i<j pair generation, then one ArrowEvalPython scorer stage and a row filter — no cartesian, no global sort; candidate volume is sum(|block|^2) by construction.",
     "roc_auc_purchase": "Exact AUC: ONE per-score-value count aggregate (map-side partial) + the pinned-partitioning prefix-sum over the |distinct| score table + a 1-row fold — no global sort of raw rows, no per-threshold sweep, no Python.",
     "calibration_purchase_score": "Calibration/ECE: a 1-row bounds broadcast + ONE map-side-combinable 10-bin aggregate over the data; the ECE fold and per-bin shares run on the 10-row table — no windows, no Python.",
+    "quantile_normalize_sources": "Quantile normalization: two count aggregates collapse the data; rank windows are PARTITIONED by source, pooled positions come from the pinned prefix-sum, the inverse-CDF lookup is a deliberate broadcast range join on the pooled distinct-value table, and the finished (source,value) map broadcasts back — the rows themselves never shuffle.",
 }
 
 

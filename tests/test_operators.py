@@ -2402,6 +2402,42 @@ def test_calibration_bins_pinned_values(spark):
     assert got["ece"] == 0.0
 
 
+def test_quantile_normalize_pinned_values(spark):
+    """Quantile normalization invariants on constructed groups: two
+    identical groups map onto themselves (identity); two shifted
+    groups map onto the SAME pooled values (the whole point —
+    batch-effect removal), with the interpolated midpoint where the
+    pooled CDF jumps between the groups; tied values share one
+    normalized value; a single-row group maps to the pooled median
+    position p = 0.5."""
+    from pandas_etl_spark.operators.quality import quantile_normalize
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = quantile_normalize(df, "v", "g", "norm")
+        return {(r["g"], r["v"]): r["norm"] for r in out.collect()}
+
+    # identical groups -> identity
+    got = run([("a", 1.0), ("a", 2.0), ("a", 3.0),
+               ("b", 1.0), ("b", 2.0), ("b", 3.0)])
+    for (g, v), norm in got.items():
+        assert norm == v, (g, v, norm)
+
+    # shifted groups -> same pooled marginal for both
+    got = run([("a", 1.0), ("a", 2.0), ("a", 3.0),
+               ("b", 11.0), ("b", 12.0), ("b", 13.0)])
+    # pooled sorted: [1,2,3,11,12,13]; p=0/.5/1 -> 1, (3+11)/2, 13
+    for g in ("a", "b"):
+        vals = sorted(n for (gg, _), n in got.items() if gg == g)
+        assert vals == [1.0, 7.0, 13.0], (g, vals)
+
+    # ties share a normalized value; singleton group hits p = 0.5
+    got = run([("a", 5.0), ("a", 5.0), ("a", 9.0), ("z", 7.0)])
+    assert got[("a", 5.0)] == got[("a", 5.0)]
+    # pooled sorted: [5,5,7,9]; singleton p=.5 -> pos 1.5 -> (5+7)/2
+    assert got[("z", 7.0)] == 6.0
+
+
 def test_key_skew_profile_exact_gini(spark):
     """Gini endpoints: uniform counts -> 0; a planted 97%-hot key ->
     2*394/(4*100) - 5/4 = 0.72 exactly; shares follow."""

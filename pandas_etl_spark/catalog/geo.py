@@ -1,0 +1,176 @@
+"""Geospatial catalog queries (grid density, blocked radius join,
+broadcast kNN join) over deterministic synthetic coordinates.
+
+The TPC-H-ish fixtures carry no geo columns, so customers/suppliers get
+coordinates derived from their keys via the repo's portable md5-bucket
+hash (operators/sampling.py): both engines compute bit-identical
+doubles, lat uniform in [-60, 60], lon in [-180, 180). The haversine
+formula is ONE shared SQL text (operators/geo.HAVERSINE_SQL) evaluated
+by Spark and DuckDB alike, so the only cross-engine float risk is
+libm's last-ulp sin/cos drift — orders of magnitude below the round-6
+compare contract (and the 3-decimal output rounding used here).
+
+Scale shapes (see operators/geo.py): density = one cell-keyed shuffle;
+radius join = 3x3-neighborhood blocking equi-join (the 9x explode rides
+on the SMALL side), never an all-pairs product — the brute-force cross
+join lives only in the DuckDB oracles; kNN = broadcast dim + per-key
+top-k window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.operators.geo import (
+    haversine_sql,
+    knn_join,
+    radius_join,
+    synthetic_coord_sql,
+    with_synthetic_coords,
+)
+from pandas_etl_spark.sources import load_table
+from pandas_etl_spark.sources.io import ensure_parallelism
+
+_CLAT, _CLON = synthetic_coord_sql("c_custkey", "duckdb")
+_SLAT, _SLON = synthetic_coord_sql("s_suppkey", "duckdb")
+
+_RADIUS_KM = 500.0
+
+
+@query(
+    "geo_cell_density",
+    oracle=f"""
+    SELECT CAST(floor({_CLAT} / 10.0) AS BIGINT) AS cell_y,
+           CAST(floor({_CLON} / 10.0) AS BIGINT) AS cell_x,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer density + balance per 10-degree grid cell. Single
+    shuffle keyed on the cell id; the coordinate derivation and floor
+    are codegen'd expressions on the scan."""
+    c = with_synthetic_coords(
+        ensure_parallelism(load_table(spark, sf_dir, "customer")), "c_custkey"
+    )
+    return (
+        c.groupBy(
+            F.floor(F.col("lat") / 10.0).cast("bigint").alias("cell_y"),
+            F.floor(F.col("lon") / 10.0).cast("bigint").alias("cell_x"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+_HAV_ORACLE = haversine_sql("s.slat", "s.slon", "c.clat", "c.clon")
+
+
+@query(
+    "spatial_radius_join",
+    oracle=f"""
+    WITH s AS (
+        SELECT s_suppkey, {_SLAT} AS slat, {_SLON} AS slon FROM supplier
+    ), c AS (
+        SELECT c_custkey, {_CLAT} AS clat, {_CLON} AS clon FROM customer
+    )
+    SELECT s.s_suppkey, c.c_custkey,
+           round({_HAV_ORACLE}, 3) AS dist_km
+    FROM s, c
+    WHERE {_HAV_ORACLE} <= {_RADIUS_KM}
+    """,
+)
+def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(supplier, customer) pairs within 500 km. Spark plan: grid-cell
+    blocking — suppliers (the small side) explode into their 3x3 cell
+    neighborhood, customers map to one cell each, one equi-join shuffle
+    on (cy, cx), exact haversine filter after. The oracle is the
+    all-pairs cross join the blocking avoids (O(N*M) is fine at oracle
+    SF, never run by the Spark side)."""
+    s = with_synthetic_coords(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey"),
+        "s_suppkey",
+        "slat",
+        "slon",
+    )
+    c = with_synthetic_coords(
+        ensure_parallelism(load_table(spark, sf_dir, "customer")).select(
+            "c_custkey"
+        ),
+        "c_custkey",
+        "clat",
+        "clon",
+    )
+    out = radius_join(
+        s,
+        c,
+        _RADIUS_KM,
+        left_coords=("slat", "slon"),
+        right_coords=("clat", "clon"),
+    )
+    return out.select(
+        "s_suppkey", "c_custkey", F.round("dist_km", 3).alias("dist_km")
+    )
+
+
+_KNN_HAV = haversine_sql("c.clat", "c.clon", "s.slat", "s.slon")
+
+
+@query(
+    "nearest_suppliers_knn",
+    oracle=f"""
+    WITH s AS (
+        SELECT s_suppkey, {_SLAT} AS slat, {_SLON} AS slon FROM supplier
+    ), c AS (
+        SELECT c_custkey, {_CLAT} AS clat, {_CLON} AS clon FROM customer
+    ), d AS (
+        SELECT c.c_custkey, s.s_suppkey, {_KNN_HAV} AS dist,
+               row_number() OVER (PARTITION BY c.c_custkey
+                                  ORDER BY {_KNN_HAV} ASC, s.s_suppkey ASC)
+                   AS nn_rank
+        FROM c, s
+    )
+    SELECT c_custkey, s_suppkey, CAST(nn_rank AS INTEGER) AS nn_rank,
+           round(dist, 3) AS dist_km
+    FROM d WHERE nn_rank <= 3
+    """,
+)
+def q_nearest_suppliers_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 nearest suppliers per customer: broadcast the supplier dim
+    (the fact side never shuffles for the join), per-customer top-3
+    window with rank-limit pushdown, suppkey tie-break."""
+    s = with_synthetic_coords(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey"),
+        "s_suppkey",
+        "slat",
+        "slon",
+    )
+    c = with_synthetic_coords(
+        ensure_parallelism(load_table(spark, sf_dir, "customer")).select(
+            "c_custkey"
+        ),
+        "c_custkey",
+        "clat",
+        "clon",
+    )
+    out = knn_join(
+        c,
+        s,
+        3,
+        fact_key="c_custkey",
+        dim_key="s_suppkey",
+        fact_coords=("clat", "clon"),
+        dim_coords=("slat", "slon"),
+    )
+    return out.select(
+        "c_custkey",
+        "s_suppkey",
+        F.col("nn_rank").cast("int").alias("nn_rank"),
+        F.round("dist_km", 3).alias("dist_km"),
+    )

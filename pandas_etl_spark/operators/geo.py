@@ -1,0 +1,220 @@
+"""Geospatial join/aggregation primitives (SURVEY §2 extension family).
+
+The reference's pandas users do geo work with driver-side libraries
+(geopy-style haversine loops); at 100 TB the shapes that matter are
+
+- **grid-cell density aggregation** — one shuffle keyed on the cell id;
+- **radius join** — pair points within R km WITHOUT the all-pairs cross
+  product, via grid-cell blocking: any pair within R lands in the same
+  or an adjacent cell when the cell edge is at least R in both axes, so
+  one side maps to its cell, the other explodes to its 3x3 neighborhood
+  and the join is a plain equi-join on the cell id (candidate volume
+  O(density^2 * cells), never O(N*M)), followed by the exact haversine
+  filter;
+- **k-nearest join against a broadcastable dimension** — distances via
+  a broadcast hash join (the dim never shuffles the fact side), then a
+  per-key top-k window.
+
+Everything is Catalyst expressions (sin/cos/asin/sqrt/radians are JVM
+intrinsics inside whole-stage codegen) — no UDFs, no driver loops.
+
+Cross-engine determinism: the haversine formula is kept as ONE SQL text
+template (`HAVERSINE_SQL`) used verbatim by both the Spark side
+(``F.expr``) and the DuckDB oracles, so both engines evaluate the same
+expression tree over the same doubles. The synthetic coordinate
+derivation uses the repo's portable md5-bucket hash
+(operators/sampling.py) — exact in both engines (32-bit int divided by
+2^32 is an exact double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+# Conservative km-per-degree constants: latitude degrees are ~110.574 km
+# everywhere; longitude degrees are ~111.320*cos(lat) km. Using the
+# SMALLER divisor (110.0) makes cells slightly larger than R — blocking
+# stays correct (never misses a pair), only candidate volume grows ~1%.
+_KM_PER_LAT_DEG = 110.0
+_KM_PER_LON_DEG_EQUATOR = 111.0
+
+# One formula text, two engines. `{lat1}` etc. are SQL sub-expressions.
+HAVERSINE_SQL = (
+    "2.0 * {r} * asin(sqrt("
+    "pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)"
+    "))"
+)
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """The shared haversine SQL text (km) over four column names /
+    sub-expressions — valid Spark SQL and DuckDB SQL alike."""
+    return HAVERSINE_SQL.format(
+        r=EARTH_RADIUS_KM, lat1=lat1, lon1=lon1, lat2=lat2, lon2=lon2
+    )
+
+
+def haversine_km(lat1: str, lon1: str, lat2: str, lon2: str) -> Column:
+    return F.expr(haversine_sql(lat1, lon1, lat2, lon2))
+
+
+def synthetic_coord_sql(key: str, engine: str) -> tuple[str, str]:
+    """(lat_sql, lon_sql) deriving deterministic coordinates from a key
+    column — for fixtures that carry no geo columns. lat is uniform in
+    [-60, 60] (so cos(lat) >= 0.5 and longitude-cell blocking never
+    degenerates toward the poles), lon in [-180, 180). The md5-bucket
+    hash is the repo's portable sampling hash: identical doubles on
+    Spark (`conv(substring(md5(..),1,8),16,10)`) and DuckDB
+    (`CAST('0x'||substring(md5(..),1,8) AS BIGINT)`)."""
+    # NB: divide by an explicit DOUBLE — a bare `4294967296.0` literal is
+    # DECIMAL in both engines' SQL dialects, and bigint/decimal division
+    # yields engine-specific decimal scales. bigint→double division by a
+    # power of two is IEEE-exact in both.
+    if engine == "spark":
+        def u(salt: str) -> str:
+            return (
+                f"(cast(conv(substring(md5(concat(cast({key} as string),"
+                f" '{salt}')), 1, 8), 16, 10) as bigint)"
+                f" / cast(4294967296 as double))"
+            )
+    elif engine == "duckdb":
+        def u(salt: str) -> str:
+            return (
+                f"(CAST('0x' || substring(md5(CAST({key} AS VARCHAR)"
+                f" || '{salt}'), 1, 8) AS BIGINT)"
+                f" / CAST(4294967296 AS DOUBLE))"
+            )
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown engine {engine!r}")
+    return f"(-60.0 + 120.0 * {u('-lat')})", f"(-180.0 + 360.0 * {u('-lon')})"
+
+
+def with_synthetic_coords(
+    df: DataFrame, key: str, lat_col: str = "lat", lon_col: str = "lon"
+) -> DataFrame:
+    lat_sql, lon_sql = synthetic_coord_sql(key, "spark")
+    return df.withColumn(lat_col, F.expr(lat_sql)).withColumn(
+        lon_col, F.expr(lon_sql)
+    )
+
+
+def _cell_sizes(radius_km: float, max_abs_lat: float = 60.0) -> tuple[float, int]:
+    """(lat cell size in degrees, number of longitude cells).
+
+    Longitude wraps at the antimeridian, so its cells are modular: the
+    circle is split into ``n_lon = floor(360 / required)`` equal cells,
+    each ``360 / n_lon >= required`` degrees wide — a uniform partition
+    (no narrow last cell that could break the 1-cell adjacency bound)
+    whose neighbors are taken mod n_lon, so a pair straddling ±180 is
+    still found. ``required`` itself uses the worst-case (pole-most)
+    latitude: any pair within R km satisfies |Δlon| <= R / (111 *
+    cos(max_abs_lat)) degrees.
+    """
+    import math
+
+    lat_deg = radius_km / _KM_PER_LAT_DEG
+    lon_deg = radius_km / (
+        _KM_PER_LON_DEG_EQUATOR * math.cos(math.radians(max_abs_lat))
+    )
+    n_lon = max(1, int(360.0 // lon_deg))
+    if n_lon <= 3:
+        # -1/0/+1 offsets would alias to the same cell mod n_lon,
+        # duplicating pairs; a single band is the honest fallback.
+        n_lon = 1
+    return lat_deg, n_lon
+
+
+def grid_cell(
+    lat: str, lon: str, cell_lat_deg: float, n_lon_cells: int
+) -> tuple[Column, Column]:
+    """(cy, cx) integer grid cell of a point; cx is modular in
+    [0, n_lon_cells) so longitude cell 0 is adjacent to the last one."""
+    lon_width = 360.0 / n_lon_cells
+    return (
+        F.floor(F.col(lat) / F.lit(cell_lat_deg)).cast("int"),
+        F.pmod(
+            F.floor((F.col(lon) + F.lit(180.0)) / F.lit(lon_width)),
+            F.lit(n_lon_cells),
+        ).cast("int"),
+    )
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    left_coords: tuple[str, str] = ("lat", "lon"),
+    right_coords: tuple[str, str] = ("lat", "lon"),
+    max_abs_lat: float = 60.0,
+    dist_col: str = "dist_km",
+) -> DataFrame:
+    """All (left, right) pairs within ``radius_km``, grid-cell blocked.
+
+    Right side maps each point to its cell; left side replicates each
+    point into its 3x3 cell neighborhood (a 9x narrow explode of the
+    SMALLER frame is the conventional choice — pass the smaller frame
+    as ``left``). One equi-join shuffle on (cy, cx), then the exact
+    haversine predicate. Requires |lat| <= max_abs_lat on both inputs
+    (cell sizing uses cos(max_abs_lat); beyond it longitude cells are
+    too narrow and pairs could be missed).
+    """
+    cell_lat, n_lon = _cell_sizes(radius_km, max_abs_lat)
+    llat, llon = left_coords
+    rlat, rlon = right_coords
+
+    cy, cx = grid_cell(rlat, rlon, cell_lat, n_lon)
+    r = right.withColumn("__cy", cy).withColumn("__cx", cx)
+
+    cy, cx = grid_cell(llat, llon, cell_lat, n_lon)
+    offsets = F.expr("array(-1, 0, 1)")
+    lon_offsets = offsets if n_lon > 1 else F.expr("array(0)")
+    l = (
+        left.withColumn("__cy0", cy)
+        .withColumn("__cx0", cx)
+        .withColumn("__dy", F.explode(offsets))
+        .withColumn("__dx", F.explode(lon_offsets))
+        .withColumn("__cy", F.col("__cy0") + F.col("__dy"))
+        .withColumn(
+            "__cx",
+            F.pmod(F.col("__cx0") + F.col("__dx"), F.lit(n_lon)).cast("int"),
+        )
+        .drop("__cy0", "__cx0", "__dy", "__dx")
+    )
+    dist = haversine_km(llat, llon, rlat, rlon)
+    joined = l.join(r, ["__cy", "__cx"]).withColumn(dist_col, dist)
+    return joined.filter(F.col(dist_col) <= F.lit(radius_km)).drop(
+        "__cy", "__cx"
+    )
+
+
+def knn_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    k: int,
+    fact_key: str,
+    dim_key: str,
+    fact_coords: tuple[str, str] = ("lat", "lon"),
+    dim_coords: tuple[str, str] = ("lat", "lon"),
+    dist_col: str = "dist_km",
+) -> DataFrame:
+    """k nearest ``dim`` rows for every ``fact`` row. The dim side is
+    explicitly broadcast (the operator's contract: dim fits in an
+    executor — true for the classic store/warehouse/POI dims), so the
+    fact side NEVER shuffles for the join; the only shuffle is the
+    per-fact-key top-k window, and rank<=k prunes inside the window via
+    the rank-limit pushdown. Ties broken on the dim key for
+    determinism."""
+    flat, flon = fact_coords
+    dlat, dlon = dim_coords
+    dist = haversine_km(flat, flon, dlat, dlon)
+    paired = fact.join(F.broadcast(dim), how="cross").withColumn(dist_col, dist)
+    w = Window.partitionBy(fact_key).orderBy(F.col(dist_col).asc(), F.col(dim_key).asc())
+    return (
+        paired.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .withColumnRenamed("__rn", "nn_rank")
+    )

@@ -518,3 +518,24 @@ def test_theil_sen_group_keyed_pair_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "theil_sen_trend")
     assert "CartesianProduct" not in plan
     assert plan.count("percentile") >= 2
+
+
+def test_radius_join_blocked_equi_join(spark, sf_dir):
+    """The spatial radius join must be a cell-keyed equi join — the
+    brute-force cross product lives only in its DuckDB oracle — and the
+    haversine math stays JVM-side (no Python stage)."""
+    plan = plan_of(spark, sf_dir, "spatial_radius_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__cy" in plan and "__cx" in plan  # join keyed on grid cell
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_knn_join_broadcasts_dim_only(spark, sf_dir):
+    """kNN joins the fact side against a BROADCAST dim (the fact table
+    never shuffles for the join); the only exchange is the per-fact-key
+    top-k window partitioning."""
+    plan = plan_of(spark, sf_dir, "nearest_suppliers_knn")
+    assert "BroadcastNestedLoopJoin" in plan  # cross w/ broadcast dim
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,419 @@
+"""Sequence / contribution / time-series pattern queries: gaps-and-
+islands streaks, Pareto-ABC contribution classes, autocorrelation,
+time-bounded sequential funnels, session path mining, multi-feature OLS.
+
+These are the classic warehouse "pattern" analyses pandas users run
+with groupby+shift/cumsum driver-side loops; here each is a fixed
+number of Catalyst shuffles, independent of row count:
+
+- streaks / session paths: ONE hash shuffle on the entity key — every
+  window in the chain shares the same partitioning, so Catalyst plans a
+  single Exchange + sort feeding stacked Window nodes;
+- Pareto-ABC: per-key aggregate, then the repo's distributed prefix sum
+  (operators/prefix.py) over the key-level frame — no single-partition
+  global window even when the key domain itself is huge;
+- ACF / OLS: heavy lifting is one map-side-combinable aggregate; the
+  tiny aggregated frame (days, moment sums) is then self-joined /
+  algebraically solved — the right 100 TB shape is "reduce first".
+
+Cross-engine notes: interval arithmetic is exact TIMESTAMP math in both
+engines; Pearson correlation is normalization-invariant so Spark's
+corr ≡ DuckDB's corr; the OLS solves the centered (covariance-form)
+normal equations — far better conditioned than raw-moment Cramer — with
+ONE shared SQL formula text used by both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.sources import load_table
+from pandas_etl_spark.sources.io import ensure_parallelism
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: per-user consecutive-active-day streaks
+# ---------------------------------------------------------------------------
+
+@query(
+    "activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS anchor
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, anchor, count(*) AS len
+        FROM isl GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user (gaps-and-
+    islands): distinct active days, then the classic ``day - row_number``
+    anchor — consecutive days share an anchor — and two aggregates.
+    Exactly two data shuffles, both with map-side partials: the (user,
+    day) distinct (raw events never cross the wire un-deduplicated),
+    then one user_id Exchange of the tiny day-level frame for the
+    window — after which BOTH groupBys ((user, anchor) and (user)) ride
+    the existing hash(user_id) partitioning with zero further Exchanges
+    (hash on a subset of the grouping keys satisfies the clustering
+    requirement; plan-asserted). No self-joins, no driver loops."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    days = ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC contribution classification
+# ---------------------------------------------------------------------------
+
+@query(
+    "pareto_abc_parts",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(rev) AS t FROM rev),
+    ranked AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey) / tot.t AS cum_share
+        FROM rev, tot
+    ),
+    cls AS (
+        SELECT CASE WHEN cum_share <= 0.7 THEN 'A'
+                    WHEN cum_share <= 0.9 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev) / (SELECT t FROM tot), 6) AS revenue_share
+    FROM cls GROUP BY abc_class
+    """,
+)
+def q_pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of parts by revenue contribution: parts
+    whose cumulative revenue share (largest-first) is <=70% are class A,
+    <=90% B, the tail C. The raw scan reduces to one row per part
+    (map-side combinable); the cumulative share then runs through the
+    distributed prefix sum over the PART-level frame — ``(revenue DESC,
+    partkey)`` is a total order — so there is no single-partition global
+    window even with 10^8 parts. Total revenue broadcasts as one row."""
+    from pandas_etl_spark.operators.prefix import global_running_sum
+
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    tot = rev.agg(F.sum("rev").alias("t"))
+    ranked = global_running_sum(
+        rev,
+        [F.col("rev").desc(), F.col("l_partkey").asc()],
+        "rev",
+        "cum_rev",
+    ).join(F.broadcast(tot))
+    cls = ranked.withColumn(
+        "abc_class",
+        F.when(F.col("cum_rev") / F.col("t") <= 0.7, F.lit("A"))
+        .when(F.col("cum_rev") / F.col("t") <= 0.9, F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(F.sum("rev") / F.first("t"), 6).alias("revenue_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "acf_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT CAST(range AS INTEGER) AS lag
+             FROM range(1, {_ACF_MAX_LAG + 1})),
+    paired AS (
+        SELECT lags.lag, a.rev AS x, b.rev AS y
+        FROM daily a
+        JOIN lags ON TRUE
+        JOIN daily b ON b.d = a.d + lags.lag * INTERVAL 1 DAY
+    )
+    SELECT lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(x, y), 6) AS acf
+    FROM paired GROUP BY lag
+    """,
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at lags 1..7 (the
+    seasonality fingerprint feeding forecast models). The 100 TB cost is
+    the FIRST aggregate (orders -> one row per day, map-side
+    combinable); the lag pairing is a self-join of the tiny day-level
+    series against its broadcast copy on an exact day offset — missing
+    days simply produce no pair (both engines identically). Pearson r is
+    scale-invariant, so Spark corr ≡ DuckDB corr."""
+    o = ensure_parallelism(load_table(spark, sf_dir, "orders"))
+    daily = o.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("d")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    lags = F.array([F.lit(i) for i in range(1, _ACF_MAX_LAG + 1)])
+    a = daily.withColumn("lag", F.explode(lags)).withColumn(
+        "match_d", F.date_add(F.col("d"), F.col("lag"))
+    )
+    b = daily.select(F.col("d").alias("match_d"), F.col("rev").alias("y"))
+    paired = a.join(F.broadcast(b), "match_d")
+    return paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.corr("rev", "y"), 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-bounded sequential funnel
+# ---------------------------------------------------------------------------
+
+@query(
+    "funnel_time_bound",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts >= v.t_view AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= c.t_click AND e.ts <= c.t_click + INTERVAL 72 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(t_view) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_24h,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_72h
+    """,
+)
+def q_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly sequential funnel with conversion windows: first view,
+    then first click within 24h OF THAT VIEW, then first purchase
+    within 72h of that click. Unlike ``funnel_counts`` (order-only),
+    each stage anchors on the previous stage's timestamp, so the stages
+    are data-dependent. Spark plan: three stacked per-user window mins
+    — all three partition on user_id, so Catalyst sorts once behind ONE
+    Exchange (no event-table self-joins; the oracle's joins are the SQL
+    spelling of the same anchoring)."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOURS")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s2 = s1.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 72 HOURS")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s3 = s2.withColumn("t_purchase", t_purchase)
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").cast("bigint").alias("n_view"),
+        F.count("t_click").cast("bigint").alias("n_click_24h"),
+        F.count("t_purchase").cast("bigint").alias("n_purchase_72h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# session path mining: top event trigrams within 30-min-gap sessions
+# ---------------------------------------------------------------------------
+
+@query(
+    "session_paths_topk",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS sess_id
+        FROM seq
+    ),
+    tri AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3,
+               sess_id,
+               lead(sess_id, 2) OVER w AS sess3
+        FROM sess
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM tri
+    WHERE e3 IS NOT NULL AND sess3 = sess_id
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+)
+def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-event paths that occur INSIDE one session
+    (30-minute inactivity gap): gap-flag -> running session id -> two
+    leads, all over the SAME (user_id | ts, event_id) window, so the
+    whole chain is one Exchange + one sort; trigrams crossing a session
+    boundary are rejected by comparing the session id two events ahead
+    (cheaper than re-partitioning by (user, session)). Final top-10 is
+    a TakeOrderedAndProject over the small path-count frame with a path
+    tie-break for determinism."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = (
+        prev_ts.isNull()
+        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    tri = sess.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.col("sess_id"),
+        F.lead("sess_id", 2).over(w).alias("sess3"),
+    )
+    paths = (
+        tri.filter(F.col("e3").isNotNull() & (F.col("sess3") == F.col("sess_id")))
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# multi-feature OLS via centered normal equations
+# ---------------------------------------------------------------------------
+
+# ONE formula text, two engines: 2x2 Cramer solve of the centered
+# (covariance-form) normal equations — far better conditioned than
+# raw-moment Cramer (no n*S11*S22-scale cancellation).
+_OLS_SOLVE_SQL = """
+    SELECT n,
+           round((c1y * v22 - c12 * c2y) / (v11 * v22 - c12 * c12), 4) AS beta_qty,
+           round((v11 * c2y - c12 * c1y) / (v11 * v22 - c12 * c12), 4) AS beta_discount,
+           round(my - (c1y * v22 - c12 * c2y) / (v11 * v22 - c12 * c12) * m1
+                    - (v11 * c2y - c12 * c1y) / (v11 * v22 - c12 * c12) * m2,
+                 4) AS intercept,
+           round(((c1y * v22 - c12 * c2y) / (v11 * v22 - c12 * c12) * c1y
+                  + (v11 * c2y - c12 * c1y) / (v11 * v22 - c12 * c12) * c2y)
+                 / vyy, 6) AS r2
+    FROM moments
+"""
+
+
+@query(
+    "ols_price_model",
+    oracle=f"""
+    WITH moments AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               var_pop(l_quantity) AS v11,
+               var_pop(l_discount) AS v22,
+               covar_pop(l_quantity, l_discount) AS c12,
+               covar_pop(l_quantity, l_extendedprice) AS c1y,
+               covar_pop(l_discount, l_extendedprice) AS c2y,
+               var_pop(l_extendedprice) AS vyy,
+               avg(l_quantity) AS m1,
+               avg(l_discount) AS m2,
+               avg(l_extendedprice) AS my
+        FROM lineitem
+    )
+    {_OLS_SOLVE_SQL}
+    """,
+)
+def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature linear regression l_extendedprice ~ quantity +
+    discount, fit in closed form: ONE map-side-combinable moment
+    aggregate (count/avg/var_pop/covar_pop — all Catalyst partial
+    aggregates), then the centered normal equations solved by 2x2
+    Cramer on the single moment row. The solve is a shared SQL text
+    (`_OLS_SOLVE_SQL`) evaluated verbatim by both engines, so the only
+    cross-engine drift is the moment aggregates' summation order —
+    normalized away by the in-query rounding. No iteration, no
+    gradient loop, no driver-side linear algebra."""
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    moments = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.var_pop("l_quantity").alias("v11"),
+        F.var_pop("l_discount").alias("v22"),
+        F.covar_pop("l_quantity", "l_discount").alias("c12"),
+        F.covar_pop("l_quantity", "l_extendedprice").alias("c1y"),
+        F.covar_pop("l_discount", "l_extendedprice").alias("c2y"),
+        F.var_pop("l_extendedprice").alias("vyy"),
+        F.avg("l_quantity").alias("m1"),
+        F.avg("l_discount").alias("m2"),
+        F.avg("l_extendedprice").alias("my"),
+    )
+    moments.createOrReplaceTempView("moments")
+    return spark.sql(_OLS_SOLVE_SQL)

@@ -174,3 +174,78 @@ def q_nearest_suppliers_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn_rank").cast("int").alias("nn_rank"),
         F.round("dist_km", 3).alias("dist_km"),
     )
+
+
+_EPS_KM = 300.0
+_PTS_CTE = f"""
+    pts AS (
+        SELECT c_custkey AS id, {_CLAT} AS lat, {_CLON} AS lon FROM customer
+    )
+"""
+
+
+@query(
+    "spatial_cluster_eps",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PTS_CTE},
+    e AS (
+        SELECT a.id AS src, b.id AS dst
+        FROM pts a, pts b
+        WHERE a.id <> b.id
+          AND {haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")} <= {_EPS_KM}
+    ),
+    reach AS (
+        SELECT id, id AS r FROM pts
+        UNION
+        SELECT e.src AS id, reach.r FROM e JOIN reach ON reach.id = e.dst
+    ),
+    lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM lab GROUP BY cluster_id
+    """,
+)
+def q_spatial_cluster_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clusters of customers: two points connect when within
+    300 km, clusters are the connected components of that graph
+    (DBSCAN with minPts=1 — eps-connectivity). Spark plan: the edge
+    list comes from the grid-blocked ``radius_join`` (one cell-keyed
+    equi-join shuffle, never all-pairs), then the O(log n)-round
+    star-contraction CC shared with the dedup family
+    (functions/dedup.py connected_components) labels every customer
+    with its component minimum; singletons label themselves. The
+    all-pairs edge enumeration and transitive-closure recursion live
+    only in the DuckDB oracle."""
+    from pandas_etl_spark.functions import dedup as dd
+
+    c = with_synthetic_coords(
+        ensure_parallelism(load_table(spark, sf_dir, "customer")).select(
+            F.col("c_custkey")
+        ),
+        "c_custkey",
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("lat").alias("alat"),
+        F.col("lon").alias("alon"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+    )
+    pairs = radius_join(
+        a,
+        b,
+        _EPS_KM,
+        left_coords=("alat", "alon"),
+        right_coords=("blat", "blon"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    labeled = dd.connected_components(
+        pairs.select("id_a", "id_b"),
+        nodes=c.select(F.col("c_custkey").alias("id")),
+        id_col="id",
+    )
+    return labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )

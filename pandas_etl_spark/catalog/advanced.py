@@ -505,3 +505,69 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features_csv"
         ),
     )
+
+
+@query(
+    "image_ahash_neardup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+        WHERE octet_length(encode(text)) >= 60
+    ),
+    byt AS (
+        SELECT doc_id, n, i,
+               CAST('0x' || substr(hx, CAST(2 * i + 1 AS INTEGER), 2)
+                    AS INTEGER) AS v,
+               CAST((i * 60) // n AS INTEGER) AS blk
+        FROM (SELECT doc_id, hx, n, unnest(range(n)) AS i FROM d)
+    ),
+    blocks AS (
+        SELECT doc_id, n, blk, sum(v) AS s, count(*) AS l
+        FROM byt GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT doc_id, sum(v) AS tv FROM byt GROUP BY 1),
+    h AS (
+        SELECT b.doc_id,
+               CAST(sum(CASE WHEN b.s * b.n > t.tv * b.l
+                             THEN CAST(1 AS BIGINT) << CAST(b.blk AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS sim
+        FROM blocks b JOIN tot t USING (doc_id)
+        GROUP BY 1
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+    FROM h a, h b
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 12
+    """,
+)
+def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate binary blobs by block-mean perceptual fingerprint
+    (aHash shape, codec stubbed — functions/multimodal.ahash_signatures):
+    Arrow-batched numpy hashing of each payload to a 60-bit integer,
+    then the EXACT pigeonhole Hamming blocking shared with SimHash
+    (functions/dedup.simhash_neighbors) — fingerprints shuffle as one
+    bigint per blob, payloads never re-cross the wire, and no all-pairs
+    product exists outside the DuckDB oracle (which rebuilds the same
+    integer hashes from hex(payload) byte pairs and brute-forces
+    bit_count(xor)). Radius 12 (wider than SimHash's default 8) because
+    byte-stream hashing is alignment-sensitive — small edits shift every
+    later block — so 13 pigeonhole chunks of ~4-5 bits each; blocking
+    stays EXACT but prunes less than at pixel-hash radii (~4), the
+    honest trade until a real codec supplies alignment-stable pixels."""
+    from pandas_etl_spark.functions import dedup as dd
+    from pandas_etl_spark.functions import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    sig = mm.ahash_signatures(
+        ensure_parallelism(d), "payload", "doc_id", bits=60
+    )
+    pairs = dd.simhash_neighbors(sig, max_hamming=12)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )

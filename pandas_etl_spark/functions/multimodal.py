@@ -274,3 +274,57 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         "sample_ms",
         F.explode(F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))),
     )
+
+
+def ahash_signatures(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> DataFrame:
+    """(id, sim bigint) block-mean hash ("aHash") over binary payloads —
+    the perceptual-fingerprint plumbing for image near-dup, minus the
+    codec: a real pHash would decode pixels first (codec libs absent
+    here; see decode_image_stub), this hashes the raw byte stream with
+    the SAME downstream shape. The payload splits into ``bits``
+    contiguous blocks (byte i -> block floor(i*bits/n)); bit b is set
+    iff block b's mean byte value exceeds the whole payload's mean,
+    decided by INTEGER cross-multiplication ``s_b * n > S * l_b`` — no
+    float anywhere, so any engine reproduces the hash bit-for-bit.
+    ``bits`` <= 60 keeps every intermediate exact in int64 (the repo's
+    portable-hash convention). Arrow-batched mapInPandas, numpy inner
+    loop; payloads shorter than ``bits`` bytes hash to NULL (dropped —
+    too small to block on).
+
+    Feed the result straight into ``functions.dedup.simhash_neighbors``
+    for exact pigeonhole Hamming blocking — fingerprints shuffle as one
+    bigint per blob, payloads never re-cross the wire."""
+    import numpy as np
+
+    assert 1 <= bits <= 60
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes: list[int | None] = []
+            for payload in pdf[payload_col]:
+                if payload is None or len(payload) < bits:
+                    hashes.append(None)
+                    continue
+                a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = a.shape[0]
+                blk = (np.arange(n, dtype=np.int64) * bits) // n
+                s = np.bincount(blk, weights=a, minlength=bits).astype(np.int64)
+                l = np.bincount(blk, minlength=bits).astype(np.int64)
+                total = int(a.sum())
+                bit = (s * n) > (total * l)
+                h = 0
+                for b in np.nonzero(bit)[0]:
+                    h |= 1 << int(b)
+                hashes.append(h)
+            yield pd.DataFrame({"id": pdf[id_col], "sim": pd.array(hashes, dtype="Int64")})
+
+    return (
+        df.select(id_col, payload_col)
+        .mapInPandas(batches, "id long, sim long")
+        .filter(F.col("sim").isNotNull())
+    )

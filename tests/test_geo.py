@@ -140,3 +140,27 @@ def test_knn_join_matches_brute_force_topk(spark):
         expect = sorted(dists[fid])[:3]
         assert [g[1] for g in got] == [e[1] for e in expect]
         assert all(abs(g[2] - e[0]) < 1e-9 for g, e in zip(got, expect))
+
+
+def test_ahash_signatures_edges(spark):
+    """Block-mean hash: identical payloads hash identically (hamming 0
+    through the blocked pairing); payloads shorter than `bits` bytes or
+    NULL are dropped, not crashed on."""
+    from pandas_etl_spark.functions.dedup import simhash_neighbors
+    from pandas_etl_spark.functions.multimodal import ahash_signatures
+
+    rows = [
+        (1, ("A" * 50 + "z" * 40).encode()),
+        (2, ("A" * 50 + "z" * 40).encode()),  # exact dup of 1
+        (3, b"short"),                          # < 60 bytes -> dropped
+        (4, None),                              # NULL -> dropped
+        (5, bytes(range(60, 180))),             # distinct content
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sig = ahash_signatures(df, "payload", "doc_id", bits=60)
+    got = {r.id: r.sim for r in sig.collect()}
+    assert set(got) == {1, 2, 5}
+    assert got[1] == got[2]
+    assert 0 <= got[1] < 2**60
+    pairs = simhash_neighbors(sig, max_hamming=0).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]

@@ -417,3 +417,71 @@ def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     moments.createOrReplaceTempView("moments")
     return spark.sql(_OLS_SOLVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# conversion latency distribution (time-to-event percentiles)
+# ---------------------------------------------------------------------------
+
+@query(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               min(e.ts) AS t_purchase
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT p.user_id,
+               date_diff('second', v.t_view, p.t_purchase) / 3600.0 AS hours
+        FROM p JOIN v ON v.user_id = p.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(hours, 0.5), 4) AS p50_hours,
+           round(quantile_cont(hours, 0.9), 4) AS p90_hours,
+           round(quantile_cont(hours, 0.99), 4) AS p99_hours
+    FROM lat
+    """,
+)
+def q_conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, hours from first view to
+    first subsequent purchase, summarized as exact interpolated
+    p50/p90/p99. Same one-Exchange stacked-window shape as the funnel
+    (both per-user mins partition on user_id); latency is integer
+    epoch-second arithmetic in both engines, so the only float op is
+    the final /3600 and the quantile interpolation."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = ev.withColumn("t_view", t_view)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        s1.withColumn("t_purchase", t_purchase)
+        .groupBy("user_id")
+        .agg(F.max("t_view").alias("t_view"), F.max("t_purchase").alias("t_purchase"))
+        .filter(F.col("t_purchase").isNotNull())
+        .withColumn(
+            "hours",
+            (
+                F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+            ).cast("double")
+            / 3600.0,
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.percentile("hours", 0.5), 4).alias("p50_hours"),
+        F.round(F.percentile("hours", 0.9), 4).alias("p90_hours"),
+        F.round(F.percentile("hours", 0.99), 4).alias("p99_hours"),
+    )

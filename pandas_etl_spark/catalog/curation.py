@@ -1175,3 +1175,39 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return key_skew_profile(ev, "user_id")
+
+
+@query(
+    "weighted_sample_ares",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, length(text) AS w,
+               pow((2 * (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 8) AS BIGINT) % 4294967296) + 1)
+                   / CAST(8589934592 AS DOUBLE),
+                   1.0 / length(text)) AS ares_score
+        FROM documents
+        WHERE length(text) > 0
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS w, round(ares_score, 6) AS ares_score
+    FROM scored
+    ORDER BY ares_score DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res, operators/sampling.weighted_sample_ares): 100 docs
+    drawn with probability proportional to text length, via the
+    deterministic md5-uniform score u^(1/w) and a distributed top-k
+    (TakeOrderedAndProject — per-partition heads, no global sort). The
+    oracle recomputes the identical scores and takes the same LIMIT."""
+    from pandas_etl_spark.operators.sampling import weighted_sample_ares
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("w")
+    )
+    out = weighted_sample_ares(docs, "doc_id", F.col("w"), 100)
+    return out.select(
+        "doc_id", "w", F.round("ares_score", 6).alias("ares_score")
+    )

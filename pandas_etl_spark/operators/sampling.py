@@ -214,3 +214,31 @@ def shuffle_shards(
         out.withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
         .drop("__shuffle_h")
     )
+
+
+def weighted_sample_ares(
+    df: DataFrame, key: str, weight: Column, k: int
+) -> DataFrame:
+    """Efraimidis–Spirakis A-Res weighted sampling WITHOUT replacement:
+    draw exactly ``k`` rows where inclusion probability scales with
+    ``weight`` — each row scores ``u^(1/w)`` with u uniform in (0,1)
+    and the k highest scores win. Distributed cost is one
+    TakeOrderedAndProject (per-partition top-k, merge k*partitions on
+    the driver) — no global sort, no shuffle of the losers.
+
+    Deterministic and engine-portable: u derives from the repo's
+    md5-bucket hash as ``(2*h + 1) / 2^33`` (strictly inside (0,1),
+    exact double in any engine); the only cross-engine float risk is
+    libm pow's last ulp, which would need two scores within ~1e-15 to
+    flip the k-boundary. Rows with non-positive weight are excluded
+    (their inclusion probability is 0 by definition)."""
+    u = (
+        _bucket(key, _MODULUS) * F.lit(2) + F.lit(1)
+    ).cast("double") / F.lit(8589934592.0).cast("double")
+    score = F.pow(u, F.lit(1.0) / weight.cast("double"))
+    return (
+        df.filter(weight > 0)
+        .withColumn("ares_score", score)
+        .orderBy(F.col("ares_score").desc(), F.col(key).asc())
+        .limit(k)
+    )

@@ -601,3 +601,11 @@ def test_pareto_abc_no_global_window(spark, sf_dir):
     for i, l in enumerate(lines):
         if "Window" in l and "windowspecdefinition" in l:
             assert "__pid" in l, l  # prefix-sum partition-local window
+
+
+def test_weighted_sample_ares_distributed_topk(spark, sf_dir):
+    """A-Res sampling must be a distributed top-k (TakeOrderedAndProject
+    merges per-partition heads), never a global sort."""
+    plan = plan_of(spark, sf_dir, "weighted_sample_ares")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalSort" not in plan and "Exchange rangepartitioning" not in plan

@@ -1388,3 +1388,64 @@ def q_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.span_dedup_against(
         batch, tx.corpus_span_grams(corpus, "text", 8), "text", "doc_id", 8
     )
+
+
+_RAKE_STOP = ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS["en"])
+
+
+@query(
+    "rake_keyphrases_topk",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS ts
+        FROM documents
+    ),
+    toks0 AS (
+        SELECT doc_id, unnest(ts) AS tok, unnest(range(len(ts))) AS pos
+        FROM base
+    ),
+    toks AS (SELECT * FROM toks0 WHERE tok <> ''),
+    nonstop AS (
+        SELECT doc_id, pos, tok,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS anchor
+        FROM toks WHERE tok NOT IN ({_RAKE_STOP})
+    ),
+    ph AS (
+        SELECT doc_id, anchor,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               count(*) AS len
+        FROM nonstop GROUP BY doc_id, anchor
+        HAVING count(*) <= 4
+    ),
+    mem AS (
+        SELECT n.doc_id, n.anchor, n.tok, p.len
+        FROM nonstop n JOIN ph p USING (doc_id, anchor)
+    ),
+    ws AS (
+        SELECT tok, CAST(sum(len) AS DOUBLE) / count(*) AS s
+        FROM mem GROUP BY tok
+    ),
+    psc AS (
+        SELECT m.doc_id, m.anchor, sum(ws.s) AS score
+        FROM mem m JOIN ws USING (tok) GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT p.phrase, CAST(count(*) AS BIGINT) AS n,
+               round(max(psc.score), 6) AS score
+        FROM ph p JOIN psc USING (doc_id, anchor) GROUP BY 1
+    )
+    SELECT phrase, n, score FROM agg
+    ORDER BY score DESC, phrase LIMIT 15
+    """,
+)
+def q_rake_keyphrases_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (functions/text.rake_keyphrases): top
+    15 corpus keyphrases — stopword-delimited token runs scored by the
+    deg/freq word statistic. Islands window + (doc, anchor)-keyed
+    phrase/member frames + a vocabulary-sized word-score join; the
+    oracle replays the identical pipeline in SQL over the same raw
+    split positions."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return tx.rake_keyphrases(d, "text", "doc_id")

@@ -1361,3 +1361,70 @@ def append_span_index(
         idx, "gh", "left_anti"
     )
     new_grams.write.mode("append").parquet(os.path.join(index_path, "grams"))
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    max_phrase_len: int = 4,
+    top_k: int = 15,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of consecutive non-stopword tokens (the token-level
+    gaps-and-islands trick — ``pos - row_number`` anchors a run), word
+    scores are corpus-level ``deg/freq`` where deg(w) sums the lengths
+    of every phrase containing w, and a phrase scores the sum of its
+    member word scores. Output: top ``top_k`` phrases by score.
+
+    Scale shape: posexplode -> one (doc) shuffle for the islands window
+    -> phrase/member frames keyed on (doc, anchor) reuse that
+    partitioning; the word-score frame is vocabulary-sized and joins
+    back by token (df-bounded, same as the TF-IDF inverted index). No
+    Python, no driver loops. Positions keep the RAW split indices
+    (empty tokens filtered after posexplode) so any SQL oracle
+    reproduces the islands bit-for-bit."""
+    from pyspark.sql import Window
+
+    raw = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), _WS)).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    nonstop = raw.filter(~F.col("tok").isin(*LANG_STOPWORDS[lang]))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ns = nonstop.withColumn("anchor", F.col("pos") - F.row_number().over(w))
+    ph = (
+        ns.groupBy("doc_id", "anchor")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("len"),
+        )
+        .filter(F.col("len") <= max_phrase_len)
+    )
+    mem = ns.join(ph.select("doc_id", "anchor", "len"), ["doc_id", "anchor"])
+    word_scores = mem.groupBy("tok").agg(
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("s")
+    )
+    psc = (
+        mem.join(word_scores, "tok")
+        .groupBy("doc_id", "anchor")
+        .agg(F.sum("s").alias("score"))
+    )
+    agg = (
+        ph.join(psc, ["doc_id", "anchor"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("score"), 6).alias("score"),
+        )
+    )
+    return agg.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(top_k)

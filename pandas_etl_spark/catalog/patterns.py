@@ -485,3 +485,66 @@ def q_conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.percentile("hours", 0.9), 4).alias("p90_hours"),
         F.round(F.percentile("hours", 0.99), 4).alias("p99_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# capped running balance (sequential fold with a floor)
+# ---------------------------------------------------------------------------
+
+@query(
+    "capped_running_balance",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN value ELSE -value END AS delta,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, event_id, rn, delta,
+               greatest(0.0, delta) AS bal
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.user_id, d.event_id, d.rn, d.delta,
+               greatest(0.0, r.bal + d.delta)
+        FROM d JOIN r ON d.user_id = r.user_id AND d.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, round(delta, 6) AS delta,
+           round(bal, 6) AS bal
+    FROM r
+    """,
+)
+def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-style running balance that cannot go below zero:
+    purchases/signups deposit ``value``, every other event withdraws
+    it, and each step clamps at 0 BEFORE feeding the next — a stateful
+    fold no window function expresses (the clamp breaks prefix-sum
+    associativity; pandas users loop per group). Runs as
+    ``applyInPandas`` per user (operators/fold.capped_running_fold):
+    each key folds sequentially, keys parallelize across the cluster.
+    Identical accumulation order both engines (ts, event_id total order
+    per user), so the doubles match bit-for-bit; the oracle replays the
+    fold with a recursive CTE stepping row_number + 1."""
+    from pandas_etl_spark.operators.fold import capped_running_fold
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), F.col("value")
+        )
+        .otherwise(-F.col("value"))
+        .alias("delta"),
+    )
+    out = capped_running_fold(
+        ev, "user_id", ["ts", "event_id"], "delta", floor=0.0
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("delta", 6).alias("delta"),
+        F.round("bal", 6).alias("bal"),
+    )

@@ -548,3 +548,22 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("delta", 6).alias("delta"),
         F.round("bal", 6).alias("bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (rows-only: linear solve is not SQL)
+# ---------------------------------------------------------------------------
+
+@query("markov_attribution")
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven multi-touch attribution by Markov removal effect
+    (operators/attribution.py): journeys -> distributed transition
+    counts (one user_id shuffle), then the bounded |channels|^2
+    absorption solve driver-side. Rows-only by nature (a linear solve
+    has no ANSI-SQL spelling); the chain math is pinned by
+    hand-computed unit tests, and journey_transitions itself is
+    SQL-checkable (tests/test_operators.py)."""
+    from pandas_etl_spark.operators.attribution import markov_attribution
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    return markov_attribution(ev)

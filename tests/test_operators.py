@@ -2491,3 +2491,55 @@ def test_ivf_index_matches_inline_ivf(spark, sf_dir, tmp_path):
     )
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "cell" in pf[0] and " IN " in pf[0]
+
+
+def test_markov_attribution_pinned_chain(spark):
+    """Hand-computed removal effects. Chain: u1 A->conv, u2 A->B->conv,
+    u3 B->null (u1 has post-conversion noise that must be truncated).
+    P(conv)=2/3; removing A -> 1/6 (RE 3/4); removing B -> 1/3 (RE 1/2);
+    shares 0.6 / 0.4."""
+    from pandas_etl_spark.operators.attribution import (
+        journey_transitions,
+        markov_attribution,
+    )
+
+    rows = [
+        (1, 1, 1, "A"), (1, 2, 2, "purchase"),
+        (1, 3, 3, "B"), (1, 4, 4, "B"),  # post-conversion: ignored
+        (2, 1, 5, "A"), (2, 2, 6, "B"), (2, 3, 7, "purchase"),
+        (3, 1, 8, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    trans = {
+        (r.src, r.dst): r.n
+        for r in journey_transitions(df).collect()
+    }
+    assert trans == {
+        ("__start__", "A"): 2,
+        ("__start__", "B"): 1,
+        ("A", "B"): 1,
+        ("A", "__conv__"): 1,
+        ("B", "__conv__"): 1,
+        ("B", "__null__"): 1,
+    }
+    out = {r.channel: r for r in markov_attribution(df).collect()}
+    assert abs(out["A"].removal_effect - 0.75) < 1e-9
+    assert abs(out["B"].removal_effect - 0.5) < 1e-9
+    assert abs(out["A"].attribution - 0.6) < 1e-9
+    assert abs(out["B"].attribution - 0.4) < 1e-9
+
+
+def test_markov_attribution_no_conversions(spark):
+    """All-NULL chains: zero conversion probability must yield zero
+    removal effects and attributions, not a division error."""
+    from pandas_etl_spark.operators.attribution import markov_attribution
+
+    rows = [(1, 1, 1, "A"), (1, 2, 2, "B"), (2, 1, 3, "B")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    out = markov_attribution(df).collect()
+    assert {r.channel for r in out} == {"A", "B"}
+    assert all(r.removal_effect == 0.0 and r.attribution == 0.0 for r in out)

@@ -977,3 +977,34 @@ def q_stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_in, got.count(), int(n_removed), mismatches == 0)],
         "n_input long, n_corpus long, n_tokens_removed long, verified boolean",
     )
+
+
+@query(
+    "stream_geo_density",
+    oracle="""
+    SELECT CAST(floor((-60.0 + 120.0 * (CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '-lat'), 1, 8) AS BIGINT) / CAST(4294967296 AS DOUBLE))) / 10.0) AS BIGINT) AS cell_y,
+           CAST(floor((-180.0 + 360.0 * (CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '-lon'), 1, 8) AS BIGINT) / CAST(4294967296 AS DOUBLE))) / 10.0) AS BIGINT) AS cell_x,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_geo_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming location-density rollup: the customer table replayed
+    as a file stream, synthetic coordinates derived in-flight (same
+    codegen'd md5 expressions as batch geo_cell_density), counted per
+    10-degree grid cell in complete mode. All-integer counts, so
+    micro-batch merge order cannot drift the result; the oracle is the
+    batch GROUP BY the stream must converge to."""
+    from pandas_etl_spark.operators.geo import with_synthetic_coords
+    from pandas_etl_spark.streaming import read_table_stream, run_stream_to_table
+
+    stream = with_synthetic_coords(
+        read_table_stream(spark, sf_dir, "customer"), "c_custkey"
+    )
+    dens = stream.groupBy(
+        F.floor(F.col("lat") / 10.0).cast("bigint").alias("cell_y"),
+        F.floor(F.col("lon") / 10.0).cast("bigint").alias("cell_x"),
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+    table = run_stream_to_table(dens, output_mode="complete")
+    return spark.table(table)

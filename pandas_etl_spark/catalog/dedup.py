@@ -9,7 +9,7 @@ signatures instead).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandas_etl_spark.catalog.registry import query
@@ -796,4 +796,95 @@ def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "exact_pairs long, lsh_pairs long, agreeing_pairs long, "
         "precision double, recall double",
+    )
+
+
+@query(
+    "entity_golden_records",
+    oracle="""
+    WITH RECURSIVE side AS (
+        SELECT p_partkey AS id, p_name AS t, t[-1] AS blk
+        FROM (SELECT p_partkey, p_name,
+                     string_split(p_name, ' ') AS t FROM part)
+    ),
+    m AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM side a JOIN side b ON a.blk = b.blk AND a.id < b.id
+        WHERE round(jaro_winkler_similarity(a.t, b.t), 6) >= 0.97
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM m
+        UNION ALL SELECT id_b, id_a FROM m
+    ),
+    reach AS (
+        SELECT p_partkey AS id, p_partkey AS r FROM part
+        UNION
+        SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    lab AS (SELECT id, min(r) AS entity_id FROM reach GROUP BY id),
+    members AS (
+        SELECT lab.entity_id, p.p_partkey, p.p_name, p.p_retailprice,
+               row_number() OVER (PARTITION BY lab.entity_id
+                                  ORDER BY p.p_retailprice DESC, p.p_partkey)
+                   AS pick
+        FROM lab JOIN part p ON p.p_partkey = lab.id
+    )
+    SELECT entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(CASE WHEN pick = 1 THEN p_name END) AS golden_name,
+           round(sum(p_retailprice), 2) AS total_value
+    FROM members
+    GROUP BY entity_id
+    HAVING count(*) > 1
+    """,
+)
+def q_entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: Jaro-Winkler blocked matching
+    (jw_match_pairs' scorer and head-noun blocking), connected
+    components to entity clusters (star contraction), then GOLDEN
+    RECORD survivorship — each multi-member entity keeps the name of
+    its highest-priced member (partkey tie-break) and aggregates the
+    members' value. This is the pairs->entities->survivor pipeline an
+    MDM user runs; every stage is one key-partitioned shuffle, and the
+    transitive closure recursion lives only in the oracle."""
+    from pandas_etl_spark.functions.dedup import (
+        connected_components,
+        jaro_winkler_pairs,
+    )
+
+    p = ensure_parallelism(load_table(spark, sf_dir, "part"))
+    pairs = jaro_winkler_pairs(
+        p,
+        "p_name",
+        "p_partkey",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        min_sim=0.97,
+    )
+    labeled = connected_components(
+        pairs.select("id_l", "id_r"),
+        nodes=p.select(F.col("p_partkey").alias("id")),
+        id_col="id",
+        src="id_l",
+        dst="id_r",
+    )
+    members = labeled.join(
+        p.select(
+            F.col("p_partkey").alias("id"), "p_name", "p_retailprice"
+        ),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("p_retailprice").desc(), F.col("id").asc()
+    )
+    ranked = members.withColumn("pick", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max(F.when(F.col("pick") == 1, F.col("p_name"))).alias(
+                "golden_name"
+            ),
+            F.round(F.sum("p_retailprice"), 2).alias("total_value"),
+        )
+        .filter(F.col("n_members") > 1)
     )

@@ -71,6 +71,21 @@ NOTES = {
     "roc_auc_purchase": "Exact AUC: ONE per-score-value count aggregate (map-side partial) + the pinned-partitioning prefix-sum over the |distinct| score table + a 1-row fold — no global sort of raw rows, no per-threshold sweep, no Python.",
     "calibration_purchase_score": "Calibration/ECE: a 1-row bounds broadcast + ONE map-side-combinable 10-bin aggregate over the data; the ECE fold and per-bin shares run on the 10-row table — no windows, no Python.",
     "quantile_normalize_sources": "Quantile normalization: two count aggregates collapse the data; rank windows are PARTITIONED by source, pooled positions come from the pinned prefix-sum, the inverse-CDF lookup is a deliberate broadcast range join on the pooled distinct-value table, and the finished (source,value) map broadcasts back — the rows themselves never shuffle.",
+    "spatial_radius_join": "Grid-blocked radius join: the small side explodes into its 3x3 cell neighborhood (modular longitude cells — antimeridian pairs survive), ONE equi-join shuffle on (cy,cx), exact haversine filter after; the all-pairs product lives only in the oracle.",
+    "nearest_suppliers_knn": "kNN join: the dim side broadcasts (fact never shuffles for the join); the only Exchange is the per-fact-key top-k window with rank-limit pushdown.",
+    "spatial_cluster_eps": "eps-connectivity clustering: blocked radius self-join builds edges, star-contraction CC labels components (per-round lineage cut by localCheckpoint, so the final explain shows the label frame only).",
+    "activity_streaks": "Gaps-and-islands: (user,day) distinct with map-side partials, ONE user_id Exchange for the row_number window — both downstream groupBys reuse hash(user_id) via subset-satisfies-clustering, zero further Exchanges.",
+    "pareto_abc_parts": "ABC classification: per-part aggregate (map-side combine), cumulative share via the pinned-partitioning prefix-sum over the part-level frame, 1-row total broadcast — no single-partition window.",
+    "acf_daily_revenue": "ACF: orders collapse to one row per day (the only data-sized work); lag pairing is a broadcast self-join of the day series on exact day offsets; Pearson corr per lag on the paired frame.",
+    "funnel_time_bound": "Sequential bounded funnel: three stacked per-user window mins share ONE user_id Exchange + sort; stage anchoring is data-dependent but never re-scans or self-joins the event table.",
+    "session_paths_topk": "Session trigram mining: gap flag, running session id, and both leads all ride the same (user_id | ts,event_id) window — one Exchange, one sort; top-10 via TakeOrderedAndProject with a path tie-break.",
+    "conversion_latency_quantiles": "Time-to-convert: same single-Exchange stacked-window shape as the funnel; integer epoch-second latency, exact interpolated percentiles on the converted-user frame.",
+    "ols_price_model": "Closed-form OLS: ONE map-side-combinable moment aggregate (count/avg/var_pop/covar_pop) over the scan; the centered 2x2 Cramer solve is arithmetic on the single moment row — no iteration, no Python.",
+    "image_ahash_neardup": "Perceptual-fingerprint near-dup: Arrow-batched numpy hashes each payload to a 60-bit integer; the exact pigeonhole Hamming blocking (13 chunks at radius 12) shuffles one bigint per blob — payloads never re-cross the wire.",
+    "weighted_sample_ares": "A-Res weighted sampling: md5-uniform u^(1/w) score in the scan projection, distributed top-k via TakeOrderedAndProject — per-partition heads, no global sort, losers never shuffle.",
+    "rake_keyphrases_topk": "RAKE keyphrases: token islands window on doc_id; phrase/member frames stay (doc,anchor)-keyed; the word-score join is vocabulary-bounded like the TF-IDF inverted index; top-15 via TakeOrdered.",
+    "capped_running_balance": "Floored sequential fold: ONE FlatMapGroupsInPandas per user (keys parallelize; the clamp breaks prefix-sum associativity so no window expresses it); total per-key order makes the doubles bit-reproducible.",
+    "entity_golden_records": "Entity resolution capstone: JW blocked matching (one blocking-key shuffle + Arrow scorer), star-contraction CC, then survivorship as a per-entity window + aggregate over the member frame.",
 }
 
 

@@ -1211,3 +1211,51 @@ def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "w", F.round("ares_score", 6).alias("ares_score")
     )
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment, c.c_nationkey, o.o_orderpriority
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT c_mktsegment, c_nationkey,
+               count(*) AS group_size,
+               count(DISTINCT o_orderpriority) AS l_distinct
+        FROM j GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(group_size AS BIGINT) AS group_size,
+           CAST(l_distinct AS BIGINT) AS l_distinct,
+           l_distinct < 3 AS violates_l3
+    FROM g
+    """,
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity — k-anonymity's necessary companion: a group can be
+    k-large yet still leak if every member shares the same SENSITIVE
+    value (here order priority as the sensitive attribute over the
+    (segment, nation) quasi-identifiers; homogeneity attack). One
+    broadcast dim join + one shuffle to the QI grid carrying a
+    count-distinct partial; the grid is |segments|x|nations|, never
+    data-sized."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    g = j.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct("o_orderpriority").alias("l_distinct"),
+    )
+    return g.select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.col("group_size").cast("bigint").alias("group_size"),
+        F.col("l_distinct").cast("bigint").alias("l_distinct"),
+        (F.col("l_distinct") < 3).alias("violates_l3"),
+    )

@@ -2493,3 +2493,134 @@ def q_cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cusum_changepoint(daily, "d", "yc")
+
+
+_BT_H = 14  # holdout horizon (days per series)
+
+
+@query(
+    "forecast_backtest_smape",
+    oracle=f"""
+    WITH RECURSIVE s0 AS (
+        SELECT o_orderpriority AS priority,
+               date_trunc('day', o_orderdate) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS y,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY date_trunc('day', o_orderdate)) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        GROUP BY 1, 2
+    ),
+    cut AS (SELECT priority, max(rn) - {_BT_H} AS t_end FROM s0 GROUP BY 1),
+    s AS (SELECT s0.* FROM s0 JOIN cut USING (priority) WHERE rn <= t_end),
+    hw(priority, rn, l, b) AS (
+        SELECT s1.priority, 1, s1.y, s2.y - s1.y
+        FROM s s1 JOIN s s2
+          ON s2.priority = s1.priority AND s1.rn = 1 AND s2.rn = 2
+        UNION ALL
+        SELECT h.priority, h.rn + 1,
+               0.5e0 * s.y + 0.5e0 * (h.l + h.b),
+               0.3e0 * ((0.5e0 * s.y + 0.5e0 * (h.l + h.b)) - h.l)
+                   + 0.7e0 * h.b
+        FROM hw h JOIN s
+          ON s.priority = h.priority AND s.rn = h.rn + 1
+    ),
+    fitted AS (
+        SELECT hw.priority, hw.l, hw.b
+        FROM hw JOIN cut ON cut.priority = hw.priority AND hw.rn = cut.t_end
+    ),
+    last_y AS (
+        SELECT s.priority, s.y AS y_naive
+        FROM s JOIN cut ON cut.priority = s.priority AND s.rn = cut.t_end
+    ),
+    test AS (
+        SELECT s0.priority, s0.y, s0.rn - cut.t_end AS h
+        FROM s0 JOIN cut USING (priority) WHERE s0.rn > cut.t_end
+    ),
+    scored AS (
+        SELECT t.priority, t.y,
+               f.l + t.h * f.b AS yhat_holt,
+               n.y_naive AS yhat_naive
+        FROM test t
+        JOIN fitted f ON f.priority = t.priority
+        JOIN last_y n ON n.priority = t.priority
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(avg(2.0 * abs(y - yhat_holt)
+                     / (abs(y) + abs(yhat_holt))), 6) AS smape_holt,
+           round(avg(2.0 * abs(y - yhat_naive)
+                     / (abs(y) + abs(yhat_naive))), 6) AS smape_naive
+    FROM scored GROUP BY priority
+    """,
+)
+def q_forecast_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast evaluation harness: hold out the last 14 days of each
+    priority's daily-revenue series, fit Holt on the train prefix,
+    project yhat(T+h) = l_T + h*b_T, and score sMAPE against the
+    naive last-value baseline — the backtest loop pandas users run
+    per-series in a driver loop. Shape: ONE data-sized aggregate
+    (exact-cents daily rollup); the split, fit (applyInPandas per
+    series), projection, and scoring all run on the day-domain-bounded
+    series frame. Bit-reproducible like holt_trend_daily (same textbook
+    operand order both engines); sMAPE denominators are sums of
+    positive revenues, never zero."""
+    from pandas_etl_spark.operators.forecast import holt_linear
+
+    daily = (
+        ensure_parallelism(load_table(spark, sf_dir, "orders"))
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("d"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("double")
+                / 100
+            ).alias("rev")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("priority").orderBy("d")
+    s0 = daily.withColumn("rn", F.row_number().over(w))
+    cut = s0.groupBy("priority").agg(
+        (F.max("rn") - _BT_H).alias("t_end")
+    )
+    s0c = s0.join(F.broadcast(cut), "priority")
+    train = s0c.filter(F.col("rn") <= F.col("t_end"))
+    fit = holt_linear(train, "priority", "d", "rev", alpha=0.5, beta=0.3)
+    fit_rn = fit.withColumn("rn", F.row_number().over(w))
+    fitted = (
+        fit_rn.join(F.broadcast(cut), "priority")
+        .filter(F.col("rn") == F.col("t_end"))
+        .select("priority", F.col("level").alias("l"), F.col("trend").alias("b"))
+    )
+    last_y = (
+        train.filter(F.col("rn") == F.col("t_end"))
+        .select("priority", F.col("rev").alias("y_naive"))
+    )
+    test = s0c.filter(F.col("rn") > F.col("t_end")).select(
+        "priority", F.col("rev").alias("y"), (F.col("rn") - F.col("t_end")).alias("h")
+    )
+    scored = (
+        test.join(F.broadcast(fitted), "priority")
+        .join(F.broadcast(last_y), "priority")
+        .withColumn("yhat_holt", F.col("l") + F.col("h") * F.col("b"))
+        .withColumn("yhat_naive", F.col("y_naive"))
+    )
+
+    def smape(yhat):
+        return F.avg(
+            2.0 * F.abs(F.col("y") - yhat) / (F.abs(F.col("y")) + F.abs(yhat))
+        )
+
+    return scored.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(smape(F.col("yhat_holt")), 6).alias("smape_holt"),
+        F.round(smape(F.col("yhat_naive")), 6).alias("smape_naive"),
+    )

@@ -116,6 +116,14 @@ _PRIORITY = [
 # cusum_revenue_shift / semantic_decontaminate / jw_match_pairs /
 # roc_auc_purchase / calibration_purchase_score /
 # quantile_normalize_sources (full oracles); plus
+# the round-5 geo/pattern/ER block: geo_cell_density /
+# spatial_radius_join / nearest_suppliers_knn / spatial_cluster_eps /
+# stream_geo_density / activity_streaks / pareto_abc_parts /
+# acf_daily_revenue / funnel_time_bound / session_paths_topk /
+# conversion_latency_quantiles / ols_price_model / image_ahash_neardup /
+# weighted_sample_ares / rake_keyphrases_topk / capped_running_balance /
+# entity_golden_records / l_diversity_audit / forecast_backtest_smape
+# (full oracles; markov_attribution is rows-only); plus
 # rows-only k_core_parts /
 # embedding_pca_project /
 # ann_pq_topk / segment_neardup / stream_manifest_ingest /

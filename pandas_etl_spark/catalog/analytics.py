@@ -2624,3 +2624,91 @@ def q_forecast_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(smape(F.col("yhat_holt")), 6).alias("smape_holt"),
         F.round(smape(F.col("yhat_naive")), 6).alias("smape_naive"),
     )
+
+
+@query(
+    "woe_iv_quantity",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor((l_quantity - 1) / 5.0) AS BIGINT) AS bin,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+        FROM lineitem
+    ),
+    g AS (
+        SELECT bin,
+               count(*) AS n,
+               sum(bad) AS n_bad,
+               count(*) - sum(bad) AS n_good
+        FROM b GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_bad) AS tb, sum(n_good) AS tg FROM g),
+    w AS (
+        SELECT g.bin, g.n, g.n_bad,
+               ln((CAST(g.n_good AS DOUBLE) / tot.tg)
+                  / (CAST(g.n_bad AS DOUBLE) / tot.tb)) AS woe,
+               (CAST(g.n_good AS DOUBLE) / tot.tg
+                - CAST(g.n_bad AS DOUBLE) / tot.tb)
+               * ln((CAST(g.n_good AS DOUBLE) / tot.tg)
+                    / (CAST(g.n_bad AS DOUBLE) / tot.tb)) AS iv_term
+        FROM g, tot
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_bad AS BIGINT) AS n_bad,
+           round(woe, 6) AS woe,
+           round(sum(iv_term) OVER (), 6) AS iv_total
+    FROM w
+    """,
+)
+def q_woe_iv_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / Information Value audit — the credit-
+    scoring companion to psi_value_drift: l_quantity binned width-5
+    (integer arithmetic, no cutpoint float risk), target = returned
+    line (l_returnflag 'R'); WOE per bin plus the feature's total IV.
+    ONE map-side-combinable bin aggregate over the data; totals and
+    the IV fold run on the 10-row bin table (the window below is over
+    that bounded frame, not data)."""
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    b = li.select(
+        F.floor((F.col("l_quantity") - 1) / 5.0).cast("bigint").alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bad").alias("n_bad"),
+        (F.count(F.lit(1)) - F.sum("bad")).alias("n_good"),
+    )
+    tot = g.agg(
+        F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg")
+    )
+    w = g.join(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_bad",
+        F.log(
+            (F.col("n_good").cast("double") / F.col("tg"))
+            / (F.col("n_bad").cast("double") / F.col("tb"))
+        ).alias("woe"),
+        (
+            (
+                F.col("n_good").cast("double") / F.col("tg")
+                - F.col("n_bad").cast("double") / F.col("tb")
+            )
+            * F.log(
+                (F.col("n_good").cast("double") / F.col("tg"))
+                / (F.col("n_bad").cast("double") / F.col("tb"))
+            )
+        ).alias("iv_term"),
+    )
+    from pyspark.sql import Window
+
+    return w.select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.round("woe", 6).alias("woe"),
+        F.round(
+            F.sum("iv_term").over(
+                Window.partitionBy()
+            ),
+            6,
+        ).alias("iv_total"),
+    )

@@ -249,3 +249,71 @@ def q_spatial_cluster_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
+
+
+def _pip_cases(engine: str) -> list[str]:
+    from pandas_etl_spark.operators.geo import (
+        DEMO_POLYGONS,
+        point_in_polygon_sql,
+    )
+
+    lat, lon = (
+        ("lat", "lon")
+        if engine == "spark"
+        else (_CLAT, _CLON)
+    )
+    return [
+        f"CAST({point_in_polygon_sql(poly, lon, lat)} AS INT) AS in_{name}"
+        for name, poly in DEMO_POLYGONS.items()
+    ]
+
+
+@query(
+    "point_in_polygon_counts",
+    oracle=f"""
+    WITH flags AS (
+        SELECT c_acctbal, {", ".join(_pip_cases("duckdb"))}
+        FROM customer
+    )
+    SELECT 'atlantic_box' AS region, CAST(sum(in_atlantic_box) AS BIGINT) AS n_inside,
+           round(sum(in_atlantic_box * c_acctbal), 2) AS total_acctbal
+    FROM flags
+    UNION ALL
+    SELECT 'indo_pacific_tri', CAST(sum(in_indo_pacific_tri) AS BIGINT),
+           round(sum(in_indo_pacific_tri * c_acctbal), 2)
+    FROM flags
+    UNION ALL
+    SELECT 'europe_pent', CAST(sum(in_europe_pent) AS BIGINT),
+           round(sum(in_europe_pent * c_acctbal), 2)
+    FROM flags
+    """,
+)
+def q_point_in_polygon_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence containment rollup: even-odd ray casting compiled to ONE
+    shared SQL expression per polygon (operators/geo.point_in_polygon_sql
+    — plain CASE/arithmetic over vertex literals, identical text both
+    engines). Zero joins: all three fences evaluate inside the scan
+    projection of a single customer pass; the only shuffle is the final
+    3-row rollup. The natural 100 TB shape for tens-of-vertices fences;
+    thousands of polygons would switch to the grid-cell blocking of
+    radius_join with a polygon bounding-box index."""
+    c = with_synthetic_coords(
+        ensure_parallelism(load_table(spark, sf_dir, "customer")), "c_custkey"
+    )
+    flags = c.select("c_acctbal", *[F.expr(e) for e in _pip_cases("spark")])
+    from pandas_etl_spark.operators.geo import DEMO_POLYGONS
+
+    parts = [
+        flags.agg(
+            F.lit(name).alias("region"),
+            F.sum(f"in_{name}").cast("bigint").alias("n_inside"),
+            F.round(
+                F.sum(F.col(f"in_{name}") * F.col("c_acctbal")), 2
+            ).alias("total_acctbal"),
+        )
+        for name in DEMO_POLYGONS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

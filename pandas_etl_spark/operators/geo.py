@@ -218,3 +218,38 @@ def knn_join(
         .filter(F.col("__rn") <= k)
         .withColumnRenamed("__rn", "nn_rank")
     )
+
+
+# Demo polygons for the containment operator: contiguous in [-180,180]
+# (ray casting is planar — a polygon crossing the antimeridian must be
+# split by the caller), no horizontal edges (the crossing test skips
+# them, but avoiding them keeps the generated SQL division total).
+DEMO_POLYGONS: dict[str, list[tuple[float, float]]] = {
+    "atlantic_box": [(-60.0, 0.5), (-10.0, 1.5), (-12.0, 40.0), (-58.0, 39.0)],
+    "indo_pacific_tri": [(100.0, 30.0), (120.0, -40.0), (160.0, 20.0)],
+    "europe_pent": [(0.0, 35.0), (40.0, 36.0), (45.0, 50.0), (20.0, 60.0), (-5.0, 50.0)],
+}
+
+
+def point_in_polygon_sql(
+    polygon: list[tuple[float, float]], lon: str, lat: str
+) -> str:
+    """Even-odd ray-casting containment as ONE SQL boolean expression —
+    plain arithmetic/CASE over numeric literals, valid Spark SQL and
+    DuckDB SQL alike, so both engines evaluate the identical expression
+    tree (the repo's shared-formula convention, cf. HAVERSINE_SQL).
+    Zero joins: per-point evaluation is a codegen'd projection; the
+    polygon rides in the expression text, the natural shape for
+    dims of tens-of-vertices fences at 100 TB fact scans."""
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {lat}) <> ({y2!r} > {lat}))"
+            f" AND {lon} < ({x2!r} - {x1!r}) * ({lat} - {y1!r})"
+            f" / ({y2!r} - {y1!r}) + {x1!r}"
+            " THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"

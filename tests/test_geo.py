@@ -164,3 +164,34 @@ def test_ahash_signatures_edges(spark):
     assert 0 <= got[1] < 2**60
     pairs = simhash_neighbors(sig, max_hamming=0).collect()
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_point_in_polygon_ray_casting(spark):
+    """Pinned containment cases: inside, outside, and a concave-ish
+    probe near an edge of each demo polygon."""
+    from pandas_etl_spark.operators.geo import (
+        DEMO_POLYGONS,
+        point_in_polygon_sql,
+    )
+
+    probes = [
+        # (lon, lat, polygon, expected)
+        (-30.0, 20.0, "atlantic_box", True),
+        (-70.0, 20.0, "atlantic_box", False),
+        (-30.0, 45.0, "atlantic_box", False),
+        (125.0, 0.0, "indo_pacific_tri", True),
+        (100.0, -40.0, "indo_pacific_tri", False),
+        (20.0, 45.0, "europe_pent", True),
+        (20.0, 61.0, "europe_pent", False),
+        (-4.0, 36.0, "europe_pent", False),  # outside the slanted west edge
+    ]
+    df = spark.createDataFrame(
+        [(i, p[0], p[1]) for i, p in enumerate(probes)],
+        "i int, lon double, lat double",
+    )
+    for name, poly in DEMO_POLYGONS.items():
+        expr = point_in_polygon_sql(poly, "lon", "lat")
+        got = {r.i: r.inside for r in df.selectExpr("i", f"{expr} AS inside").collect()}
+        for i, (_, _, pname, want) in enumerate(probes):
+            if pname == name:
+                assert got[i] == want, (name, probes[i])

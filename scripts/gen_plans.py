@@ -86,6 +86,11 @@ NOTES = {
     "rake_keyphrases_topk": "RAKE keyphrases: token islands window on doc_id; phrase/member frames stay (doc,anchor)-keyed; the word-score join is vocabulary-bounded like the TF-IDF inverted index; top-15 via TakeOrdered.",
     "capped_running_balance": "Floored sequential fold: ONE FlatMapGroupsInPandas per user (keys parallelize; the clamp breaks prefix-sum associativity so no window expresses it); total per-key order makes the doubles bit-reproducible.",
     "entity_golden_records": "Entity resolution capstone: JW blocked matching (one blocking-key shuffle + Arrow scorer), star-contraction CC, then survivorship as a per-entity window + aggregate over the member frame.",
+    "point_in_polygon_counts": "Geofence containment: all three ray-casting fences evaluate as codegen'd CASE arithmetic inside the single customer scan projection; the only shuffle is the 3-row rollup union.",
+    "l_diversity_audit": "Privacy audit: one broadcast dim join + one shuffle to the |segments|x|nations| QI grid carrying a count-distinct partial — never data-sized after the join.",
+    "woe_iv_quantity": "WOE/IV: ONE map-side-combinable 10-bin aggregate over the data; totals broadcast as one row; the IV window runs over the 10-row bin table only.",
+    "forecast_backtest_smape": "Backtest: the exact-cents daily aggregate is the only data-sized shuffle; split/fit/projection/scoring all run on day-domain series frames with 1-row-per-series broadcasts.",
+    "geo_cell_density": "Grid density: coordinate derivation + floor are scan-projection expressions; single shuffle keyed on the cell id with map-side partials.",
 }
 
 

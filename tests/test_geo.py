@@ -195,3 +195,37 @@ def test_point_in_polygon_ray_casting(spark):
         for i, (_, _, pname, want) in enumerate(probes):
             if pname == name:
                 assert got[i] == want, (name, probes[i])
+
+
+def test_radius_join_hypothesis_random_coords(spark):
+    """Property: blocked radius join ≡ brute force on adversarial
+    coordinates (clusters hugging the antimeridian, the ±60 latitude
+    band edges, and cell boundaries)."""
+    import random
+
+    rng = random.Random(20260815)
+    spots = [(-179.99, 59.9), (179.9, -59.9), (0.0, 0.0), (45.0, 30.0)]
+    rows = []
+    i = 0
+    for lon0, lat0 in spots:
+        for _ in range(12):
+            lon = ((lon0 + rng.uniform(-6, 6) + 180) % 360) - 180
+            lat = max(-59.99, min(59.99, lat0 + rng.uniform(-6, 6)))
+            rows.append((i, lat, lon))
+            i += 1
+    half = len(rows) // 2
+    left_rows = [(i, la, lo) for (i, la, lo) in rows[:half]]
+    right_rows = [(i, la, lo) for (i, la, lo) in rows[half:]]
+    l = spark.createDataFrame(left_rows, "lid int, slat double, slon double")
+    r = spark.createDataFrame(right_rows, "rid int, clat double, clon double")
+    for radius in (150.0, 700.0):
+        expected = _brute_pairs(spark, left_rows, right_rows, radius)
+        got = {
+            (row.lid, row.rid)
+            for row in radius_join(
+                l, r, radius,
+                left_coords=("slat", "slon"),
+                right_coords=("clat", "clon"),
+            ).collect()
+        }
+        assert got == expected, radius

@@ -115,6 +115,28 @@ EXTENDED = [
     "roc_auc_purchase",
     "calibration_purchase_score",
     "quantile_normalize_sources",
+    # round-5 geo / pattern / ER block
+    "geo_cell_density",
+    "spatial_radius_join",
+    "nearest_suppliers_knn",
+    "spatial_cluster_eps",
+    "point_in_polygon_counts",
+    "activity_streaks",
+    "pareto_abc_parts",
+    "acf_daily_revenue",
+    "funnel_time_bound",
+    "session_paths_topk",
+    "conversion_latency_quantiles",
+    "ols_price_model",
+    "forecast_backtest_smape",
+    "woe_iv_quantity",
+    "image_ahash_neardup",
+    "weighted_sample_ares",
+    "rake_keyphrases_topk",
+    "capped_running_balance",
+    "entity_golden_records",
+    "markov_attribution",
+    "l_diversity_audit",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

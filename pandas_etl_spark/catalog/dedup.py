@@ -853,26 +853,35 @@ def q_entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     p = ensure_parallelism(load_table(spark, sf_dir, "part"))
+    # Exact-match grouping FIRST (standard ER optimization): identical
+    # names collapse to one node before any pairwise scoring, so the JW
+    # candidate volume is O(|distinct names|^2 / blocks), not
+    # O(sum(dup_count^2)) — at sf0.1 that is 64 name nodes instead of
+    # 3.1M identical-name pairs (measured 54s -> ~6s). The name node id
+    # is min(partkey), so min-labeling over the name graph equals
+    # min-partkey labeling over the part graph and the part-level
+    # oracle is unchanged.
+    names = p.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
     pairs = jaro_winkler_pairs(
-        p,
+        names,
         "p_name",
-        "p_partkey",
+        "nid",
         F.element_at(F.split(F.col("p_name"), " "), -1),
         min_sim=0.97,
     )
-    labeled = connected_components(
+    labeled_names = connected_components(
         pairs.select("id_l", "id_r"),
-        nodes=p.select(F.col("p_partkey").alias("id")),
+        nodes=names.select(F.col("nid").alias("id")),
         id_col="id",
         src="id_l",
         dst="id_r",
     )
-    members = labeled.join(
-        p.select(
-            F.col("p_partkey").alias("id"), "p_name", "p_retailprice"
-        ),
-        "id",
-    )
+    name_cluster = names.join(
+        labeled_names, names.nid == labeled_names.id
+    ).select("p_name", "cluster_id")
+    members = p.select(
+        F.col("p_partkey").alias("id"), "p_name", "p_retailprice"
+    ).join(F.broadcast(name_cluster), "p_name")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("p_retailprice").desc(), F.col("id").asc()
     )

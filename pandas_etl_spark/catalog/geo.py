@@ -303,17 +303,25 @@ def q_point_in_polygon_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = c.select("c_acctbal", *[F.expr(e) for e in _pip_cases("spark")])
     from pandas_etl_spark.operators.geo import DEMO_POLYGONS
 
-    parts = [
-        flags.agg(
-            F.lit(name).alias("region"),
-            F.sum(f"in_{name}").cast("bigint").alias("n_inside"),
-            F.round(
-                F.sum(F.col(f"in_{name}") * F.col("c_acctbal")), 2
-            ).alias("total_acctbal"),
+    # ONE aggregate produces all 2*|polygons| measures in a single
+    # customer pass (ADVICE r5: three separate .agg() unions scanned the
+    # table three times); the 1-row result then unpivots to one row per
+    # fence with stack() — driver-free, constant-size reshape.
+    measures = []
+    for name in DEMO_POLYGONS:
+        measures.append(F.sum(f"in_{name}").cast("bigint").alias(f"n_{name}"))
+        measures.append(
+            F.round(F.sum(F.col(f"in_{name}") * F.col("c_acctbal")), 2).alias(
+                f"t_{name}"
+            )
         )
-        for name in DEMO_POLYGONS
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    one = flags.agg(*measures)
+    stack_args = ", ".join(
+        f"'{name}', n_{name}, t_{name}" for name in DEMO_POLYGONS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(DEMO_POLYGONS)}, {stack_args}) "
+            "AS (region, n_inside, total_acctbal)"
+        )
+    )

@@ -94,25 +94,27 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pareto_abc_parts",
     oracle="""
     WITH rev AS (
-        SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS rev_c
         FROM lineitem GROUP BY l_partkey
     ),
-    tot AS (SELECT sum(rev) AS t FROM rev),
+    tot AS (SELECT sum(rev_c) AS t FROM rev),
     ranked AS (
-        SELECT l_partkey, rev,
-               sum(rev) OVER (ORDER BY rev DESC, l_partkey) / tot.t AS cum_share
-        FROM rev, tot
+        SELECT l_partkey, rev_c,
+               sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey) AS cum_c
+        FROM rev
     ),
     cls AS (
-        SELECT CASE WHEN cum_share <= 0.7 THEN 'A'
-                    WHEN cum_share <= 0.9 THEN 'B'
+        SELECT CASE WHEN cum_c * 10 <= tot.t * 7 THEN 'A'
+                    WHEN cum_c * 10 <= tot.t * 9 THEN 'B'
                     ELSE 'C' END AS abc_class,
-               rev
-        FROM ranked
+               rev_c
+        FROM ranked, tot
     )
     SELECT abc_class,
            CAST(count(*) AS BIGINT) AS n_parts,
-           round(sum(rev) / (SELECT t FROM tot), 6) AS revenue_share
+           round(sum(rev_c) * 1.0 / (SELECT t FROM tot), 6) AS revenue_share
     FROM cls GROUP BY abc_class
     """,
 )
@@ -123,29 +125,39 @@ def q_pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable); the cumulative share then runs through the
     distributed prefix sum over the PART-level frame — ``(revenue DESC,
     partkey)`` is a total order — so there is no single-partition global
-    window even with 10^8 parts. Total revenue broadcasts as one row."""
+    window even with 10^8 parts. Total revenue broadcasts as one row.
+
+    Boundary determinism (ADVICE r5): revenue is summed as exact CENTS
+    (bigint), so the prefix sum is order-independent integer addition,
+    and the 70/90 boundaries compare as pure integers
+    (``cum*10 <= tot*7``) — no float rounding can flip a class between
+    engines regardless of addition order."""
     from pandas_etl_spark.operators.prefix import global_running_sum
 
     li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     rev = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("rev_c")
     )
-    tot = rev.agg(F.sum("rev").alias("t"))
+    tot = rev.agg(F.sum("rev_c").alias("t"))
     ranked = global_running_sum(
         rev,
-        [F.col("rev").desc(), F.col("l_partkey").asc()],
-        "rev",
-        "cum_rev",
+        [F.col("rev_c").desc(), F.col("l_partkey").asc()],
+        "rev_c",
+        "cum_c",
     ).join(F.broadcast(tot))
     cls = ranked.withColumn(
         "abc_class",
-        F.when(F.col("cum_rev") / F.col("t") <= 0.7, F.lit("A"))
-        .when(F.col("cum_rev") / F.col("t") <= 0.9, F.lit("B"))
+        F.when(F.col("cum_c") * 10 <= F.col("t") * 7, F.lit("A"))
+        .when(F.col("cum_c") * 10 <= F.col("t") * 9, F.lit("B"))
         .otherwise(F.lit("C")),
     )
     return cls.groupBy("abc_class").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
-        F.round(F.sum("rev") / F.first("t"), 6).alias("revenue_share"),
+        F.round(F.sum("rev_c") / F.first("t"), 6).alias("revenue_share"),
     )
 
 

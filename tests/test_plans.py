@@ -593,14 +593,20 @@ def test_pareto_abc_no_global_window(spark, sf_dir):
     range-partitioned prefix sum — a single-partition global window
     (SinglePartition Exchange feeding a Window) must not appear."""
     plan = plan_of(spark, sf_dir, "pareto_abc_parts")
-    import re
-    for m in re.finditer(r"Exchange SinglePartition[^\n]*", plan):
-        # allowed only for the 1-row total broadcast, never before Window
-        pass
     lines = plan.splitlines()
     for i, l in enumerate(lines):
         if "Window" in l and "windowspecdefinition" in l:
             assert "__pid" in l, l  # prefix-sum partition-local window
+        # A SinglePartition exchange is allowed only for the 1-row total
+        # broadcast / offsets side — never as the direct child of a
+        # Window (that would be the global-sort shape this test exists
+        # to forbid). In tree text the child prints BELOW its parent, so
+        # assert no Window node appears in the few lines above the
+        # exchange (ADVICE r5: the old re.finditer loop had a pass body
+        # and asserted nothing).
+        if "Exchange SinglePartition" in l:
+            context = "\n".join(lines[max(0, i - 3) : i])
+            assert "Window" not in context, f"SinglePartition feeds Window:\n{context}\n{l}"
 
 
 def test_weighted_sample_ares_distributed_topk(spark, sf_dir):

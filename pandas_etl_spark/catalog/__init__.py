@@ -56,83 +56,62 @@ _PRIORITY = [
     "pricing_summary",
     "rolling_time_window",
     "resample_interpolate",
-    # --- r5 rotation: never driver-checked oracle queries ---
-    # TPC-H shape suite (q1/q3/q13 were driver-checked in earlier rounds
-    # under pricing_summary/nation_revenue/other names; these were not)
-    "tpch_q2_shape",
-    "tpch_q4_priority_check",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_shipments",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-    # Structured Streaming oracles (availableNow batch-equivalent)
-    "stream_tumbling_hour",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_stream_join",
-    "stream_static_join",
-    "stream_dedup_counts",
-    "stream_dedup_watermark",
-    "stream_topk_trending",
-    "stream_quality_histogram",
-    "stream_ohlc_bars",
-    # lexical retrieval + warehouse/analytics patterns
-    "tfidf_search_topk",
-    "bm25_search_topk",
-    "scd2_history",
-    "cohort_retention",
-    "pivot_margins",
-    "pipeline_yaml_engine",
+    # --- r6 rotation: never driver-checked oracle queries (the r5
+    # rotation — TPC-H q2-q22, all stream_* oracles, lexical search,
+    # SCD2/cohort/pivot/yaml — went 50/50 green in CORRECTNESS_r05 and
+    # rotates out; these 35 have no green row in any CORRECTNESS_r*) ---
+    # LLM-pipeline family (span dedup, containment, decontamination,
+    # sampling/ordering, ER, retrieval quality)
+    "exact_span_dedup",
+    "span_dedup_incremental",
+    "segment_dedup",
+    "ngram_containment_pairs",
+    "ngram_jaccard_prefix",
+    "simhash_checked",
+    "dsir_importance_weights",
+    "bigram_logprob_score",
+    "decontaminate_spans",
+    "semantic_decontaminate",
+    "curriculum_order",
+    "corpus_shuffle_shards",
+    "unicode_normalize",
+    "release_corpus_manifest",
+    "rake_keyphrases_topk",
+    "retrieval_ndcg_tfidf",
+    "hybrid_search_rrf",
+    "jw_match_pairs",
+    "entity_golden_records",
+    "temperature_sample",
+    # graph / statistics / time-series analytics
+    "pagerank_trade_graph",
+    "triangle_count_parts",
+    "community_parts_lpa",
+    "survival_km_customers",
+    "spearman_corr_lineitem",
+    "ks_price_drift",
+    "roc_auc_purchase",
+    "holt_trend_daily",
+    "forecast_backtest_smape",
+    "woe_iv_quantity",
+    # geo / sequence patterns (pareto_abc_parts deliberately included:
+    # its class boundary was reworked to exact-integer cents this round)
+    "geo_cell_density",
+    "spatial_radius_join",
+    "point_in_polygon_counts",
+    "pareto_abc_parts",
+    "activity_streaks",
 ]
-# r6 rotation pool (oracle-backed, never driver-checked as of r5):
-# the r5 additions (cdc_apply_latest, stream_cdc_apply, segment_dedup,
-# ngram_containment_pairs, pagerank_trade_graph, retrieval_ndcg_tfidf,
-# the analytics batch, skew pair, nucleus/k-anon/group-sample, and the
-# late-r5 block: bigram_logprob_score, dsir_importance_weights,
-# corpus_shuffle_shards, bootstrap_ci_mean_price, curriculum_order,
-# table_manifest_checksum, fk_discovery, scd2_point_in_time,
-# attribution_linear; the second-continuation block: exact_span_dedup,
-# unicode_normalize, release_corpus_manifest; the third-continuation
-# block: triangle_count_parts / triangle_top_parts /
-# community_parts_lpa / community_modularity /
-# related_parts_adamic_adar / semantic_knn_communities /
-# assortativity_parts / survival_km_customers / bfs_reach_parts /
-# assoc_cats_orders / cheapest_paths_parts / benford_price_audit /
-# holt_trend_daily / hybrid_search_rrf / spearman_corr_lineitem /
-# ks_price_drift / mwu_purchase_vs_click / theil_sen_trend /
-# cusum_revenue_shift / semantic_decontaminate / jw_match_pairs /
-# roc_auc_purchase / calibration_purchase_score /
-# quantile_normalize_sources (full oracles); plus
-# the round-5 geo/pattern/ER block: geo_cell_density /
-# spatial_radius_join / nearest_suppliers_knn / spatial_cluster_eps /
-# stream_geo_density / activity_streaks / pareto_abc_parts /
-# acf_daily_revenue / funnel_time_bound / session_paths_topk /
-# conversion_latency_quantiles / ols_price_model / image_ahash_neardup /
-# weighted_sample_ares / rake_keyphrases_topk / capped_running_balance /
-# entity_golden_records / l_diversity_audit / forecast_backtest_smape
-# (full oracles; markov_attribution is rows-only); plus
-# rows-only k_core_parts /
-# embedding_pca_project /
-# ann_pq_topk / segment_neardup / stream_manifest_ingest /
-# ann_recall_audit / active_users_hll_rollup / audience_overlap_hll /
-# stream_hll_ingest)
-# plus the older misc/analytics tail (winnow/pmi/udtf, profile/
-# describe/rank_methods, salted_*, embedding_centroids/outliers,
-# funnel/ab_test, …). Swap them into the 35 rotating slots next round;
-# compute the live pool with:
+# r7+ rotation pool: ~114 oracle-backed queries remain never
+# driver-checked after this round's 35 (the misc/pandas-parity tail —
+# null_handling/percentiles_exact/str_extractall/describe_stats/…,
+# the warehouse block — cdc_apply_latest/fk_discovery/upsert_snapshot/
+# scd2_point_in_time/snapshot_diff_orders/table_manifest_checksum,
+# embeddings — centroids/outliers/standardize, skew pair, remaining
+# graph/stats — triangle_top/modularity/adamic_adar/bfs/assortativity/
+# cheapest_paths/benford/theil_sen/cusum/mwu/calibration/psi/bootstrap,
+# remaining geo/patterns, sampling/privacy gates, stream_cdc_apply/
+# stream_quality_gate/stream_geo_density, and this round's additions).
+# Compute the live pool with:
 #   [q for q in QUERIES if q in ORACLES
 #    and q not in union(CORRECTNESS_r*.json keys)]
 

@@ -137,6 +137,12 @@ EXTENDED = [
     "entity_golden_records",
     "markov_attribution",
     "l_diversity_audit",
+    # round-6 additions
+    "gopher_quality_gate",
+    "source_overlap_jaccard",
+    "knn_label_transfer",
+    "propensity_match_pairs",
+    "diversity_sample_kcenter",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

@@ -2712,3 +2712,87 @@ def q_woe_iv_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("iv_total"),
     )
+
+
+@query(
+    "propensity_match_pairs",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_purch,
+               sum(CASE WHEN event_type = 'click'
+                        THEN CAST(round(value * 100) AS BIGINT) END)
+                   AS click_cents,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS n_clicks
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, n_purch > 0 AS treated,
+               round(click_cents / (100.0 * n_clicks), 6) AS score
+        FROM per_user WHERE n_clicks > 0
+    ),
+    t AS (SELECT user_id AS treated_user, score FROM scored WHERE treated),
+    c AS (SELECT score, max(user_id) AS control_user
+          FROM scored WHERE NOT treated GROUP BY score)
+    SELECT t.treated_user, t.score AS treated_score,
+           c.control_user, c.score AS control_score,
+           round(t.score - c.score, 6) AS score_gap
+    FROM t ASOF JOIN c ON t.score >= c.score
+    """,
+)
+def q_propensity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching: treated users (>= 1 purchase) matched
+    to the control user with the greatest propensity score at-or-below
+    theirs — the observational-causal baseline pairing before estimating
+    a treatment effect. The score is mean click value, computed as
+    EXACT cents over an exact count so the single closing division is
+    bit-identical across engines (no addition-order drift); control
+    scores are deduplicated (max user id per score) so the as-of match
+    is well defined.
+
+    Scale shape: one shuffle keyed on user_id for the per-user
+    reduction; the match itself reuses the distributed as-of join
+    (range-partitioned on score — no global sort, no single-partition
+    window). DuckDB's native ASOF JOIN is the oracle."""
+    from pandas_etl_spark.operators.asof import asof_join
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purch"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.round(F.col("value") * 100).cast("bigint"),
+            )
+        ).alias("click_cents"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "n_clicks"
+        ),
+    )
+    scored = per_user.filter(F.col("n_clicks") > 0).select(
+        "user_id",
+        (F.col("n_purch") > 0).alias("treated"),
+        F.round(
+            F.col("click_cents") / (F.lit(100.0) * F.col("n_clicks")), 6
+        ).alias("score"),
+    )
+    treated = scored.filter(F.col("treated")).select(
+        F.col("user_id").alias("treated_user"), "score"
+    )
+    ctrl = (
+        scored.filter(~F.col("treated"))
+        .groupBy("score")
+        .agg(F.max("user_id").alias("control_user"))
+    )
+    matched = asof_join(treated, ctrl, on="score", direction="backward")
+    return matched.filter(F.col("control_user").isNotNull()).select(
+        "treated_user",
+        F.col("score").alias("treated_score"),
+        "control_user",
+        F.col("score_right").alias("control_score"),
+        F.round(F.col("score") - F.col("score_right"), 6).alias("score_gap"),
+    )

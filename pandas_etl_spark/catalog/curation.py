@@ -99,6 +99,153 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SW_LIST = "['the','and','of','to','in','is','that','it','for','with']"
+
+
+@query(
+    "gopher_quality_gate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, text, {_DD_TOK} AS t FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(t) AS n,
+               coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS sum_len,
+               len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+               len(list_filter(t, x -> list_contains({_SW_LIST}, x))) AS sw,
+               (len(text) - len(replace(text, '#', '')))
+                 + (len(text) - len(replace(text, '...', ''))) // 3 AS sym
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT)                              AS n_tokens,
+           round(sum_len * 1.0 / greatest(n, 1), 6)       AS mean_word_len,
+           round(sym * 1.0 / greatest(n, 1), 6)           AS symbol_ratio,
+           round(alpha * 1.0 / greatest(n, 1), 6)         AS alpha_word_frac,
+           CAST(sw AS BIGINT)                             AS n_stopwords,
+           (n >= 30 AND n <= 100000
+            AND sum_len >= 3 * n AND sum_len <= 10 * n
+            AND 10 * sym <= n
+            AND 5 * alpha >= 4 * n
+            AND sw >= 2)                                  AS passes
+    FROM m
+    """,
+)
+def q_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (Rae et al. 2021 Table A1, the
+    non-repetition rules): word-count bounds, mean word length in
+    [3, 10], symbol-to-word ratio, alphabetic-word fraction, stopword
+    presence. Zero-shuffle per-row array expressions (see
+    functions/text.py:gopher_stats); every gate flag is an exact
+    integer comparison so engines can never disagree at a boundary.
+    Complements repetition_filter (the duplicate-n-gram rules) — the
+    pair reproduces the full Gopher document filter."""
+    from pandas_etl_spark.functions.text import gopher_stats
+
+    return gopher_stats(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@query(
+    "source_overlap_jaccard",
+    oracle=f"""
+    WITH g AS (
+        SELECT DISTINCT source,
+               CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) AS gh
+        FROM (
+            SELECT source, unnest(list_distinct({_dd_grams(5)})) AS gram
+            FROM (SELECT source, {_DD_TOK} AS t FROM documents)
+        )
+    ), sizes AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM g a JOIN g b USING (gh) WHERE a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS gram_jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = shared.source_a
+    JOIN sizes sb ON sb.source = shared.source_b
+    """,
+)
+def q_source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: Jaccard similarity of the
+    distinct word-5-gram sets of every source pair — the audit run
+    before mixing crawl snapshots / dumps into one training corpus (a
+    high-overlap pair means one source is largely a re-crawl of the
+    other and its mixture weight double-counts).
+
+    Scale shape: each side reduces to distinct (source, gram-hash)
+    pairs — the wide shuffle carries (int, short-string) rows keyed on
+    the 60-bit md5-prefix hash, never gram text. Per-hash source lists
+    are bounded by |sources|, so the in-bucket i<j pair expansion emits
+    at most |sources|^2 rows per gram; the per-source set sizes are a
+    tiny aggregate broadcast onto the pair counts. One wide shuffle
+    total at any corpus size."""
+    from pandas_etl_spark.functions.text import tokens, word_ngrams
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    g = (
+        docs.select(
+            "source", tokens("text").alias("t")
+        )
+        .select(
+            "source",
+            F.explode(F.array_distinct(word_ngrams("t", 5))).alias("gram"),
+        )
+        .select(
+            "source",
+            F.expr(
+                "cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)"
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    sizes = g.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        g.groupBy("gh")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
+    )
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")))
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("gram_jaccard"),
+        )
+    )
+
+
 _EVAL_FRAC = 0.05
 _EVAL_THR = _threshold(_EVAL_FRAC)
 

@@ -55,6 +55,108 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, queries, k=_TOPK).withColumnRenamed("rank", "rnk")
 
 
+_KNN_K = 5
+_KNN_CAP = 500  # bounded query set: the broadcast side stays fixed per SF
+
+
+@query(
+    "knn_label_transfer",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+               label AS true_label
+        FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < {_KNN_CAP}
+    ),
+    s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label
+        FROM embeddings WHERE vec_id % 5 <> 0
+    ),
+    sims AS (
+        SELECT q.query_id, s.vec_id AS neighbor_id, s.label AS nbr_label,
+               round(list_dot_product(s.ev, q.qv) /
+                     (sqrt(list_dot_product(s.ev, s.ev)) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+        FROM s, q
+    ),
+    top AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine_sim DESC, neighbor_id) AS rn
+            FROM sims
+        ) WHERE rn <= {_KNN_K}
+    ),
+    votes AS (
+        SELECT query_id, nbr_label, count(*) AS c
+        FROM top GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT query_id, nbr_label AS pred_label, c,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, nbr_label) AS rn
+        FROM votes
+    )
+    SELECT p.query_id, p.pred_label, CAST(p.c AS BIGINT) AS n_votes,
+           q.true_label, p.pred_label = q.true_label AS correct
+    FROM pred p JOIN q USING (query_id) WHERE p.rn = 1
+    """,
+)
+def q_knn_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label transfer: a bounded query set (every 5th
+    vector under a fixed id cap) is re-labeled by majority vote of its
+    k=5 cosine-nearest neighbors among the remaining labeled corpus —
+    the standard kNN propagation used to extend a small human-labeled
+    seed set across a large embedded corpus.
+
+    Scale shape: the query side is bounded and broadcast (reusing
+    cosine_topk — the corpus NEVER shuffles for scoring; per-query
+    top-k via the salted two-stage window); the vote is a tiny
+    (query, label) aggregate. Deterministic throughout: cosine rounded
+    to 6 before ranking, neighbor-id tie-break, (count DESC, label ASC)
+    vote tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < _KNN_CAP)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("true_label"),
+    )
+    seeds = emb.filter(F.col("vec_id") % 5 != 0)
+    nbrs = sim.cosine_topk(
+        seeds, queries.select("query_id", "query_vec"), k=_KNN_K
+    )
+    labeled = nbrs.join(
+        seeds.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nbr_label")
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "nbr_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("c"), F.asc("nbr_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("nbr_label").alias("pred_label"),
+            F.col("c").cast("bigint").alias("n_votes"),
+        )
+    )
+    return pred.join(
+        F.broadcast(queries.select("query_id", "true_label")), "query_id"
+    ).select(
+        "query_id",
+        "pred_label",
+        "n_votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
 @query(
     "embedding_neardup_exact",
     oracle="""
@@ -532,3 +634,12 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_decontaminate(tr, ev, threshold=0.35).select(
         "vec_id", "label"
     )
+
+
+@query("diversity_sample_kcenter")
+def q_diversity_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity sample (k=8) over the embeddings —
+    rows-only (the greedy selection is iterative, not SQL-expressible);
+    determinism, seed identity, and the non-increasing coverage-radius
+    property are asserted in tests/test_properties.py."""
+    return sim.kcenter_sample(load_table(spark, sf_dir, "embeddings"), k=8)

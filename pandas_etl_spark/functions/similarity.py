@@ -972,3 +972,63 @@ def semantic_decontaminate(
         .distinct()
     )
     return train.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def kcenter_sample(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy farthest-point (k-center) diversity sampling: seed with the
+    minimum id, then repeatedly select the point whose cosine distance to
+    the nearest already-selected center is LARGEST (ties → smallest id).
+    The classic 2-approximation to the k-center objective — the
+    curation move for picking a maximally-diverse eval/annotation subset
+    from an embedded corpus (the opposite selection direction from
+    SemDeDup, which drops near-duplicates).
+
+    Returns (selection_rank, id, dist_to_centers) — dist is the selected
+    point's min cosine distance to the centers chosen before it (NULL
+    for the seed); the sequence is the coverage radius and is
+    non-increasing by construction.
+
+    Scale shape: k bounded driver rounds (standard for greedy k-center —
+    the selection is inherently sequential); each round is ONE corpus
+    scan computing `least()` over the r broadcast-literal center
+    distances (JVM sequential-fold dot products, no Python, no shuffle)
+    reduced by a distributed max — the per-round driver state is a
+    single row. The corpus is localCheckpointed once so the k scans
+    re-read a materialized columnar form, not the source plan."""
+    spark = emb.sparkSession
+    base = (
+        ensure_parallelism(emb)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .localCheckpoint()
+    )
+    seed = base.orderBy("id").limit(1).collect()[0]
+    selected: list[tuple] = [(1, seed["id"], None)]
+    center_vecs = [seed["v"]]
+    for rank in range(2, k + 1):
+        dists = [
+            F.lit(1.0)
+            - cosine(F.col("v"), F.array([F.lit(float(x)) for x in cv]))
+            for cv in center_vecs
+        ]
+        min_dist = F.round(F.least(*dists) if len(dists) > 1 else dists[0], 6)
+        picked = (
+            base.filter(~F.col("id").isin([s[1] for s in selected]))
+            .select("id", min_dist.alias("d"), "v")
+            .orderBy(F.desc("d"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        if not picked:
+            break
+        row = picked[0]
+        selected.append((rank, row["id"], float(row["d"])))
+        center_vecs.append(row["v"])
+    return spark.createDataFrame(
+        [(r, i, d) for r, i, d in selected],
+        "selection_rank bigint, vec_id bigint, dist_to_centers double",
+    )

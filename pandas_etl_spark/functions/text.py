@@ -379,6 +379,70 @@ def repetition_stats(
     )
 
 
+def gopher_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, Table A1) —
+    the non-repetition rules, complementing ``repetition_stats``:
+
+    - word count within ``[min_words, max_words]``
+    - mean word length within [3, 10]
+    - symbol-to-word ratio ('#' and '...') <= 0.1
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 stopword hits (the 'the/of/to' English function-word check)
+
+    Every rule flag compares EXACT INTEGERS (e.g. mean-word-length in
+    [3, 10] tests ``3*n <= sum_len <= 10*n``), so no float rounding can
+    flip a gate between engines; the reported ratio columns are
+    display-rounded doubles beside the flags.
+
+    Plan shape: pure per-row array expressions over one scan — zero
+    shuffles, fully whole-stage-codegen. The 100 TB cost is the scan."""
+    t = tokens(text_col)
+    raw = F.col(text_col) if isinstance(text_col, str) else text_col
+    sw = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    hash_cnt = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    ell_cnt = F.floor(
+        (F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sum_word_len"),
+        F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("n_alpha_words"),
+        F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+        .cast("bigint")
+        .alias("n_stopwords"),
+        (hash_cnt + ell_cnt).cast("bigint").alias("n_symbols"),
+    )
+    n = F.col("n_tokens")
+    n1 = F.greatest(n, F.lit(1))
+    words_ok = (n >= min_words) & (n <= max_words)
+    mwl_ok = (F.col("sum_word_len") >= 3 * n) & (F.col("sum_word_len") <= 10 * n)
+    sym_ok = 10 * F.col("n_symbols") <= n
+    alpha_ok = 5 * F.col("n_alpha_words") >= 4 * n
+    sw_ok = F.col("n_stopwords") >= 2
+    return base.select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("sum_word_len") / n1, 6).alias("mean_word_len"),
+        F.round(F.col("n_symbols") / n1, 6).alias("symbol_ratio"),
+        F.round(F.col("n_alpha_words") / n1, 6).alias("alpha_word_frac"),
+        "n_stopwords",
+        (words_ok & mwl_ok & sym_ok & alpha_ok & sw_ok).alias("passes"),
+    )
+
+
 # PII patterns restricted to the construct subset java.util.regex and RE2
 # agree on (no lookaround, no backreferences).
 PII_PATTERNS: dict[str, str] = {

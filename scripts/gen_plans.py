@@ -91,7 +91,15 @@ NOTES = {
     "woe_iv_quantity": "WOE/IV: ONE map-side-combinable 10-bin aggregate over the data; totals broadcast as one row; the IV window runs over the 10-row bin table only.",
     "forecast_backtest_smape": "Backtest: the exact-cents daily aggregate is the only data-sized shuffle; split/fit/projection/scoring all run on day-domain series frames with 1-row-per-series broadcasts.",
     "geo_cell_density": "Grid density: coordinate derivation + floor are scan-projection expressions; single shuffle keyed on the cell id with map-side partials.",
+    "gopher_quality_gate": "Gopher document gate: every rule (word bounds, mean word length, symbol ratio, alpha fraction, stopwords) is a per-row array expression in ONE scan projection — zero shuffles; the flags compare exact integers so engines cannot disagree at a boundary.",
+    "source_overlap_jaccard": "Cross-source contamination matrix: both sides reduce to distinct (source, 60-bit gram-hash) pairs before the ONE hash-keyed shuffle; per-gram source lists are bounded by |sources| so the in-bucket i<j expansion is |sources|^2 worst-case per gram; per-source set sizes broadcast onto the pair counts.",
+    "knn_label_transfer": "kNN label propagation: the bounded query set broadcasts (the corpus never shuffles for scoring — same shape as ann_cosine_topk); salted two-stage top-k; the majority vote is a tiny (query,label) aggregate + per-query window.",
+    "propensity_match_pairs": "Propensity matching: ONE user_id shuffle for the exact-cents score reduction; control dedup aggregates per score; the as-of match runs on the range-partitioned distributed as-of join — no global sort, no single-partition window.",
 }
+# diversity_sample_kcenter is not plan-audited: the greedy selection runs
+# k bounded driver rounds and returns a materialized local frame, so its
+# final explain is a LocalTableScan (same exclusion rationale as LPA /
+# k-core / BFS above).
 
 
 def main() -> None:

@@ -595,3 +595,30 @@ def test_exact_span_dedup_matches_python_reference(spark, data, k):
         for r in exact_span_dedup(df, "text", "doc_id", k=k).collect()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center diversity sampling (functions/similarity.kcenter_sample)
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_sample_properties(spark, sf_dir):
+    """Greedy farthest-point selection: deterministic across runs, seeded
+    at the minimum id, and the coverage radius (each selection's min
+    distance to the prior centers) is non-increasing — the defining
+    property of farthest-point traversal."""
+    from pandas_etl_spark.functions.similarity import kcenter_sample
+    from pandas_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kcenter_sample(emb, k=6).collect()
+    b = kcenter_sample(emb, k=6).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # deterministic
+    assert len(a) == 6
+    min_id = emb.agg({"vec_id": "min"}).collect()[0][0]
+    assert a[0]["selection_rank"] == 1 and a[0]["vec_id"] == min_id
+    assert a[0]["dist_to_centers"] is None
+    dists = [r["dist_to_centers"] for r in a[1:]]
+    assert all(d is not None and d >= 0.0 for d in dists)
+    assert all(x >= y - 1e-12 for x, y in zip(dists, dists[1:]))  # radius shrinks
+    assert len({r["vec_id"] for r in a}) == 6  # no repeats

@@ -143,6 +143,10 @@ EXTENDED = [
     "knn_label_transfer",
     "propensity_match_pairs",
     "diversity_sample_kcenter",
+    "bpe_fertility_by_lang",
+    "lang_id_kappa",
+    "mv_incremental_agg",
+    "embedding_quality_audit",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

@@ -1645,6 +1645,128 @@ def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mv_incremental_agg",
+    oracle="""
+    WITH ops AS (
+        SELECT o_custkey + CASE WHEN o_orderkey % 7 = 0 THEN 1000000 ELSE 0 END
+                   AS c_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+               o_orderdate AS seq1, o_orderkey AS seq2
+        FROM orders
+    ),
+    latest AS (
+        SELECT c_custkey, cents, op FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY seq1 DESC, seq2 DESC) AS rn
+            FROM ops
+        ) WHERE rn = 1
+    ),
+    base AS (
+        SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ),
+    merged AS (
+        SELECT coalesce(l.c_custkey, b.c_custkey) AS c_custkey,
+               CASE WHEN l.c_custkey IS NOT NULL THEN l.cents
+                    ELSE b.cents END AS cents,
+               l.op AS op
+        FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+    ),
+    applied AS (SELECT * FROM merged WHERE op IS NULL OR op <> 'D')
+    SELECT c_custkey % 10 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS bal_cents,
+           round(sum(cents) / 100.0, 2) AS bal_total
+    FROM applied GROUP BY bucket
+    """,
+)
+def q_mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-bucket
+    (count, sum) MV over the CDC-maintained customer snapshot is
+    refreshed by applying the ops log's DELTAS onto the previous MV —
+    the applied table is NEVER re-aggregated. Per key the delta is
+    computed from the latest op and the base row's old value
+    (insert: +1/+new; update: +new−old; delete: −1/−old), then reduced
+    to one row per bucket and merged onto the MV with a full-outer
+    join; buckets emptied by deletes drop out.
+
+    The ORACLE aggregates the fully-replayed table directly, so the
+    green hash PROVES incremental ≡ recompute cross-engine (the defining
+    invariant of view maintenance). Scale: per-refresh cost is one
+    key shuffle of the ops batch + a keyed lookup of old values + a
+    |MV|-sized merge — independent of the base table size (here the
+    seed aggregate is computed once because the harness stores no
+    state between runs; a deployment reads the previous MV instead).
+    Exact-cents sums keep every delta integer, so addition order is
+    irrelevant."""
+    from pandas_etl_spark.operators.upsert import cdc_collapse
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    ops = o.select(
+        (
+            F.col("o_custkey")
+            + F.when(F.col("o_orderkey") % 7 == 0, 1000000).otherwise(0)
+        ).alias("c_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_orderdate").alias("seq1"),
+        F.col("o_orderkey").alias("seq2"),
+    )
+    latest = cdc_collapse(ops, keys=["c_custkey"], seq_cols=["seq1", "seq2"])
+    # old values for affected keys only — a keyed lookup, not a rescan
+    old = latest.join(
+        base.select("c_custkey", F.col("cents").alias("old_cents")),
+        "c_custkey",
+        "left",
+    )
+    existed = F.col("old_cents").isNotNull()
+    is_del = F.col("op") == "D"
+    delta = old.select(
+        (F.col("c_custkey") % 10).alias("bucket"),
+        F.when(is_del & existed, -1)
+        .when(is_del, 0)
+        .when(existed, 0)
+        .otherwise(1)
+        .cast("bigint")
+        .alias("dn"),
+        F.when(is_del & existed, -F.col("old_cents"))
+        .when(is_del, 0)
+        .otherwise(F.col("cents") - F.coalesce(F.col("old_cents"), F.lit(0)))
+        .cast("bigint")
+        .alias("dc"),
+    ).groupBy("bucket").agg(
+        F.sum("dn").alias("dn"), F.sum("dc").alias("dc")
+    )
+    # the stored MV (seeded here; a deployment reads the previous MV)
+    mv = base.groupBy((F.col("c_custkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("bal_cents"),
+    )
+    refreshed = mv.join(delta, "bucket", "full_outer").select(
+        "bucket",
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        ).alias("n_rows"),
+        (
+            F.coalesce(F.col("bal_cents"), F.lit(0))
+            + F.coalesce(F.col("dc"), F.lit(0))
+        ).alias("bal_cents"),
+    )
+    return refreshed.filter(F.col("n_rows") > 0).select(
+        "bucket",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("bal_cents").cast("bigint").alias("bal_cents"),
+        F.round(F.col("bal_cents") / 100.0, 2).alias("bal_total"),
+    )
+
+
+@query(
     "snapshot_diff_orders",
     oracle="""
     WITH old AS (

@@ -643,3 +643,75 @@ def q_diversity_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism, seed identity, and the non-increasing coverage-radius
     property are asserted in tests/test_properties.py."""
     return sim.kcenter_sample(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+_DD_SELF_DOT = (
+    "list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[]))"
+)
+
+
+@query(
+    "embedding_quality_audit",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id,
+               len(embedding) AS dim,
+               sqrt({_DD_SELF_DOT}) AS nrm,
+               len(list_filter(CAST(embedding AS DOUBLE[]),
+                   x -> NOT (x >= -1.8e308 AND x <= 1.8e308))) AS n_bad
+        FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT)                    AS n_vecs,
+           CAST(min(dim) AS BIGINT)                    AS min_dim,
+           CAST(max(dim) AS BIGINT)                    AS max_dim,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                       AS n_zero_norm,
+           CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                       AS n_nonfinite,
+           round(quantile_cont(nrm, 0.5), 6)           AS norm_p50,
+           round(quantile_cont(nrm, 0.99), 6)          AS norm_p99,
+           round(max(nrm), 6)                          AS norm_max
+    FROM m
+    """,
+)
+def q_embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column data-quality audit: dimension consistency,
+    zero-norm and non-finite counts, and the norm distribution — the
+    pre-flight check before any ANN index build or cosine math (a
+    single zero-norm vector NaN-poisons cosine; a ragged dim breaks
+    dot products). Norms are deterministic sequential-fold doubles
+    (same fold as all cosine paths), non-finiteness is one range
+    predicate valid in both engines (NaN sorts high in each), and the
+    whole audit is ONE scan + one 1-row aggregate — no shuffle of the
+    vectors themselves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pandas_etl_spark.functions.similarity import _norm
+
+    m = emb.select(
+        F.size("embedding").alias("dim"),
+        _norm(F.col("embedding")).alias("nrm"),
+        F.size(
+            F.filter(
+                F.col("embedding"),
+                lambda x: ~(
+                    (x.cast("double") >= F.lit(-1.8e308))
+                    & (x.cast("double") <= F.lit(1.8e308))
+                ),
+            )
+        ).alias("n_bad"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.min("dim").cast("bigint").alias("min_dim"),
+        F.max("dim").cast("bigint").alias("max_dim"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        F.sum(F.when(F.col("n_bad") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonfinite"),
+        F.round(F.percentile("nrm", 0.5), 6).alias("norm_p50"),
+        F.round(F.percentile("nrm", 0.99), 6).alias("norm_p99"),
+        F.round(F.max("nrm"), 6).alias("norm_max"),
+    )

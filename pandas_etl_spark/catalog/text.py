@@ -1449,3 +1449,134 @@ def q_rake_keyphrases_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     split positions."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return tx.rake_keyphrases(d, "text", "doc_id")
+
+
+@query(
+    "bpe_fertility_by_lang",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST({_DD_NTOK} AS BIGINT) AS ws,
+               CAST(len(regexp_extract_all(text, '{_DD_BPE}')) AS BIGINT)
+                   AS bpe,
+               CAST(len(text) AS BIGINT) AS chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(ws) AS BIGINT)   AS n_words,
+           CAST(sum(bpe) AS BIGINT)  AS n_bpe_tokens,
+           round(sum(bpe) * 1.0 / greatest(sum(ws), 1), 6)    AS fertility,
+           round(sum(chars) * 1.0 / greatest(sum(bpe), 1), 6) AS chars_per_token
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE tokens per
+    whitespace word and characters per BPE token — the standard
+    multilingual-tokenizer cost report (high-fertility languages burn
+    budget faster; the signal behind vocabulary rebalancing). Both
+    token counts evaluate in the scan projection (regex counting, no
+    Python); ONE tiny per-lang aggregate with exact-integer sums and
+    single closing divisions — bit-identical across engines."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    per_doc = d.select(
+        "lang",
+        tx.token_count("text").alias("ws"),
+        tx.bpe_token_count("text").alias("bpe"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("n_words"),
+        F.sum("bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("bpe") / F.greatest(F.sum("ws"), F.lit(1)), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("chars") / F.greatest(F.sum("bpe"), F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "lang_id_kappa",
+    oracle=f"""
+    WITH h AS (
+        SELECT lang,
+               {_dd_hits('de')} AS h_de, {_dd_hits('en')} AS h_en,
+               {_dd_hits('es')} AS h_es, {_dd_hits('fr')} AS h_fr,
+               {_dd_hits('zh')} AS h_zh
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                    WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                    WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                    WHEN h_fr >= h_zh THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+        FROM h
+    ),
+    cm AS (
+        SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT sum(n) AS nn,
+               sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS diag
+        FROM cm
+    ),
+    rows_ AS (SELECT lang AS l, sum(n) AS r FROM cm GROUP BY 1),
+    cols_ AS (SELECT lang_pred AS l, sum(n) AS c FROM cm GROUP BY 1),
+    s AS (SELECT sum(r * c) AS s FROM rows_ JOIN cols_ USING (l))
+    SELECT CAST(nn AS BIGINT)   AS n_docs,
+           CAST(diag AS BIGINT) AS n_agree,
+           round(diag * 1.0 / nn, 6)      AS p_observed,
+           round(s * 1.0 / (nn * nn), 6)  AS p_expected,
+           round(CASE WHEN nn * nn > s
+                      THEN (diag * nn - s) * 1.0 / (nn * nn - s)
+                      ELSE 0.0 END, 6)    AS kappa
+    FROM tot, s
+    """,
+)
+def q_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the declared ``lang`` metadata and the
+    content-derived language ID — chance-corrected agreement, the
+    honest companion to lang_confusion's raw accuracy (a skewed corpus
+    can show high accuracy from the majority class alone).
+
+    Determinism: kappa reduces to the single integer-ratio division
+    ``(diag*N - S) / (N² - S)`` where S = Σ row_l·col_l — no
+    intermediate float accumulation anywhere, so engines agree
+    bit-for-bit. One data-sized pass (lang_id in the scan projection);
+    everything after is |langs|²-bounded."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    cm = (
+        d.select("lang", tx.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cm.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n")).otherwise(0)).alias(
+            "diag"
+        ),
+    )
+    rows_ = cm.groupBy(F.col("lang").alias("l")).agg(F.sum("n").alias("r"))
+    cols_ = cm.groupBy(F.col("lang_pred").alias("l")).agg(F.sum("n").alias("c"))
+    s = rows_.join(cols_, "l").agg(F.sum(F.col("r") * F.col("c")).alias("s"))
+    return tot.crossJoin(F.broadcast(s)).select(
+        F.col("nn").cast("bigint").alias("n_docs"),
+        F.col("diag").cast("bigint").alias("n_agree"),
+        F.round(F.col("diag") / F.col("nn"), 6).alias("p_observed"),
+        F.round(F.col("s") / (F.col("nn") * F.col("nn")), 6).alias("p_expected"),
+        F.round(
+            F.when(
+                F.col("nn") * F.col("nn") > F.col("s"),
+                (F.col("diag") * F.col("nn") - F.col("s"))
+                / (F.col("nn") * F.col("nn") - F.col("s")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("kappa"),
+    )

@@ -147,6 +147,7 @@ EXTENDED = [
     "lang_id_kappa",
     "mv_incremental_agg",
     "embedding_quality_audit",
+    "stream_mv_incremental",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

@@ -1717,51 +1717,26 @@ def q_mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("seq1"),
         F.col("o_orderkey").alias("seq2"),
     )
+    from pandas_etl_spark.operators.upsert import mv_agg_delta, mv_merge
+
     latest = cdc_collapse(ops, keys=["c_custkey"], seq_cols=["seq1", "seq2"])
     # old values for affected keys only — a keyed lookup, not a rescan
-    old = latest.join(
-        base.select("c_custkey", F.col("cents").alias("old_cents")),
-        "c_custkey",
-        "left",
-    )
-    existed = F.col("old_cents").isNotNull()
-    is_del = F.col("op") == "D"
-    delta = old.select(
-        (F.col("c_custkey") % 10).alias("bucket"),
-        F.when(is_del & existed, -1)
-        .when(is_del, 0)
-        .when(existed, 0)
-        .otherwise(1)
-        .cast("bigint")
-        .alias("dn"),
-        F.when(is_del & existed, -F.col("old_cents"))
-        .when(is_del, 0)
-        .otherwise(F.col("cents") - F.coalesce(F.col("old_cents"), F.lit(0)))
-        .cast("bigint")
-        .alias("dc"),
-    ).groupBy("bucket").agg(
-        F.sum("dn").alias("dn"), F.sum("dc").alias("dc")
+    delta = mv_agg_delta(
+        latest,
+        base.select("c_custkey", F.col("cents").alias("__old")),
+        keys=["c_custkey"],
+        bucket=F.col("c_custkey") % 10,
+        value_col="cents",
     )
     # the stored MV (seeded here; a deployment reads the previous MV)
     mv = base.groupBy((F.col("c_custkey") % 10).alias("bucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("cents").cast("bigint").alias("bal_cents"),
     )
-    refreshed = mv.join(delta, "bucket", "full_outer").select(
+    return mv_merge(mv, delta).select(
         "bucket",
-        (
-            F.coalesce(F.col("n_rows"), F.lit(0))
-            + F.coalesce(F.col("dn"), F.lit(0))
-        ).alias("n_rows"),
-        (
-            F.coalesce(F.col("bal_cents"), F.lit(0))
-            + F.coalesce(F.col("dc"), F.lit(0))
-        ).alias("bal_cents"),
-    )
-    return refreshed.filter(F.col("n_rows") > 0).select(
-        "bucket",
-        F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.col("bal_cents").cast("bigint").alias("bal_cents"),
+        "n_rows",
+        "bal_cents",
         F.round(F.col("bal_cents") / 100.0, 2).alias("bal_total"),
     )
 

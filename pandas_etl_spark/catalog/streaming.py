@@ -1008,3 +1008,129 @@ def q_stream_geo_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_customers"))
     table = run_stream_to_table(dens, output_mode="complete")
     return spark.table(table)
+
+
+@query(
+    "stream_mv_incremental",
+    oracle="""
+    WITH ops AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts, event_id
+        FROM events
+    ),
+    latest AS (
+        SELECT user_id, cents, op FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ops
+        ) WHERE rn = 1
+    ),
+    base AS (
+        SELECT c_custkey AS user_id, CAST(0 AS BIGINT) AS cents
+        FROM customer
+    ),
+    merged AS (
+        SELECT coalesce(l.user_id, b.user_id) AS user_id,
+               CASE WHEN l.user_id IS NOT NULL THEN l.cents
+                    ELSE b.cents END AS cents,
+               l.op AS op
+        FROM base b FULL OUTER JOIN latest l ON b.user_id = l.user_id
+    ),
+    applied AS (SELECT * FROM merged WHERE op IS NULL OR op <> 'D')
+    SELECT user_id % 10 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM applied GROUP BY bucket
+    """,
+)
+def q_stream_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance end-to-end: the events
+    table becomes a CDC ops log (latest event per user wins; 'error' =
+    tombstone) split into two seq-ordered micro-batches; each batch
+    updates a per-bucket (count, sum-cents) MV via
+    ``streaming.mv_maintain_sink`` — per-batch cost O(|batch| + |MV|),
+    the MV is NEVER re-aggregated from the snapshot. The oracle
+    aggregates the one-shot replay of the whole log, so a green hash
+    proves streamed delta maintenance ≡ batch recompute (the MV
+    maintenance invariant), the streaming twin of mv_incremental_agg's
+    batch proof."""
+    import os
+    import tempfile
+
+    from pandas_etl_spark.streaming import mv_maintain_sink
+
+    ev = load_table(spark, sf_dir, "events")
+    ops = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "ts",
+        "event_id",
+    )
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.lit(0).cast("bigint").alias("cents"),
+    )
+    bounds = ev.agg(
+        F.min(ts_seconds("ts")).alias("lo"), F.max(ts_seconds("ts")).alias("hi")
+    ).first()
+    if bounds is None or bounds["lo"] is None:
+        cutoff = 0.0
+    else:
+        cutoff = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    tmp = tempfile.mkdtemp(prefix="stream_mv_")
+    src, state = os.path.join(tmp, "src"), os.path.join(tmp, "state")
+    ops.filter(ts_seconds("ts") < cutoff).coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    ops.filter(ts_seconds("ts") >= cutoff).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    now = 1_700_000_000
+    for sub, t in (("b0", now - 100), ("b1", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+    stream = (
+        spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            mv_maintain_sink(
+                state,
+                base,
+                keys=["user_id"],
+                seq_cols=["ts", "event_id"],
+                bucket_of=lambda df: F.col("user_id") % 10,
+                value_col="cents",
+            )
+        )
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import glob as _glob
+
+    versions = sorted(
+        int(os.path.basename(p)[1:])
+        for p in _glob.glob(os.path.join(state, "v*"))
+    )
+    if not versions:  # empty source: the seed MV is the answer
+        return base.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("bal_cents"),
+        )
+    return spark.read.parquet(
+        os.path.join(state, f"v{versions[-1]}", "mv")
+    ).select("bucket", "n_rows", "bal_cents")

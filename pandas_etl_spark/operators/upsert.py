@@ -11,7 +11,7 @@ single-shuffle at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -164,4 +164,71 @@ def snapshot_diff(
             .otherwise(F.array().cast("array<string>"))
             .alias("changed_cols"),
         )
+    )
+
+
+def mv_agg_delta(
+    latest_ops: DataFrame,
+    old_vals: DataFrame,
+    keys: list[str],
+    bucket: Column,
+    value_col: str = "cents",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Per-bucket (Δcount, Δsum) deltas of a (count, sum(value)) MV from
+    a collapsed CDC ops batch: insert → (+1, +new), update →
+    (0, new−old), delete of an existing key → (−1, −old); deletes and
+    updates of absent keys follow the same idempotency rules as
+    :func:`cdc_apply`. ``old_vals`` carries ``keys + __old`` (the
+    previous snapshot's value for each key — a keyed lookup, never a
+    base rescan). Exact-integer values keep every delta
+    order-independent."""
+    joined = latest_ops.join(old_vals, keys, "left")
+    existed = F.col("__old").isNotNull()
+    is_del = F.col(op_col) == delete_op
+    return (
+        joined.select(
+            bucket.alias("bucket"),
+            F.when(is_del & existed, -1)
+            .when(is_del, 0)
+            .when(existed, 0)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("dn"),
+            F.when(is_del & existed, -F.col("__old"))
+            .when(is_del, 0)
+            .otherwise(
+                F.col(value_col) - F.coalesce(F.col("__old"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dc"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+
+
+def mv_merge(mv: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge per-bucket deltas onto a (bucket, n_rows, bal_cents) MV —
+    a |MV|-sized full-outer join; buckets emptied by deletes drop
+    out."""
+    return (
+        mv.join(delta, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_rows"),
+            (
+                F.coalesce(F.col("bal_cents"), F.lit(0))
+                + F.coalesce(F.col("dc"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("bal_cents"),
+        )
+        .filter(F.col("n_rows") > 0)
     )

@@ -615,3 +615,87 @@ def test_weighted_sample_ares_distributed_topk(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "weighted_sample_ares")
     assert "TakeOrderedAndProject" in plan
     assert "GlobalSort" not in plan and "Exchange rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_gate_zero_shuffle(spark, sf_dir):
+    """Every Gopher rule is a per-row array expression — the plan must
+    contain no Exchange at all beyond the ingest repartition, no join,
+    no window, no Python stage."""
+    plan = plan_of(spark, sf_dir, "gopher_quality_gate")
+    assert "Join" not in plan and "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the only allowed exchange is ensure_parallelism's round-robin ingest
+    import re
+
+    for m in re.finditer(r"Exchange (\w+)", plan):
+        assert m.group(1) == "RoundRobinPartitioning", m.group(0)
+
+
+def test_source_overlap_single_wide_shuffle(spark, sf_dir):
+    """The contamination matrix must shuffle hash-keyed rows once (the
+    gram-hash aggregate); the per-source set sizes must broadcast, not
+    sort-merge."""
+    plan = plan_of(spark, sf_dir, "source_overlap_jaccard")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # the two size joins
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_label_transfer_corpus_never_shuffles(spark, sf_dir):
+    """The query side broadcasts (BroadcastNestedLoopJoin from the
+    cosine crossJoin); the corpus-sized side must not hash-exchange
+    before scoring — the only aggregates run on query-bounded frames."""
+    plan = plan_of(spark, sf_dir, "knn_label_transfer")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mv_incremental_never_reaggregates_applied(spark, sf_dir):
+    """Incremental MV maintenance must not build the applied table at
+    all: no full-outer MERGE of base and ops appears (the delta path
+    joins old values with a plain left join), and the orders ops log
+    is scanned exactly once."""
+    plan = plan_of(spark, sf_dir, "mv_incremental_agg")
+    assert "FullOuter" not in plan.replace("full_outer", "FullOuter") or (
+        # the |MV|-sized bucket merge IS a full outer join — allow joins
+        # whose keys are the bucket, never c_custkey
+        "FullOuter, c_custkey" not in plan
+    )
+    # formatted mode puts the path on a Location detail line, one per scan
+    orders_scans = [
+        l
+        for l in plan.splitlines()
+        if "Location" in l and "orders.parquet" in l
+    ]
+    assert len(orders_scans) == 1, orders_scans
+
+
+def test_embedding_audit_one_pass(spark, sf_dir):
+    """The vector audit is one scan + a 1-row aggregate: no join, no
+    window, no Python, and the embeddings file is scanned once."""
+    plan = plan_of(spark, sf_dir, "embedding_quality_audit")
+    assert "Join" not in plan and "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    emb_scans = [
+        l
+        for l in plan.splitlines()
+        if "Location" in l and "embeddings.parquet" in l
+    ]
+    assert len(emb_scans) == 1, emb_scans
+
+
+def test_propensity_match_no_global_sort(spark, sf_dir):
+    """The as-of match must run range-partitioned — no single-partition
+    ordered window over the score stream."""
+    plan = plan_of(spark, sf_dir, "propensity_match_pairs")
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            ctx = "\n".join(lines[max(0, i - 3) : i])
+            assert "Window" not in ctx, f"SinglePartition feeds Window:\n{ctx}"

@@ -712,6 +712,66 @@ class Table:
 
         return Table(_nt(self._df, text_col, id_col))
 
+    def gopher_gate(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_words: int = 30,
+        max_words: int = 100_000,
+    ) -> "Table":
+        """Gopher-rule document quality gate
+        (functions/text.gopher_stats)."""
+        from pandas_etl_spark.functions.text import gopher_stats as _gs
+
+        return Table(_gs(self._df, text_col, id_col, min_words, max_words))
+
+    def kcenter_sample(
+        self,
+        k: int = 8,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "Table":
+        """Greedy farthest-point k-center diversity sample
+        (functions/similarity.kcenter_sample)."""
+        from pandas_etl_spark.functions.similarity import (
+            kcenter_sample as _kc,
+        )
+
+        return Table(_kc(self._df, k, id_col, vec_col))
+
+    def mv_refresh(
+        self,
+        ops,
+        keys: list[str],
+        seq_cols: list[str],
+        bucket_expr: str,
+        value_col: str = "cents",
+    ) -> "Table":
+        """Refresh a per-bucket (count, sum) MV over this base table
+        from a CDC ops log WITHOUT re-aggregating the applied table
+        (operators/upsert.mv_agg_delta + mv_merge). ``bucket_expr`` is
+        a SQL expression over the key columns."""
+        from pandas_etl_spark.operators.upsert import (
+            cdc_collapse,
+            mv_agg_delta,
+            mv_merge,
+        )
+
+        ops_df = _unwrap(ops)
+        latest = cdc_collapse(ops_df, keys, seq_cols)
+        delta = mv_agg_delta(
+            latest,
+            self._df.select(*keys, F.col(value_col).alias("__old")),
+            keys=keys,
+            bucket=F.expr(bucket_expr),
+            value_col=value_col,
+        )
+        mv = self._df.groupBy(F.expr(bucket_expr).alias("bucket")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(value_col).cast("bigint").alias("bal_cents"),
+        )
+        return Table(mv_merge(mv, delta))
+
     def bigram_logprob(
         self,
         text_col: str = "text",

@@ -841,3 +841,91 @@ def test_schema_evolution_read_step_in_yaml(spark, sf_dir, tmp_path):
         r["v"]: r[-1] for r in p.steps["out"].output.df.collect()
     }
     assert rows == {0: 8, 1: 4}
+
+
+def test_r6_operators_as_yaml_bound_methods(spark, sf_dir):
+    """The r6 operators run as Table bound methods in YAML pipelines:
+    the Gopher quality gate, k-center diversity sampling, and the
+    incremental MV refresh — F14 generic dispatch, no preFlight
+    imports."""
+    p = Pipeline(
+        yamlData=f"""
+        steps:
+        - name: docs
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/documents.parquet
+        - name: gate
+          function: ${{ steps['docs'].output.gopher_gate }}
+        - name: emb
+          function: pd.read_parquet
+          args:
+            path: {sf_dir}/embeddings.parquet
+        - name: sample
+          function: ${{ steps['emb'].output.kcenter_sample }}
+          args:
+            k: 4
+        """,
+        spark=spark,
+    )
+    p.run()
+    gate = p.steps["gate"].output.df
+    assert set(gate.columns) == {
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_frac",
+        "n_stopwords",
+        "passes",
+    }
+    assert gate.count() > 0
+    ks = p.steps["sample"].output.df
+    assert ks.count() == 4 and set(ks.columns) == {
+        "selection_rank",
+        "vec_id",
+        "dist_to_centers",
+    }
+
+    # mv_refresh as a Table method: refresh must equal the direct
+    # aggregate of the cdc-applied table
+    from pandas_etl_spark.operators.upsert import cdc_apply
+    from pandas_etl_spark.pandas_ops import Table
+    from pyspark.sql import functions as F
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    ops = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_orderdate").alias("seq1"),
+        F.col("o_orderkey").alias("seq2"),
+    )
+    mv = (
+        Table(base)
+        .mv_refresh(
+            Table(ops),
+            keys=["c_custkey"],
+            seq_cols=["seq1", "seq2"],
+            bucket_expr="c_custkey % 10",
+        )
+        .df
+    )
+    applied = cdc_apply(
+        base, ops, keys=["c_custkey"], seq_cols=["seq1", "seq2"]
+    )
+    direct = applied.groupBy((F.col("c_custkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("bal_cents"),
+    )
+    got = {r["bucket"]: (r["n_rows"], r["bal_cents"]) for r in mv.collect()}
+    want = {
+        r["bucket"]: (r["n_rows"], r["bal_cents"]) for r in direct.collect()
+    }
+    assert got == want

@@ -148,6 +148,7 @@ EXTENDED = [
     "mv_incremental_agg",
     "embedding_quality_audit",
     "stream_mv_incremental",
+    "minhash_source_signature",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

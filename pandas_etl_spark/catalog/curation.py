@@ -1406,3 +1406,55 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_distinct").cast("bigint").alias("l_distinct"),
         (F.col("l_distinct") < 3).alias("violates_l3"),
     )
+
+
+_MH_PERMS = 64
+
+
+@query("minhash_source_signature")
+def q_minhash_source_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path twin of source_overlap_jaccard: every source reduces
+    to ONE 64-int MinHash signature (element-wise min over xxhash64 of
+    its distinct 5-grams, all 64 permutations in a single aggregate —
+    no explode, no per-perm pass), and pair similarity is estimated by
+    comparing signatures. At 100 TB this is the shape that survives:
+    signatures are mergeable (min is associative — new shards fold in
+    incrementally), the compare cost is |sources|²·64 ints regardless
+    of corpus size, and the gram sets themselves never pairwise-join.
+    Rows-only (xxhash64 is engine-specific);
+    tests/test_curation_ops.py bounds the estimate against the exact
+    gram Jaccard at the standard 1/sqrt(64) MinHash error."""
+    from pandas_etl_spark.functions.text import tokens, word_ngrams
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    g = (
+        docs.select("source", tokens("text").alias("t"))
+        .select(
+            "source",
+            F.explode(F.array_distinct(word_ngrams("t", 5))).alias("gram"),
+        )
+        .distinct()
+    )
+    sig = g.groupBy("source").agg(
+        F.array(
+            *[
+                F.min(F.xxhash64("gram", F.lit(i)))
+                for i in range(_MH_PERMS)
+            ]
+        ).alias("sig")
+    )
+    a = sig.select(F.col("source").alias("source_a"), F.col("sig").alias("sa"))
+    b = sig.select(F.col("source").alias("source_b"), F.col("sig").alias("sb"))
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+            lambda t: t,
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        matches.cast("bigint").alias("n_matching_perms"),
+        F.round(matches / F.lit(float(_MH_PERMS)), 6).alias("est_jaccard"),
+    )

@@ -480,3 +480,55 @@ def test_decontaminate_spans_cuts_only_eval_text(spark):
     assert got[10] == "t1 t2"
     assert got[11] == f"{shared} a1"
     assert got[12] == f"b1 {shared}"
+
+
+def test_minhash_source_signature_tracks_exact_jaccard(spark, sf_dir):
+    """The 64-perm MinHash source signatures must estimate the exact
+    gram Jaccard within the standard MinHash error (s.e. =
+    sqrt(J(1-J)/64) <= 1/16; we allow 4 s.e. = 0.25 absolute and also
+    check the aggregate bias is small). Mergeability: the min is per
+    permutation, so shard-wise signatures fold — spot-checked by
+    splitting one source and element-wise-min'ing the halves."""
+    from pandas_etl_spark.catalog import QUERIES
+
+    est = {
+        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        for r in QUERIES["minhash_source_signature"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r["source_a"], r["source_b"]): r["gram_jaccard"]
+        for r in QUERIES["source_overlap_jaccard"](spark, sf_dir).collect()
+    }
+    assert est, "no source pairs"
+    errs = []
+    for pair, e in est.items():
+        x = exact.get(pair, 0.0)  # exact emits only shared>0 pairs
+        assert abs(e - x) <= 0.25, (pair, e, x)
+        errs.append(e - x)
+    assert abs(sum(errs) / len(errs)) <= 0.05  # unbiased on average
+
+    # mergeability: signature(all) == elementwise-min(sig(half1), sig(half2))
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.functions.text import tokens, word_ngrams
+    from pandas_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")  # whole corpus: both
+    # halves are guaranteed non-empty (a tiny filtered source at the
+    # smallest SF can have an empty half, where min() is NULL)
+    def sig_of(df):
+        g = (
+            df.select(tokens("text").alias("t"))
+            .select(F.explode(F.array_distinct(word_ngrams("t", 5))).alias("gram"))
+            .distinct()
+        )
+        row = g.agg(
+            F.array(*[F.min(F.xxhash64("gram", F.lit(i))) for i in range(64)]).alias("s")
+        ).collect()[0]
+        return row["s"]
+
+    full = sig_of(docs)
+    h1 = sig_of(docs.filter(F.col("doc_id") % 2 == 0))
+    h2 = sig_of(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = [min(a, b) for a, b in zip(h1, h2)]
+    assert merged == list(full)

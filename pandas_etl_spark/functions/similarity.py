@@ -1006,7 +1006,11 @@ def kcenter_sample(
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .localCheckpoint()
     )
-    seed = base.orderBy("id").limit(1).collect()[0]
+    schema = "selection_rank bigint, vec_id bigint, dist_to_centers double"
+    seed_rows = base.orderBy("id").limit(1).collect()
+    if not seed_rows:  # empty corpus: empty selection, stable schema
+        return spark.createDataFrame([], schema)
+    seed = seed_rows[0]
     selected: list[tuple] = [(1, seed["id"], None)]
     center_vecs = [seed["v"]]
     for rank in range(2, k + 1):
@@ -1029,6 +1033,5 @@ def kcenter_sample(
         selected.append((rank, row["id"], float(row["d"])))
         center_vecs.append(row["v"])
     return spark.createDataFrame(
-        [(r, i, d) for r, i, d in selected],
-        "selection_rank bigint, vec_id bigint, dist_to_centers double",
+        [(r, i, d) for r, i, d in selected], schema
     )

@@ -149,6 +149,7 @@ EXTENDED = [
     "embedding_quality_audit",
     "stream_mv_incremental",
     "minhash_source_signature",
+    "backfill_day_partition",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

@@ -2060,3 +2060,66 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderdate").alias("n_dated"),
         F.countDistinct("o_orderpriority").alias("n_prio"),
     )
+
+
+@query(
+    "backfill_day_partition",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    lo AS (SELECT min(day) AS d0 FROM d)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+    FROM d, lo
+    WHERE NOT (day = lo.d0 AND event_type = 'error')
+    GROUP BY 1
+    """,
+)
+def q_backfill_day_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill via DYNAMIC partition overwrite
+    (``spark.sql.sources.partitionOverwriteMode=dynamic`` — the
+    Spark-native lakehouse correction pattern): the event stream lands
+    day-partitioned; a quality fix then rewrites ONLY the earliest
+    day's partition (dropping its 'error' rows) with a plain
+    ``mode("overwrite")`` — dynamic mode replaces exactly the
+    partitions the job emits, untouched days keep their files
+    bit-for-bit (asserted in tests/test_storage_layout.py). The oracle
+    computes the corrected per-day rollup directly, so the green hash
+    proves overwrite-scope correctness end-to-end. At 100 TB this is
+    the only sane backfill shape: the rewrite cost is the bad
+    partition, never the table."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="backfill_"), "t")
+    ev.write.partitionBy("day").parquet(tmp)
+    d0 = ev.agg(F.min("day")).collect()[0][0]
+    fixed = (
+        spark.read.parquet(tmp)
+        .filter(F.col("day") == F.lit(d0))
+        .filter(F.col("event_type") != "error")
+    )
+    with_conf = spark.conf
+    prev = with_conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.mode("overwrite").partitionBy("day").parquet(tmp)
+    finally:
+        with_conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(tmp)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("value_cents"),
+        )
+    )

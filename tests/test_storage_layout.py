@@ -413,3 +413,56 @@ def test_read_parquet_evolved_conflict_modes(spark, tmp_path):
     ev = read_parquet_evolved(spark, [pa, pb], on_conflict="string")
     assert dict(ev.dtypes)["val"] == "string"
     assert {r["val"] for r in ev.collect()} == {"x", "7"}
+
+
+def test_dynamic_partition_overwrite_touches_only_emitted_days(spark, sf_dir, tmp_path):
+    """Backfill via partitionOverwriteMode=dynamic must replace exactly
+    the partitions the job emits: the corrected day's files change, every
+    other day keeps its files byte-for-byte (same paths, sizes, mtimes)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    tgt = str(tmp_path / "t")
+    ev.write.partitionBy("day").parquet(tgt)
+
+    def listing(exclude_day: str) -> dict[str, tuple[int, float]]:
+        out = {}
+        for root, _, files in os.walk(tgt):
+            if exclude_day in root:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime)
+        return out
+
+    d0 = str(ev.agg(F.min("day")).collect()[0][0])
+    before = listing(f"day={d0}")
+    fixed = (
+        spark.read.parquet(tgt)
+        .filter(F.col("day") == F.lit(d0))
+        .filter(F.col("event_type") != "error")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.mode("overwrite").partitionBy("day").parquet(tgt)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert listing(f"day={d0}") == before  # untouched partitions intact
+    # and the corrected day really changed
+    got = (
+        spark.read.parquet(tgt)
+        .filter((F.col("day") == F.lit(d0)) & (F.col("event_type") == "error"))
+        .count()
+    )
+    assert got == 0

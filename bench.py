@@ -150,6 +150,7 @@ EXTENDED = [
     "stream_mv_incremental",
     "minhash_source_signature",
     "backfill_day_partition",
+    "asof_nearest_click",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

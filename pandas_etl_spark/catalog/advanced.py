@@ -571,3 +571,69 @@ def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("doc_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+@query(
+    "asof_nearest_click",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id,
+               extract(epoch FROM ts) AS tss
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c0 AS (
+        SELECT user_id, extract(epoch FROM ts) AS tss,
+               max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.purchase_id,
+           round(p.tss, 6) AS purchase_s,
+           l.click_id,
+           round(l.tss, 6) AS click_s,
+           round(p.tss - l.tss, 6) AS gap_s
+    FROM p LEFT JOIN LATERAL (
+        SELECT click_id, tss FROM c0
+        WHERE c0.user_id = p.user_id AND abs(c0.tss - p.tss) <= 1800
+        ORDER BY abs(c0.tss - p.tss),
+                 CASE WHEN c0.tss <= p.tss THEN 0 ELSE 1 END
+        LIMIT 1
+    ) l ON TRUE
+    """,
+)
+def q_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join under a tolerance: every purchase
+    matches its closest click (either direction, backward wins exact
+    ties — pandas merge_asof semantics) by the same user within 1800 s,
+    unmatched purchases kept with NULLs. Completes the oracle-checked
+    as-of family (asof_join_events covers backward). The right side is
+    deduplicated to one click per (user, second) so the match is a
+    well-defined total order.
+
+    Scale shape: one (user | tss) window pass over the union — the
+    backward and forward scans share a single Exchange + sort, no
+    self-join, no global sort. The oracle is a per-row LATERAL argmin —
+    fine at gate scale, exactly what the window plan avoids at 100 TB."""
+    from pandas_etl_spark.functions.timeparse import ts_seconds
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        ts_seconds("ts").alias("tss"),
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", ts_seconds("ts").alias("tss"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    m = asof_join(
+        p, c, on="tss", by="user_id", direction="nearest", tolerance=1800
+    )
+    return m.select(
+        "user_id",
+        "purchase_id",
+        F.round(F.col("tss"), 6).alias("purchase_s"),
+        "click_id",
+        F.round(F.col("tss_right"), 6).alias("click_s"),
+        F.round(F.col("tss") - F.col("tss_right"), 6).alias("gap_s"),
+    )

@@ -95,11 +95,15 @@ NOTES = {
     "source_overlap_jaccard": "Cross-source contamination matrix: both sides reduce to distinct (source, 60-bit gram-hash) pairs before the ONE hash-keyed shuffle; per-gram source lists are bounded by |sources| so the in-bucket i<j expansion is |sources|^2 worst-case per gram; per-source set sizes broadcast onto the pair counts.",
     "knn_label_transfer": "kNN label propagation: the bounded query set broadcasts (the corpus never shuffles for scoring — same shape as ann_cosine_topk); salted two-stage top-k; the majority vote is a tiny (query,label) aggregate + per-query window.",
     "propensity_match_pairs": "Propensity matching: ONE user_id shuffle for the exact-cents score reduction; control dedup aggregates per score; the as-of match runs on the range-partitioned distributed as-of join — no global sort, no single-partition window.",
+    "minhash_source_signature": "Mergeable source sketches: all 64 permutation minima compute in ONE aggregate over the distinct (source, gram) stream (no per-perm pass, no explode); the |sources|-row signature table self-joins via broadcast — gram sets never pairwise-join.",
+    "asof_nearest_click": "Nearest as-of under tolerance: backward and forward scans ride ONE (user | tss) window Exchange over the union (last/first ignorenulls); no self-join, no global sort; the LATERAL argmin lives only in the oracle.",
 }
 # diversity_sample_kcenter is not plan-audited: the greedy selection runs
 # k bounded driver rounds and returns a materialized local frame, so its
 # final explain is a LocalTableScan (same exclusion rationale as LPA /
-# k-core / BFS above).
+# k-core / BFS above). backfill_day_partition is likewise excluded: its
+# plan construction performs the partitioned write + dynamic overwrite,
+# so the final explain shows only the post-backfill scan.
 
 
 def main() -> None:

@@ -2103,6 +2103,10 @@ def q_backfill_day_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = os.path.join(tempfile.mkdtemp(prefix="backfill_"), "t")
     ev.write.partitionBy("day").parquet(tmp)
     d0 = ev.agg(F.min("day")).collect()[0][0]
+    if d0 is None:  # empty ingestion: nothing landed, nothing to backfill
+        return spark.createDataFrame(
+            [], "day string, n_rows bigint, value_cents bigint"
+        )
     fixed = (
         spark.read.parquet(tmp)
         .filter(F.col("day") == F.lit(d0))

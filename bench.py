@@ -151,6 +151,9 @@ EXTENDED = [
     "minhash_source_signature",
     "backfill_day_partition",
     "asof_nearest_click",
+    "twap_user_day",
+    "vocab_drift_jsd",
+    "k_anonymize_generalize",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

@@ -2796,3 +2796,72 @@ def q_propensity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_right").alias("control_score"),
         F.round(F.col("score") - F.col("score_right"), 6).alias("score_gap"),
     )
+
+
+@query(
+    "twap_user_day",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               event_id
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, day, cents, us,
+               lead(us) OVER (PARTITION BY user_id, day
+                              ORDER BY us, event_id) AS nxt
+        FROM e
+    ),
+    agg AS (
+        SELECT user_id, CAST(day AS VARCHAR) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(CASE WHEN nxt IS NOT NULL
+                        THEN cents * (nxt - us) END) AS num,
+               max(us) - min(us) AS dur
+        FROM w GROUP BY user_id, day
+    )
+    SELECT user_id, day, n_events,
+           round(num * 1.0 / (dur * 100.0), 6) AS twap
+    FROM agg WHERE dur > 0
+    """,
+)
+def q_twap_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per user-day — the
+    finance-standard average that weights each observation by how long
+    it was the latest one, immune to burst-sampling bias that poisons
+    a plain mean. Every accumulated term is an exact bigint
+    (cents × Δmicroseconds), so the weighted sum is order-independent
+    and the single closing division is bit-identical across engines.
+    One shuffle on (user, day) shared by the lead window and the
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id", "day").orderBy("us", "event_id")
+    stepped = ev.withColumn("nxt", F.lead("us").over(w))
+    agg = stepped.groupBy(
+        "user_id", F.col("day").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.col("cents") * (F.col("nxt") - F.col("us")),
+            )
+        ).alias("num"),
+        (F.max("us") - F.min("us")).alias("dur"),
+    )
+    return agg.filter(F.col("dur") > 0).select(
+        "user_id",
+        "day",
+        "n_events",
+        F.round(F.col("num") / (F.col("dur") * 100.0), 6).alias("twap"),
+    )

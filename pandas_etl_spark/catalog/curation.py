@@ -1458,3 +1458,69 @@ def q_minhash_source_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches.cast("bigint").alias("n_matching_perms"),
         F.round(matches / F.lit(float(_MH_PERMS)), 6).alias("est_jaccard"),
     )
+
+
+_KANON_K = 10
+# ladder body shared verbatim by the Spark query and the DuckDB oracle;
+# only the base CTE (temp view vs inline join) differs
+_KANON_LADDER_BODY = f"""
+    grids AS (
+        SELECT grouping(n_name) AS g_n, grouping(r_name) AS g_r,
+               grouping(c_mktsegment) AS g_c,
+               n_name, r_name, c_mktsegment, count(*) AS n
+        FROM __kanon_base
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment),
+                                (r_name, c_mktsegment), (r_name), ())
+    ),
+    lv AS (
+        SELECT CASE WHEN g_n = 0 THEN 0
+                    WHEN g_r = 0 AND g_c = 0 THEN 1
+                    WHEN g_r = 0 THEN 2
+                    ELSE 3 END AS level,
+               coalesce(CASE WHEN g_n = 0 THEN n_name ELSE r_name END, '*')
+                   AS qi_geo,
+               CASE WHEN g_c = 0 THEN c_mktsegment ELSE '*' END AS qi_segment,
+               n
+        FROM grids
+    ),
+    mins AS (SELECT level, min(n) AS min_n FROM lv GROUP BY level),
+    win AS (SELECT min(level) AS w FROM mins WHERE min_n >= {_KANON_K})
+    SELECT CAST(lv.level AS BIGINT) AS level, qi_geo, qi_segment,
+           CAST(n AS BIGINT) AS n
+    FROM lv, win WHERE lv.level = win.w
+"""
+
+
+@query(
+    "k_anonymize_generalize",
+    oracle=f"""
+    WITH __kanon_base AS (
+        SELECT n_name, r_name, c_mktsegment
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    ),{_KANON_LADDER_BODY}
+    """,
+)
+def q_k_anonymize_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-recoding k-anonymization: walk the generalization ladder
+    (nation x segment -> region x segment -> region -> all) and RELEASE
+    the first level where every quasi-identifier group reaches k=10 —
+    the complement of k_anonymity_audit (which only flags violations;
+    this query produces the publishable grid). All four ladder levels
+    compute in ONE GROUPING SETS pass over the joined frame (dims
+    broadcast; the only data-sized shuffle is the grouping aggregate);
+    level choice and the released grid are pure arithmetic on the
+    grid-bounded rows. The ladder SQL text is shared verbatim with the
+    oracle."""
+    c = ensure_parallelism(load_table(spark, sf_dir, "customer"))
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_name", "r_name", "c_mktsegment")
+    )
+    base.createOrReplaceTempView("__kanon_base")
+    return spark.sql("WITH" + _KANON_LADDER_BODY)

@@ -1580,3 +1580,72 @@ def q_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+@query(
+    "vocab_drift_jsd",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id % 2 = 0 AS side_a, unnest({_DD_TOKENS}) AS t
+        FROM documents
+    ),
+    counts AS (
+        SELECT t,
+               sum(CASE WHEN side_a THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN NOT side_a THEN 1 ELSE 0 END) AS cb
+        FROM tok GROUP BY t
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts),
+    per AS (
+        SELECT
+            CASE WHEN ca > 0 THEN (ca * 1.0 / tot.na)
+                 * log2((ca * 1.0 / tot.na)
+                        / (((ca * 1.0 / tot.na) + (cb * 1.0 / tot.nb)) / 2))
+                 ELSE 0 END AS qa,
+            CASE WHEN cb > 0 THEN (cb * 1.0 / tot.nb)
+                 * log2((cb * 1.0 / tot.nb)
+                        / (((ca * 1.0 / tot.na) + (cb * 1.0 / tot.nb)) / 2))
+                 ELSE 0 END AS qb
+        FROM counts, tot
+    )
+    SELECT CAST((SELECT count(*) FROM counts) AS BIGINT) AS n_terms,
+           CAST((SELECT na FROM tot) AS BIGINT)          AS n_tokens_a,
+           CAST((SELECT nb FROM tot) AS BIGINT)          AS n_tokens_b,
+           round(0.5 * sum(qa) + 0.5 * sum(qb), 6)       AS jsd
+    FROM per
+    """,
+)
+def q_vocab_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus halves (deterministic doc-id
+    parity split, standing in for two crawl snapshots): Jensen-Shannon
+    divergence of the unigram distributions — symmetric, bounded
+    [0, 1] in bits, defined even for terms one side lacks, the
+    distribution-shift gate run before mixing a new snapshot into
+    training data (the vocabulary twin of psi_value_drift's numeric
+    PSI). One (term)-keyed count shuffle; the divergence folds over
+    the |vocab|-bounded count table with 1-row totals broadcast."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        (F.col("doc_id") % 2 == 0).alias("side_a"),
+        F.explode(tx.tokens("text")).alias("t"),
+    )
+    counts = toks.groupBy("t").agg(
+        F.sum(F.when(F.col("side_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("side_a"), 1).otherwise(0)).alias("cb"),
+    )
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cb") / F.col("nb")
+    m = (pa + pb) / 2
+    per = counts.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("ca") > 0, pa * F.log2(pa / m)).otherwise(F.lit(0.0)).alias("qa"),
+        F.when(F.col("cb") > 0, pb * F.log2(pb / m)).otherwise(F.lit(0.0)).alias("qb"),
+        "na",
+        "nb",
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.first("na").cast("bigint").alias("n_tokens_a"),
+        F.first("nb").cast("bigint").alias("n_tokens_b"),
+        F.round(0.5 * F.sum("qa") + 0.5 * F.sum("qb"), 6).alias("jsd"),
+    )

@@ -154,6 +154,9 @@ EXTENDED = [
     "twap_user_day",
     "vocab_drift_jsd",
     "k_anonymize_generalize",
+    "dedup_cluster_histogram",
+    "neyman_allocation",
+    "bh_fdr_segments",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

@@ -2865,3 +2865,167 @@ def q_twap_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("num") / (F.col("dur") * 100.0), 6).alias("twap"),
     )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_orderpriority AS stratum, count(*) AS nh,
+               round(stddev_pop(o_totalprice), 6) AS sigma
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT sum(nh * sigma) AS tot FROM s),
+    q AS (
+        SELECT stratum, nh, sigma,
+               {_NEYMAN_BUDGET} * nh * sigma / tot AS quota
+        FROM s, t
+    ),
+    fl AS (
+        SELECT *, floor(quota) AS base, quota - floor(quota) AS frac FROM q
+    ),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY frac DESC, stratum) AS rk
+        FROM fl
+    ),
+    rem AS (SELECT {_NEYMAN_BUDGET} - sum(base) AS m FROM fl)
+    SELECT stratum,
+           CAST(nh AS BIGINT) AS stratum_size,
+           sigma,
+           CAST(base + CASE WHEN rk <= rem.m THEN 1 ELSE 0 END AS BIGINT)
+               AS n_alloc
+    FROM r, rem
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: a fixed budget
+    split across strata proportional to N_h·σ_h (minimum-variance
+    allocation for a stratified mean estimate — the sampling-design
+    step before any stratified downsample), integerized by the
+    largest-remainder method with a deterministic tie-break. σ is
+    rounded to 6 before any cross-stratum arithmetic so both engines
+    apportion from identical quotas. One map-side-combinable moment
+    aggregate over the data; everything after runs on the
+    |strata|-row frame."""
+    from pyspark.sql import Window as W
+
+    o = ensure_parallelism(load_table(spark, sf_dir, "orders"))
+    s = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.round(F.stddev_pop("o_totalprice"), 6).alias("sigma"),
+    )
+    t = s.agg(F.sum(F.col("nh") * F.col("sigma")).alias("tot"))
+    q = s.crossJoin(F.broadcast(t)).withColumn(
+        "quota",
+        F.lit(_NEYMAN_BUDGET) * F.col("nh") * F.col("sigma") / F.col("tot"),
+    )
+    fl = q.withColumn("base", F.floor("quota")).withColumn(
+        "frac", F.col("quota") - F.floor("quota")
+    )
+    r = fl.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy().orderBy(F.desc("frac"), F.asc("stratum"))
+        ),
+    )
+    rem = fl.agg((F.lit(_NEYMAN_BUDGET) - F.sum("base")).alias("m"))
+    return r.crossJoin(F.broadcast(rem)).select(
+        "stratum",
+        F.col("nh").cast("bigint").alias("stratum_size"),
+        "sigma",
+        (F.col("base") + F.when(F.col("rk") <= F.col("m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
+
+
+def _erf_sql(x: str) -> str:
+    """Abramowitz-Stegun 7.1.26 erf approximation (|error| < 1.5e-7),
+    emitted as ONE shared SQL text so Spark and the oracle evaluate the
+    identical expression tree (p-values are rounded to 6, far above the
+    approximation noise)."""
+    t = f"(1.0 / (1.0 + 0.3275911 * ({x})))"
+    poly = (
+        f"((((1.061405429 * {t} - 1.453152027) * {t} + 1.421413741) * {t} "
+        f"- 0.284496736) * {t} + 0.254829592) * {t}"
+    )
+    return f"(1.0 - {poly} * exp(-({x}) * ({x})))"
+
+
+_BH_Q = 0.1
+_BH_BODY = f"""
+    m AS (
+        SELECT event_type AS segment,
+               sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN user_id % 2 = 0
+                        THEN CAST(round(value * 100) AS BIGINT) END) AS s1,
+               sum(CASE WHEN user_id % 2 = 0
+                        THEN CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT) END) AS q1,
+               sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n2,
+               sum(CASE WHEN user_id % 2 = 1
+                        THEN CAST(round(value * 100) AS BIGINT) END) AS s2,
+               sum(CASE WHEN user_id % 2 = 1
+                        THEN CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT) END) AS q2
+        FROM __bh_src GROUP BY 1
+    ),
+    z AS (
+        SELECT segment, n1, n2,
+               round((s1 * 1.0 / n1 - s2 * 1.0 / n2) /
+                     sqrt((q1 * 1.0 / n1
+                           - (s1 * 1.0 / n1) * (s1 * 1.0 / n1)) / n1
+                        + (q2 * 1.0 / n2
+                           - (s2 * 1.0 / n2) * (s2 * 1.0 / n2)) / n2),
+                     6) AS z
+        FROM m WHERE n1 > 1 AND n2 > 1
+    ),
+    p AS (
+        SELECT *, round(1.0 - {_erf_sql("abs(z) / sqrt(2.0)")}, 6) AS p
+        FROM z
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (ORDER BY p, segment) AS i,
+               count(*) OVER () AS mm
+        FROM p
+    ),
+    k AS (
+        SELECT coalesce(max(CASE WHEN p <= CAST({_BH_Q} AS DOUBLE) * i / mm THEN i END), 0)
+            AS kk
+        FROM rk
+    )
+    SELECT segment,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           z, p,
+           round(CAST({_BH_Q} AS DOUBLE) * i / mm, 6) AS bh_threshold,
+           i <= k.kk AS significant
+    FROM rk, k
+"""
+
+
+@query(
+    "bh_fdr_segments",
+    oracle=f"""
+    WITH __bh_src AS (SELECT user_id, event_type, value FROM events),
+    {_BH_BODY}
+    """,
+)
+def q_bh_fdr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a battery of per-segment
+    Welch z-tests (value difference between the two deterministic user
+    halves) — the multiple-testing gate every experimentation platform
+    applies before declaring winners (5 segments at alpha=0.05 each ≈
+    23% family-wise false-positive rate uncorrected). All test moments
+    are EXACT integer sums (cents, cents²), so z is bit-identical
+    across engines; p comes from one shared erf-polynomial SQL text and
+    is rounded above the approximation noise. One map-side-combinable
+    aggregate over the data; ranking/thresholding run on the
+    |segments|-row frame. Identical SQL text runs in both engines."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "value"
+    )
+    ev.createOrReplaceTempView("__bh_src")
+    return spark.sql("WITH " + _BH_BODY)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pandas_etl_spark.catalog.registry import query
+from pandas_etl_spark.catalog.registry import ORACLES, query
 from pandas_etl_spark.functions import dedup as dd
 from pandas_etl_spark.functions.dedup import fuzzy_pairs
 from pandas_etl_spark.sources import load_table
@@ -896,4 +896,44 @@ def q_entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("p_retailprice"), 2).alias("total_value"),
         )
         .filter(F.col("n_members") > 1)
+    )
+
+
+@query(
+    "dedup_cluster_histogram",
+    oracle="""
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT)     AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM (
+        SELECT cluster_id, count(*) AS cluster_size
+        FROM (%s)
+        GROUP BY cluster_id
+    )
+    GROUP BY cluster_size
+    """ % ORACLES["dedup_clusters"],
+)
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup AUDIT view (how
+    much of the corpus sits in 2-, 3-, n-member duplicate clusters, and
+    how many bytes dedup will reclaim) that every curation report leads
+    with. Reuses the near-dup CC labeling; two tiny aggregates after
+    (cluster sizes, then the size histogram) — nothing data-sized
+    beyond the shared clustering core. Oracle composes the
+    dedup_clusters recursive-CTE oracle verbatim."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=_K, threshold=0.5, max_df=_MAX_DF
+    )
+    labels = dd.connected_components(pairs, nodes=d, id_col="doc_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
     )

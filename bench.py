@@ -157,6 +157,8 @@ EXTENDED = [
     "dedup_cluster_histogram",
     "neyman_allocation",
     "bh_fdr_segments",
+    "trajectory_length_daily",
+    "compression_ratio_filter",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

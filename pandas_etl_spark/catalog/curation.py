@@ -1524,3 +1524,16 @@ def q_k_anonymize_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base.createOrReplaceTempView("__kanon_base")
     return spark.sql("WITH" + _KANON_LADDER_BODY)
+
+
+@query("compression_ratio_filter")
+def q_compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compression-ratio repetition gate
+    (functions/text.compression_ratio) — rows-only (no deflate in SQL
+    engines); the repetitive-compresses-lower property and
+    determinism are pinned in tests/test_curation_ops.py."""
+    from pandas_etl_spark.functions.text import compression_ratio
+
+    return compression_ratio(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )

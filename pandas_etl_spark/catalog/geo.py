@@ -325,3 +325,68 @@ def q_point_in_polygon_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (region, n_inside, total_acctbal)"
         )
     )
+
+
+_ELAT, _ELON = synthetic_coord_sql("event_id", "duckdb")
+_TRAJ_HAV = haversine_sql("plat", "plon", "lat", "lon")
+
+
+@query(
+    "trajectory_length_daily",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               ts, event_id, {_ELAT} AS lat, {_ELON} AS lon
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, day, lat, lon,
+               lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(sum(CASE WHEN plat IS NOT NULL
+                          THEN {_TRAJ_HAV} END), 6) AS km_travelled
+    FROM seq GROUP BY user_id, day
+    HAVING count(*) > 1
+    """,
+)
+def q_trajectory_length_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily trajectory length per user: great-circle distance summed
+    over consecutive event positions (deterministic md5-derived
+    coordinates stand in for device pings) — the movement-analytics
+    staple (delivery routes, fleet telemetry, mobility studies). ONE
+    (user, day) shuffle shared by the lag window and the aggregate;
+    the haversine text is shared verbatim with the oracle."""
+    from pyspark.sql import Window as W
+
+    lat_sql, lon_sql = synthetic_coord_sql("event_id", "spark")
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "ts",
+        "event_id",
+        F.expr(lat_sql).alias("lat"),
+        F.expr(lon_sql).alias("lon"),
+    )
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = ev.withColumn("plat", F.lag("lat").over(w)).withColumn(
+        "plon", F.lag("lon").over(w)
+    )
+    return (
+        seq.groupBy("user_id", F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("plat").isNotNull(), F.expr(_TRAJ_HAV)
+                    )
+                ),
+                6,
+            ).alias("km_travelled"),
+        )
+        .filter(F.col("n_points") > 1)
+    )

@@ -1492,3 +1492,33 @@ def rake_keyphrases(
         )
     )
     return agg.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(top_k)
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """zlib compression ratio per document (deflate bytes / raw bytes) —
+    the model-free repetition/templating signal used by large-corpus
+    curation (boilerplate and generated spam compress far below prose;
+    Gopher-era pipelines gate on exactly this). Arrow-batched pandas_udf
+    (the deflate loop is the rare case a JVM expression can't express);
+    everything else stays in the scan projection. Ratio is ~0.4-0.8 for
+    natural text; ``repetitive`` flags ratio < 0.4."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def r(t: str | None) -> float:
+            b = (t or "").encode("utf-8")
+            if not b:
+                return 1.0
+            return round(len(zlib.compress(b, 6)) / len(b), 6)
+
+        return s.map(r)
+
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).cast("bigint").alias("n_chars"),
+        _ratio(c).alias("compression_ratio"),
+    ).withColumn("repetitive", F.col("compression_ratio") < 0.4)

@@ -532,3 +532,27 @@ def test_minhash_source_signature_tracks_exact_jaccard(spark, sf_dir):
     h2 = sig_of(docs.filter(F.col("doc_id") % 2 == 1))
     merged = [min(a, b) for a, b in zip(h1, h2)]
     assert merged == list(full)
+
+
+def test_compression_ratio_flags_repetition(spark):
+    """Repetitive text must compress well below varied prose, empties
+    get ratio 1.0, and the UDF is deterministic across runs."""
+    from pandas_etl_spark.functions.text import compression_ratio
+
+    rows = [
+        (1, "spam " * 200),
+        (2, "the quick brown fox jumps over one lazy dog while seventeen "
+            "violet zeppelins quietly argued about rhubarb economics and "
+            "jagged xylophone brackets near the frozen quay"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["compression_ratio"] < 0.1  # pure repetition
+    assert got[2]["compression_ratio"] > 0.5  # varied prose
+    assert got[1]["repetitive"] and not got[2]["repetitive"]
+    assert got[3]["compression_ratio"] == 1.0
+    again = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }

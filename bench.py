@@ -159,6 +159,7 @@ EXTENDED = [
     "bh_fdr_segments",
     "trajectory_length_daily",
     "compression_ratio_filter",
+    "weighted_median_price",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

@@ -579,3 +579,87 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
     return markov_attribution(ev)
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH pp AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               sum(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT grp, price_c, w,
+               sum(w) OVER (PARTITION BY grp ORDER BY price_c) AS cw,
+               sum(w) OVER (PARTITION BY grp) AS tot
+        FROM pp
+    )
+    SELECT grp AS l_returnflag,
+           CAST(tot AS BIGINT) AS total_qty,
+           round(min(price_c) * 1.0 / 100.0, 2) AS weighted_median_price
+    FROM cum
+    WHERE 2 * cw >= tot
+    GROUP BY grp, tot
+    """,
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — the
+    lower weighted median (smallest price whose cumulative weight
+    reaches half the total), all arithmetic exact integers so the
+    crossing row is engine-independent.
+
+    Scale shape: the per-(group, price) aggregate collapses the data
+    first; the cumulative weight then runs through ONE
+    range-partitioned prefix sum over the GLOBAL (group, price) order
+    (operators/prefix.global_running_sum) with the |groups|-row
+    prior-group offsets broadcast and subtracted — so no group ever
+    serializes into a single-partition window, no matter how few or
+    how hot the groups are (the classic failure of
+    ``Window.partitionBy(group).orderBy(price)`` at 3 groups x 10^9
+    prices). The oracle uses the plain per-group window, fine at gate
+    scale."""
+    from pandas_etl_spark.operators.prefix import global_running_sum
+
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    pp = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    cum = global_running_sum(
+        pp, [F.col("grp").asc(), F.col("price_c").asc()], "w", "gcum"
+    )
+    totals = pp.groupBy("grp").agg(F.sum("w").alias("tot"))
+    from pyspark.sql import Window as W
+
+    offs = totals.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("tot").over(
+                W.partitionBy().orderBy("grp").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    within = cum.join(F.broadcast(offs), "grp").withColumn(
+        "cw", F.col("gcum") - F.col("off")
+    )
+    return (
+        within.filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy(F.col("grp").alias("l_returnflag"), "tot")
+        .agg(
+            F.round(F.min("price_c") / 100.0, 2).alias(
+                "weighted_median_price"
+            )
+        )
+        .select(
+            "l_returnflag",
+            F.col("tot").cast("bigint").alias("total_qty"),
+            "weighted_median_price",
+        )
+    )

@@ -699,3 +699,28 @@ def test_propensity_match_no_global_sort(spark, sf_dir):
         if "Exchange SinglePartition" in l:
             ctx = "\n".join(lines[max(0, i - 3) : i])
             assert "Window" not in ctx, f"SinglePartition feeds Window:\n{ctx}"
+
+
+def test_weighted_median_no_per_group_serialization(spark, sf_dir):
+    """The price-level cumulative weight must ride the range-partitioned
+    prefix sum (__pid-local windows), never a per-group ordered window —
+    with 3 groups that would serialize the whole table into 3 tasks. A
+    SinglePartition window is allowed only over the |groups|-row totals
+    frame (the prior-group offsets)."""
+    plan = plan_of(spark, sf_dir, "weighted_median_price")
+    # the prefix sum pins its range partitioning via localCheckpoint, so
+    # the plan shows the checkpointed scan, not the range exchange — the
+    # observable invariant is that every window ordering price_c is
+    # __pid-local (the prefix-sum shape), never plain per-group
+    assert "Scan ExistingRDD" in plan  # the pinned prefix-sum input
+    # formatted mode: the spec lives on the Arguments line following the
+    # "(N) Window" detail header
+    lines = plan.splitlines()
+    saw_price_window = False
+    for i, l in enumerate(lines):
+        if l.strip().startswith("(") and l.strip().endswith("Window"):
+            spec = " ".join(lines[i + 1 : i + 4])  # Input + Arguments lines
+            if "price_c" in spec and "windowspecdefinition" in spec:
+                saw_price_window = True
+                assert "windowspecdefinition(__pid" in spec, spec
+    assert saw_price_window

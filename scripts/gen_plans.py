@@ -97,6 +97,14 @@ NOTES = {
     "propensity_match_pairs": "Propensity matching: ONE user_id shuffle for the exact-cents score reduction; control dedup aggregates per score; the as-of match runs on the range-partitioned distributed as-of join — no global sort, no single-partition window.",
     "minhash_source_signature": "Mergeable source sketches: all 64 permutation minima compute in ONE aggregate over the distinct (source, gram) stream (no per-perm pass, no explode); the |sources|-row signature table self-joins via broadcast — gram sets never pairwise-join.",
     "asof_nearest_click": "Nearest as-of under tolerance: backward and forward scans ride ONE (user | tss) window Exchange over the union (last/first ignorenulls); no self-join, no global sort; the LATERAL argmin lives only in the oracle.",
+    "twap_user_day": "Time-weighted average: ONE (user, day) shuffle shared by the lead window and the aggregate; every weighted term is an exact bigint (cents x delta-microseconds) so summation order is irrelevant.",
+    "k_anonymize_generalize": "All four generalization-ladder levels in ONE GROUPING SETS pass (dims broadcast, one data-sized grouping aggregate); level choice and the released grid are arithmetic on the grid-bounded rows.",
+    "bh_fdr_segments": "FDR gate: one map-side-combinable exact-integer moment aggregate over the data; z/p/rank/threshold all run on the |segments|-row frame (the SinglePartition window is |segments|-bounded by construction).",
+    "trajectory_length_daily": "Trajectory length: coordinate derivation in the scan projection; ONE (user, day) Exchange shared by the lag window and the aggregate; haversine is codegen'd CASE-free arithmetic.",
+    "vocab_drift_jsd": "Vocabulary JSD: one (term)-keyed count shuffle with map-side partials; the divergence folds over the vocab-bounded count table with the 1-row totals broadcast.",
+    "weighted_median_price": "Weighted median: per-(group, price) aggregate collapses the data; the cumulative weight rides the pinned range-partitioned prefix sum over the GLOBAL (group, price) order with broadcast prior-group offsets — no per-group ordered window at any group cardinality (plan-asserted).",
+    "neyman_allocation": "Neyman allocation: ONE moment aggregate over the data; quotas, largest-remainder ranks and the allocation all run on the |strata|-row frame.",
+    "dedup_cluster_histogram": "Dedup audit: reuses the CC labeling core (iterative rounds lineage-cut by localCheckpoint, so the explain shows the label frame); two tiny aggregates after.",
 }
 # diversity_sample_kcenter is not plan-audited: the greedy selection runs
 # k bounded driver rounds and returns a materialized local frame, so its

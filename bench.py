@@ -154,7 +154,9 @@ EXTENDED = [
     "twap_user_day",
     "vocab_drift_jsd",
     "k_anonymize_generalize",
-    "dedup_cluster_histogram",
+    # dedup_cluster_histogram is deliberately NOT benched: it re-runs
+    # the already-benched dedup_clusters CC core and adds only two tiny
+    # aggregates (same rationale as community_modularity)
     "neyman_allocation",
     "bh_fdr_segments",
     "trajectory_length_daily",

@@ -162,6 +162,7 @@ EXTENDED = [
     "trajectory_length_daily",
     "compression_ratio_filter",
     "weighted_median_price",
+    "mann_kendall_trend",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

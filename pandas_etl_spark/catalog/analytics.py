@@ -3029,3 +3029,133 @@ def q_bh_fdr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.createOrReplaceTempView("__bh_src")
     return spark.sql("WITH " + _BH_BODY)
+
+
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS series,
+               CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.series,
+               sum(CAST(sign(b.cents - a.cents) AS BIGINT)) AS s_stat,
+               count(*) AS n_pairs
+        FROM daily a JOIN daily b
+          ON a.series = b.series AND a.d < b.d
+        GROUP BY a.series
+    ),
+    n AS (SELECT series, count(*) AS nd FROM daily GROUP BY series),
+    ties AS (
+        SELECT series,
+               sum(tk * (tk - 1) * (2 * tk + 5)) AS tie_term
+        FROM (
+            SELECT series, cents, count(*) AS tk
+            FROM daily GROUP BY series, cents
+        ) GROUP BY series
+    ),
+    v AS (
+        SELECT n.series, n.nd, s.s_stat,
+               (n.nd * (n.nd - 1) * (2 * n.nd + 5)
+                - coalesce(ties.tie_term, 0)) / 18.0 AS var_s
+        FROM n JOIN s ON s.series = n.series
+        LEFT JOIN ties ON ties.series = n.series
+    )
+    SELECT series,
+           CAST(nd AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           round(var_s, 6) AS var_s,
+           round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z,
+           CASE WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                           WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                           ELSE 0.0 END) > 1.96 THEN 'increasing'
+                WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                           WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                           ELSE 0.0 END) < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM v
+    """,
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per priority series — the
+    nonparametric SIGNIFICANCE companion to theil_sen_trend's slope
+    (S = Σ sign(y_j − y_i) over ordered day pairs, tie-corrected normal
+    approximation, continuity-corrected z). S and the tie term are
+    exact integer sums over exact-cents daily values, so both engines
+    agree bit-for-bit before the single variance division.
+
+    Scale shape: the daily aggregate is the only data-sized shuffle;
+    the O(n²) pair join runs on the day-domain series keyed by the
+    series id (same budget as theil_sen / ACF — bounded by the date
+    range, never by row count)."""
+    o = ensure_parallelism(load_table(spark, sf_dir, "orders"))
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    a = daily.select("series", F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select("series", F.col("d").alias("db"), F.col("cents").alias("cb"))
+    s = (
+        a.join(b, "series")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("series")
+        .agg(
+            F.sum(F.signum(F.col("cb") - F.col("ca")).cast("bigint")).alias(
+                "s_stat"
+            )
+        )
+    )
+    n = daily.groupBy("series").agg(F.count(F.lit(1)).alias("nd"))
+    ties = (
+        daily.groupBy("series", "cents")
+        .agg(F.count(F.lit(1)).alias("tk"))
+        .groupBy("series")
+        .agg(
+            F.sum(
+                F.col("tk") * (F.col("tk") - 1) * (2 * F.col("tk") + 5)
+            ).alias("tie_term")
+        )
+    )
+    v = (
+        n.join(s, "series")
+        .join(ties, "series", "left")
+        .withColumn(
+            "var_s",
+            (
+                F.col("nd") * (F.col("nd") - 1) * (2 * F.col("nd") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            )
+            / 18.0,
+        )
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        "series",
+        F.col("nd").cast("bigint").alias("n_days"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        F.round("var_s", 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )

@@ -101,17 +101,24 @@ _PRIORITY = [
     "pareto_abc_parts",
     "activity_streaks",
 ]
-# r7+ rotation pool: ~114 oracle-backed queries remain never
+# r7+ rotation pool: ~130 oracle-backed queries remain never
 # driver-checked after this round's 35 (the misc/pandas-parity tail —
 # null_handling/percentiles_exact/str_extractall/describe_stats/…,
 # the warehouse block — cdc_apply_latest/fk_discovery/upsert_snapshot/
-# scd2_point_in_time/snapshot_diff_orders/table_manifest_checksum,
-# embeddings — centroids/outliers/standardize, skew pair, remaining
-# graph/stats — triangle_top/modularity/adamic_adar/bfs/assortativity/
-# cheapest_paths/benford/theil_sen/cusum/mwu/calibration/psi/bootstrap,
-# remaining geo/patterns, sampling/privacy gates, stream_cdc_apply/
-# stream_quality_gate/stream_geo_density, and this round's additions).
-# Compute the live pool with:
+# scd2_point_in_time/snapshot_diff_orders/table_manifest_checksum/
+# backfill_day_partition/mv_incremental_agg/stream_mv_incremental,
+# embeddings — centroids/outliers/standardize/quality_audit/
+# knn_label_transfer, skew pair, remaining graph/stats —
+# triangle_top/modularity/adamic_adar/bfs/assortativity/cheapest_paths/
+# benford/theil_sen/cusum/mwu/calibration/psi/bootstrap/
+# neyman_allocation/bh_fdr_segments/mann_kendall_trend/
+# propensity_match_pairs/twap_user_day/weighted_median_price,
+# remaining geo/patterns + trajectory_length_daily/asof_nearest_click,
+# sampling/privacy gates + k_anonymize_generalize, the round-6
+# curation block — gopher_quality_gate/source_overlap_jaccard/
+# vocab_drift_jsd/bpe_fertility_by_lang/lang_id_kappa/
+# dedup_cluster_histogram, stream_cdc_apply/stream_quality_gate/
+# stream_geo_density). Compute the live pool with:
 #   [q for q in QUERIES if q in ORACLES
 #    and q not in union(CORRECTNESS_r*.json keys)]
 

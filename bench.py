@@ -163,6 +163,8 @@ EXTENDED = [
     "compression_ratio_filter",
     "weighted_median_price",
     "mann_kendall_trend",
+    "cohort_ltv_curves",
+    "referential_audit",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

@@ -3159,3 +3159,164 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("trend"),
     )
+
+
+@query(
+    "cohort_ltv_curves",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    f AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM p GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS n_users FROM f GROUP BY cohort_week
+    ),
+    wk AS (
+        SELECT f.cohort_week,
+               CAST(floor((extract(epoch FROM date_trunc('week', p.ts))
+                           - extract(epoch FROM f.cohort_week))
+                          / {_WEEK_S}) AS BIGINT) AS week_n,
+               sum(p.cents) AS rev_c
+        FROM p JOIN f USING (user_id)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_week, week_n,
+               sum(rev_c) OVER (PARTITION BY cohort_week
+                                ORDER BY week_n) AS cum_c
+        FROM wk
+    )
+    SELECT strftime(cum.cohort_week, '%Y-%m-%d') AS cohort_week,
+           cum.week_n,
+           CAST(sizes.n_users AS BIGINT) AS n_users,
+           CAST(cum.cum_c AS BIGINT) AS cum_revenue_cents,
+           round(cum.cum_c / (100.0 * sizes.n_users), 6) AS ltv_per_user
+    FROM cum JOIN sizes USING (cohort_week)
+    """,
+)
+def q_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime-value curves per weekly purchase cohort —
+    cohort_retention's revenue twin (the curve whose plateau sets
+    payback targets). Exact-cents revenue keeps every cumulative
+    integer-exact; the running sum is a window over the
+    (cohorts × weeks)-bounded grid, never the raw rows. One user_id
+    shuffle shared by the first-purchase and revenue reductions."""
+    from pyspark.sql import Window as W
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    f = p.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = f.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    wk = (
+        p.join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_week")
+                )
+                / _WEEK_S
+            )
+            .cast("bigint")
+            .alias("week_n"),
+        )
+        .agg(F.sum("cents").alias("rev_c"))
+    )
+    cum = wk.withColumn(
+        "cum_c",
+        F.sum("rev_c").over(
+            W.partitionBy("cohort_week").orderBy("week_n")
+        ),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_n",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("cum_c").cast("bigint").alias("cum_revenue_cents"),
+        F.round(F.col("cum_c") / (100.0 * F.col("n_users")), 6).alias(
+            "ltv_per_user"
+        ),
+    )
+
+
+@query(
+    "referential_audit",
+    oracle="""
+    SELECT
+        CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_lineitems,
+        CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+        CAST((SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+             AS BIGINT) AS orphan_lineitems,
+        CAST((SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey))
+             AS BIGINT) AS childless_orders,
+        CAST((SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+             AS BIGINT) AS orders_missing_customer,
+        CAST((SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+             AS BIGINT) AS lineitems_missing_part,
+        CAST((SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey))
+             AS BIGINT) AS lineitems_missing_supplier
+    """,
+)
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity reconciliation — the
+    warehouse-landing audit quality_checks (single-table row rules)
+    cannot express: orphan facts, childless parents, and dangling
+    dimension keys across the order/lineitem/customer/part/supplier
+    graph. Every check is a key-only anti join (dimension key sets
+    broadcast where small; the orders↔lineitem pair co-locates on the
+    shared key); counts combine as broadcast 1-row frames — nothing
+    wider than a key column ever shuffles."""
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def one(df, name):
+        return F.broadcast(df.agg(F.count(F.lit(1)).cast("bigint").alias(name)))
+
+    orphan_li = li.join(
+        o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
+    )
+    childless = o.join(
+        li.select("l_orderkey").distinct(),
+        o.o_orderkey == F.col("l_orderkey"),
+        "left_anti",
+    )
+    o_missing_c = o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+    li_missing_p = li.join(pt, li.l_partkey == pt.p_partkey, "left_anti")
+    li_missing_s = li.join(su, li.l_suppkey == su.s_suppkey, "left_anti")
+    out = (
+        one(li, "n_lineitems")
+        .crossJoin(one(o, "n_orders"))
+        .crossJoin(one(orphan_li, "orphan_lineitems"))
+        .crossJoin(one(childless, "childless_orders"))
+        .crossJoin(one(o_missing_c, "orders_missing_customer"))
+        .crossJoin(one(li_missing_p, "lineitems_missing_part"))
+        .crossJoin(one(li_missing_s, "lineitems_missing_supplier"))
+    )
+    return out

@@ -2875,13 +2875,15 @@ _NEYMAN_BUDGET = 1000
     oracle=f"""
     WITH s AS (
         SELECT o_orderpriority AS stratum, count(*) AS nh,
-               round(stddev_pop(o_totalprice), 6) AS sigma
+               round(stddev_pop(o_totalprice), 6) AS sigma,
+               CAST(nh * CAST(round(round(stddev_pop(o_totalprice), 6) * 1e6)
+                              AS BIGINT) AS BIGINT) AS h
         FROM orders GROUP BY 1
     ),
-    t AS (SELECT sum(nh * sigma) AS tot FROM s),
+    t AS (SELECT sum(h) AS tot FROM s),
     q AS (
         SELECT stratum, nh, sigma,
-               {_NEYMAN_BUDGET} * nh * sigma / tot AS quota
+               {_NEYMAN_BUDGET} * (h * 1.0) / tot AS quota
         FROM s, t
     ),
     fl AS (
@@ -2906,10 +2908,13 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     allocation for a stratified mean estimate — the sampling-design
     step before any stratified downsample), integerized by the
     largest-remainder method with a deterministic tie-break. σ is
-    rounded to 6 before any cross-stratum arithmetic so both engines
-    apportion from identical quotas. One map-side-combinable moment
-    aggregate over the data; everything after runs on the
-    |strata|-row frame."""
+    rounded to 6 then scaled to an exact integer (round(σ·1e6) as
+    bigint), so the cross-stratum N_h·σ_h accumulation is exact
+    integer arithmetic — order-independent between Spark and DuckDB;
+    the only float op left is the final quota division of two
+    identical exact integers, which is IEEE-deterministic. One
+    map-side-combinable moment aggregate over the data; everything
+    after runs on the |strata|-row frame."""
     from pyspark.sql import Window as W
 
     o = ensure_parallelism(load_table(spark, sf_dir, "orders"))
@@ -2917,10 +2922,17 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nh"),
         F.round(F.stddev_pop("o_totalprice"), 6).alias("sigma"),
     )
-    t = s.agg(F.sum(F.col("nh") * F.col("sigma")).alias("tot"))
+    s = s.withColumn(
+        "h",
+        (
+            F.col("nh")
+            * F.round(F.col("sigma") * F.lit(1e6)).cast("bigint")
+        ).cast("bigint"),
+    )
+    t = s.agg(F.sum("h").alias("tot"))
     q = s.crossJoin(F.broadcast(t)).withColumn(
         "quota",
-        F.lit(_NEYMAN_BUDGET) * F.col("nh") * F.col("sigma") / F.col("tot"),
+        F.lit(_NEYMAN_BUDGET) * (F.col("h") * F.lit(1.0)) / F.col("tot"),
     )
     fl = q.withColumn("base", F.floor("quota")).withColumn(
         "frac", F.col("quota") - F.floor("quota")

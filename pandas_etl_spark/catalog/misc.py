@@ -2112,13 +2112,28 @@ def q_backfill_day_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("day") == F.lit(d0))
         .filter(F.col("event_type") != "error")
     )
-    with_conf = spark.conf
-    prev = with_conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        fixed.write.mode("overwrite").partitionBy("day").parquet(tmp)
-    finally:
-        with_conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if fixed.limit(1).isEmpty():
+        # All of d0 was bad: a dynamic overwrite emitting zero rows
+        # rewrites no partition, so the bad files would survive. Drop
+        # the partition explicitly instead (ALTER TABLE ... DROP
+        # PARTITION in a real catalog; directory removal here).
+        import shutil
+
+        shutil.rmtree(os.path.join(tmp, f"day={d0}"), ignore_errors=True)
+        if not any(d.startswith("day=") for d in os.listdir(tmp)):
+            return spark.createDataFrame(
+                [], "day string, n_rows bigint, value_cents bigint"
+            )
+    else:
+        with_conf = spark.conf
+        prev = with_conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            fixed.write.mode("overwrite").partitionBy("day").parquet(tmp)
+        finally:
+            with_conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return (
         spark.read.parquet(tmp)
         .groupBy(F.col("day").cast("string").alias("day"))

@@ -500,8 +500,19 @@ def mv_maintain_sink(
     re-aggregated from the snapshot. ``bucket_of`` maps the joined
     frame to the grouping bucket (a key-derived Column expression).
     stream_mv_incremental's oracle aggregates the one-shot replay —
-    passing proves streamed delta maintenance ≡ recompute."""
+    passing proves streamed delta maintenance ≡ recompute.
+
+    Commit protocol: snapshot and mv are two Spark jobs, so both land
+    under a hidden staging dir (``.stage-v{n}``) together with a
+    ``_BATCH`` high-water file, then one atomic ``os.rename`` publishes
+    ``v{n}`` — ``_latest`` can never observe a half-written version, and
+    a crash mid-stage leaves only an ignored (and later reclaimed)
+    staging dir. Checkpoint replays of an already-committed batch are
+    skipped via the ``_BATCH`` mark, mirroring ``hll_ingest_sink``'s
+    ``__batch`` guard. (On a rename-less object store, publish via a
+    ``_COMMITTED`` marker checked by ``_latest`` instead.)"""
     import os
+    import shutil
 
     from pyspark.sql import functions as F
 
@@ -514,24 +525,32 @@ def mv_maintain_sink(
 
     def _latest(spark):
         if not os.path.isdir(state_path):
-            return -1, None, None
+            return -1, None, None, -1
         vs = sorted(
             int(d[1:])
             for d in os.listdir(state_path)
             if d.startswith("v") and d[1:].isdigit()
         )
         if not vs:
-            return -1, None, None
+            return -1, None, None, -1
         v = vs[-1]
+        mark = os.path.join(state_path, f"v{v}", "_BATCH")
+        applied = -1
+        if os.path.isfile(mark):
+            with open(mark) as fh:
+                applied = int(fh.read().strip() or -1)
         return (
             v,
             spark.read.parquet(os.path.join(state_path, f"v{v}", "snapshot")),
             spark.read.parquet(os.path.join(state_path, f"v{v}", "mv")),
+            applied,
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        ver, snap, mv = _latest(spark)
+        ver, snap, mv, applied = _latest(spark)
+        if applied >= batch_id:
+            return  # checkpoint replay — this batch is already committed
         if snap is None:
             snap = base
             mv = snap.groupBy(bucket_of(snap).alias("bucket")).agg(
@@ -550,8 +569,12 @@ def mv_maintain_sink(
         )
         new_mv = mv_merge(mv, delta)
         new_snap = cdc_apply(snap, batch_df, keys, seq_cols, op_col, delete_op)
-        out = os.path.join(state_path, f"v{ver + 1}")
-        new_snap.write.mode("overwrite").parquet(os.path.join(out, "snapshot"))
-        new_mv.write.mode("overwrite").parquet(os.path.join(out, "mv"))
+        stage = os.path.join(state_path, f".stage-v{ver + 1}")
+        shutil.rmtree(stage, ignore_errors=True)  # reclaim a crashed stage
+        new_snap.write.mode("overwrite").parquet(os.path.join(stage, "snapshot"))
+        new_mv.write.mode("overwrite").parquet(os.path.join(stage, "mv"))
+        with open(os.path.join(stage, "_BATCH"), "w") as fh:
+            fh.write(str(batch_id))
+        os.rename(stage, os.path.join(state_path, f"v{ver + 1}"))
 
     return sink

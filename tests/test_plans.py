@@ -662,11 +662,34 @@ def test_mv_incremental_never_reaggregates_applied(spark, sf_dir):
     joins old values with a plain left join), and the orders ops log
     is scanned exactly once."""
     plan = plan_of(spark, sf_dir, "mv_incremental_agg")
-    assert "FullOuter" not in plan.replace("full_outer", "FullOuter") or (
-        # the |MV|-sized bucket merge IS a full outer join — allow joins
-        # whose keys are the bucket, never c_custkey
-        "FullOuter, c_custkey" not in plan
-    )
+    # The |MV|-sized bucket merge IS a full outer join — every full-outer
+    # join's key columns must be the bucket, never c_custkey (a c_custkey
+    # full-outer merge would be rebuilding the applied table). Formatted
+    # mode lists keys on "Left/Right keys" detail lines under the "(n)
+    # <Join> FullOuter" header, so collect each header's detail block.
+    # Formatted detail blocks look like "(25) SortMergeJoin" /
+    # "Join type: FullOuter" / "Left keys [1]: [bucket#x]".
+    lines = plan.replace("full_outer", "FullOuter").splitlines()
+    blocks, cur = [], []
+    for l in lines:
+        if l.lstrip().startswith("(") and ")" in l[:12]:
+            if cur:
+                blocks.append(cur)
+            cur = [l]
+        elif cur:
+            cur.append(l)
+    if cur:
+        blocks.append(cur)
+    fo_blocks = [
+        b for b in blocks if any("FullOuter" in l for l in b)
+    ]
+    assert fo_blocks, "expected the bucket-keyed full-outer MV merge"
+    for b in fo_blocks:
+        key_lines = [l for l in b if "keys" in l.lower()]
+        assert key_lines, b[0]
+        for kl in key_lines:
+            assert "c_custkey" not in kl, kl
+            assert "bucket" in kl, kl
     # formatted mode puts the path on a Location detail line, one per scan
     orders_scans = [
         l

@@ -497,3 +497,75 @@ def test_hll_ingest_sink_incremental_and_replay_safe(spark, tmp_path):
 
     sink(b0, 2)  # re-ingest of already-seen keys under a new batch id
     assert ests() == got  # union idempotence: estimates unchanged
+
+
+def test_mv_maintain_sink_atomic_commit_and_replay_safe(spark, tmp_path):
+    """mv_maintain_sink's version publish is atomic: both artifacts are
+    staged under a hidden dir with a _BATCH high-water mark and renamed
+    into v{n} in one step, so (a) a checkpoint replay of an applied
+    batch id is skipped outright, (b) a crashed half-stage (.stage-v*)
+    is invisible to recovery and reclaimed by the next commit, and (c)
+    every published version is complete (snapshot + mv + _BATCH)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.streaming import mv_maintain_sink
+
+    path = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(i, 0) for i in range(10)], "user_id long, cents long"
+    )
+    sink = mv_maintain_sink(
+        path,
+        base,
+        keys=["user_id"],
+        seq_cols=["seq"],
+        bucket_of=lambda df: F.col("user_id") % 2,
+        value_col="cents",
+    )
+    b0 = spark.createDataFrame(
+        [(1, 100, "U", 1), (2, 50, "U", 1)],
+        "user_id long, cents long, op string, seq long",
+    )
+    b1 = spark.createDataFrame(
+        [(1, 0, "D", 2), (3, 70, "U", 2)],
+        "user_id long, cents long, op string, seq long",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def mv():
+        vs = sorted(
+            int(d[1:]) for d in os.listdir(path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        d = os.path.join(path, f"v{vs[-1]}")
+        # (c) every published version is complete
+        for v in vs:
+            vd = os.path.join(path, f"v{v}")
+            assert {"snapshot", "mv", "_BATCH"} <= set(os.listdir(vd)), vd
+        return {
+            r["bucket"]: (r["n_rows"], r["bal_cents"])
+            for r in spark.read.parquet(os.path.join(d, "mv")).collect()
+        }
+
+    got = mv()
+    # 10 seeded users, user 1 deleted: buckets 0/1 -> 5 rows / 4 rows
+    assert got[0] == (5, 50) and got[1] == (4, 70)
+
+    # (a) replay of an applied batch id: version count must not move
+    n_before = len(os.listdir(path))
+    sink(b1, 1)
+    assert len(os.listdir(path)) == n_before and mv() == got
+
+    # (b) a crashed half-stage is ignored by recovery and reclaimed
+    stale = os.path.join(path, ".stage-v2")
+    os.makedirs(os.path.join(stale, "snapshot"), exist_ok=True)
+    b2 = spark.createDataFrame(
+        [(4, 30, "U", 3)], "user_id long, cents long, op string, seq long"
+    )
+    sink(b2, 2)
+    assert not os.path.isdir(stale)
+    got2 = mv()
+    assert got2[0] == (5, 50 + 30) and got2[1] == (4, 70)

@@ -56,69 +56,60 @@ _PRIORITY = [
     "pricing_summary",
     "rolling_time_window",
     "resample_interpolate",
-    # --- r6 rotation: never driver-checked oracle queries (the r5
-    # rotation — TPC-H q2-q22, all stream_* oracles, lexical search,
-    # SCD2/cohort/pivot/yaml — went 50/50 green in CORRECTNESS_r05 and
-    # rotates out; these 35 have no green row in any CORRECTNESS_r*) ---
-    # LLM-pipeline family (span dedup, containment, decontamination,
-    # sampling/ordering, ER, retrieval quality)
-    "exact_span_dedup",
-    "span_dedup_incremental",
-    "segment_dedup",
-    "ngram_containment_pairs",
-    "ngram_jaccard_prefix",
-    "simhash_checked",
-    "dsir_importance_weights",
-    "bigram_logprob_score",
-    "decontaminate_spans",
-    "semantic_decontaminate",
-    "curriculum_order",
-    "corpus_shuffle_shards",
-    "unicode_normalize",
-    "release_corpus_manifest",
-    "rake_keyphrases_topk",
-    "retrieval_ndcg_tfidf",
-    "hybrid_search_rrf",
-    "jw_match_pairs",
-    "entity_golden_records",
-    "temperature_sample",
-    # graph / statistics / time-series analytics
-    "pagerank_trade_graph",
-    "triangle_count_parts",
-    "community_parts_lpa",
-    "survival_km_customers",
-    "spearman_corr_lineitem",
-    "ks_price_drift",
-    "roc_auc_purchase",
-    "holt_trend_daily",
-    "forecast_backtest_smape",
-    "woe_iv_quantity",
-    # geo / sequence patterns (pareto_abc_parts deliberately included:
-    # its class boundary was reworked to exact-integer cents this round)
-    "geo_cell_density",
-    "spatial_radius_join",
-    "point_in_polygon_counts",
-    "pareto_abc_parts",
-    "activity_streaks",
+    # --- r7 rotation (VERDICT r6 #1): the 25 round-6 additions plus
+    # doc_rolling_fingerprint (whose only driver row ever is the r01
+    # FAIL — its fix is sweep-green but has never been driver-confirmed)
+    # and the stalest never-checked rows from the warehouse/stats tail.
+    # The r6 rotation (span dedup family, ER, retrieval quality, graph/
+    # stats, geo) went 50/50 green in CORRECTNESS_r06 and rotates out. ---
+    "doc_rolling_fingerprint",
+    # round-6 additions, all sweep-only today
+    "gopher_quality_gate",
+    "source_overlap_jaccard",
+    "knn_label_transfer",
+    "propensity_match_pairs",
+    "bpe_fertility_by_lang",
+    "lang_id_kappa",
+    "mv_incremental_agg",
+    "embedding_quality_audit",
+    "stream_mv_incremental",
+    "backfill_day_partition",
+    "asof_nearest_click",
+    "twap_user_day",
+    "vocab_drift_jsd",
+    "k_anonymize_generalize",
+    "dedup_cluster_histogram",
+    "neyman_allocation",
+    "bh_fdr_segments",
+    "trajectory_length_daily",
+    "weighted_median_price",
+    "mann_kendall_trend",
+    "cohort_ltv_curves",
+    "referential_audit",
+    # stalest never-checked rows: warehouse lifecycle + stats + streams
+    "theil_sen_trend",
+    "mwu_purchase_vs_click",
+    "quantile_normalize_sources",
+    "scd2_point_in_time",
+    "key_skew_profile",
+    "table_manifest_checksum",
+    "snapshot_diff_orders",
+    "cdc_apply_latest",
+    "fk_discovery",
+    "stream_cdc_apply",
+    "stream_quality_gate",
+    "stream_geo_density",
 ]
-# r7+ rotation pool: ~130 oracle-backed queries remain never
+# r8+ rotation pool: ~100 oracle-backed queries remain never
 # driver-checked after this round's 35 (the misc/pandas-parity tail —
 # null_handling/percentiles_exact/str_extractall/describe_stats/…,
-# the warehouse block — cdc_apply_latest/fk_discovery/upsert_snapshot/
-# scd2_point_in_time/snapshot_diff_orders/table_manifest_checksum/
-# backfill_day_partition/mv_incremental_agg/stream_mv_incremental,
-# embeddings — centroids/outliers/standardize/quality_audit/
-# knn_label_transfer, skew pair, remaining graph/stats —
-# triangle_top/modularity/adamic_adar/bfs/assortativity/cheapest_paths/
-# benford/theil_sen/cusum/mwu/calibration/psi/bootstrap/
-# neyman_allocation/bh_fdr_segments/mann_kendall_trend/
-# propensity_match_pairs/twap_user_day/weighted_median_price,
-# remaining geo/patterns + trajectory_length_daily/asof_nearest_click,
-# sampling/privacy gates + k_anonymize_generalize, the round-6
-# curation block — gopher_quality_gate/source_overlap_jaccard/
-# vocab_drift_jsd/bpe_fertility_by_lang/lang_id_kappa/
-# dedup_cluster_histogram, stream_cdc_apply/stream_quality_gate/
-# stream_geo_density). Compute the live pool with:
+# embeddings — centroids/outliers/standardize, skew pair, remaining
+# graph/stats — triangle_top/modularity/adamic_adar/bfs/assortativity/
+# cheapest_paths/benford/cusum/calibration/psi/bootstrap/attribution,
+# remaining text — chunk_documents/heavy_hitters/pmi_cooccur/winnow/
+# vocab_zipf_fit/feature_hash_counts, sampling/privacy gates,
+# upsert_snapshot/schema_evolution_read, remaining geo/patterns).
+# Compute the live pool with:
 #   [q for q in QUERIES if q in ORACLES
 #    and q not in union(CORRECTNESS_r*.json keys)]
 

@@ -1382,13 +1382,15 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize per user (30-min gap + grace), emit +1/-1 boundary
     deltas, running-sum the time-ordered deltas, take the max — the
     capacity-planning number. The only data-sized shuffle is the
-    user_id sessionization; the sweep runs over 2 rows PER SESSION
-    (orders of magnitude smaller than events), and the final max is a
-    1-row reduce. Ends sort before starts at the same instant (d=-1
-    first) so back-to-back sessions never double-count."""
-    from pyspark.sql import Window as W
-
+    user_id sessionization; the sweep runs over 2 rows PER SESSION —
+    smaller than events but still O(sessions), so the running sum goes
+    through the range-partitioned prefix sum (operators.prefix), never
+    a single-partition window; the final max is a 1-row reduce. Ends
+    sort before starts at the same instant (d=-1 first) so
+    back-to-back sessions never double-count (within-tie order can't
+    move the max of the running sum: equal (t,d) rows commute)."""
     from pandas_etl_spark.functions.sessions import with_session_ids
+    from pandas_etl_spark.operators.prefix import global_running_sum
 
     ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
     sess = with_session_ids(ev, gap_s=1800)
@@ -1399,8 +1401,9 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
         iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
     )
-    wr = W.orderBy("t", "d").rowsBetween(W.unboundedPreceding, 0)
-    running = deltas.select(F.sum("d").over(wr).alias("live"))
+    running = global_running_sum(
+        deltas, [F.col("t").asc(), F.col("d").asc()], "d", "live"
+    )
     return running.agg(
         F.max("live").cast("bigint").alias("peak_concurrent_sessions")
     )

@@ -35,6 +35,71 @@ def _dist(a: Column, b: Column) -> Column:
     return a.cast("double") - b.cast("double")
 
 
+def _keyless_scan(
+    unioned: DataFrame,
+    order_cols: list[Column],
+    b_cols: list[str],
+    f_cols: list[str],
+) -> DataFrame:
+    """Running ``last``/``first`` (ignorenulls) over a TOTAL order with
+    NO ``by`` key — without the single-partition window a bare
+    ``Window.orderBy`` would force (one task holding every row; fatal
+    at 100 TB). Same three-step stitch as ``operators.prefix``:
+
+    1. range-repartition on the order (partition i entirely before
+       i+1), pinned by localCheckpoint so every downstream job sees
+       identical boundaries;
+    2. per-partition scan (windows PARTITIONED by partition id —
+       parallel): ``b_cols`` get the running last-non-null, ``f_cols``
+       the running first-non-null;
+    3. stitch across boundaries with a |partitions|-row carry frame:
+       each partition's closing (for backward) / opening (for forward)
+       scan value, cumulated by a window over that tiny frame — the
+       ONLY unpartitioned window left, bounded at #partitions rows —
+       broadcast-joined back and coalesced under the local scan.
+    """
+    spark = unioned.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    ranged = (
+        unioned.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wloc = W.partitionBy("__pid").orderBy(*order_cols)
+    wb = wloc.rowsBetween(W.unboundedPreceding, 0)
+    wf = wloc.rowsBetween(0, W.unboundedFollowing)
+    out = ranged
+    for c in b_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(wb))
+    for c in f_cols:
+        out = out.withColumn(c, F.first(c, ignorenulls=True).over(wf))
+    out = out.withColumn("__rn", F.row_number().over(wloc))
+    # one row per partition: its closing backward / opening forward value
+    carry = out.groupBy("__pid").agg(
+        *[F.max_by(F.col(c), F.col("__rn")).alias(c) for c in b_cols],
+        *[F.min_by(F.col(c), F.col("__rn")).alias(c) for c in f_cols],
+    )
+    wprev = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    wnext = W.orderBy("__pid").rowsBetween(1, W.unboundedFollowing)
+    fix = carry.select(
+        "__pid",
+        *[
+            F.last(c, ignorenulls=True).over(wprev).alias(f"__fix_{c}")
+            for c in b_cols
+        ],
+        *[
+            F.first(c, ignorenulls=True).over(wnext).alias(f"__fix_{c}")
+            for c in f_cols
+        ],
+    )
+    res = out.join(F.broadcast(fix), "__pid", "left")
+    for c in b_cols + f_cols:
+        res = res.withColumn(
+            c, F.coalesce(F.col(c), F.col(f"__fix_{c}"))
+        ).drop(f"__fix_{c}")
+    return res.drop("__pid", "__rn")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -89,15 +154,25 @@ def asof_join(
     if direction == "forward":
         # nearest at-or-after: reverse the scan; side still sorts right-first
         order = [F.col(on).desc(), F.col("__side").asc()]
-    w = W.partitionBy(*by_keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    matched = unioned.select(
-        *[c for c in left.columns],
-        "__side",
-        *[
-            F.last(out_name[c], ignorenulls=True).over(w).alias(out_name[c])
-            for c in rvalue_cols + [on]
-        ],
-    )
+    targets = [out_name[c] for c in rvalue_cols + [on]]
+    if by_keys:
+        w = (
+            W.partitionBy(*by_keys)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        matched = unioned.select(
+            *[c for c in left.columns],
+            "__side",
+            *[
+                F.last(t, ignorenulls=True).over(w).alias(t)
+                for t in targets
+            ],
+        )
+    else:
+        # no by key: the scan order is global — range-partitioned
+        # stitch instead of a single-partition window
+        matched = _keyless_scan(unioned, order, targets, [])
     out = matched.filter(F.col("__side") == 1).drop("__side")
     if tolerance is not None:
         far = F.abs(_dist(F.col(on), F.col(out_name[on]))) > F.lit(float(tolerance))
@@ -160,21 +235,30 @@ def _asof_nearest(
     unioned = l.unionByName(right_side(0, "__b_", "__f_")).unionByName(
         right_side(2, "__b_", "__f_")
     )
-    base = W.partitionBy(*by_keys).orderBy(F.col(on).asc(), F.col("__side").asc())
-    wb = base.rowsBetween(W.unboundedPreceding, 0)
-    wf = base.rowsBetween(0, W.unboundedFollowing)
-    scanned = unioned.select(
-        *[c for c in left.columns],
-        "__side",
-        *[
-            F.last(f"__b_{out_name[c]}", ignorenulls=True).over(wb).alias(f"__b_{out_name[c]}")
-            for c in scan_cols
-        ],
-        *[
-            F.first(f"__f_{out_name[c]}", ignorenulls=True).over(wf).alias(f"__f_{out_name[c]}")
-            for c in scan_cols
-        ],
-    ).filter(F.col("__side") == 1)
+    nearest_order = [F.col(on).asc(), F.col("__side").asc()]
+    if by_keys:
+        base = W.partitionBy(*by_keys).orderBy(*nearest_order)
+        wb = base.rowsBetween(W.unboundedPreceding, 0)
+        wf = base.rowsBetween(0, W.unboundedFollowing)
+        scanned = unioned.select(
+            *[c for c in left.columns],
+            "__side",
+            *[
+                F.last(f"__b_{out_name[c]}", ignorenulls=True).over(wb).alias(f"__b_{out_name[c]}")
+                for c in scan_cols
+            ],
+            *[
+                F.first(f"__f_{out_name[c]}", ignorenulls=True).over(wf).alias(f"__f_{out_name[c]}")
+                for c in scan_cols
+            ],
+        ).filter(F.col("__side") == 1)
+    else:
+        scanned = _keyless_scan(
+            unioned,
+            nearest_order,
+            [f"__b_{out_name[c]}" for c in scan_cols],
+            [f"__f_{out_name[c]}" for c in scan_cols],
+        ).filter(F.col("__side") == 1)
 
     b_on, f_on = F.col(f"__b_{out_name[on]}"), F.col(f"__f_{out_name[on]}")
     b_dist = _dist(F.col(on), b_on)

@@ -82,3 +82,54 @@ def lint(df: DataFrame) -> list[str]:
     return [
         f"{flag}: {why}" for flag, why in RED_FLAGS.items() if flag in plan
     ]
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes with NO partition spec — the shape ``WindowExec``
+    warns about at runtime ("No Partition Defined ... moving all data
+    to a single partition"). Returns the window-function text of each
+    offender (empty list = every window is partitioned). Legitimate
+    only over provably tiny frames (1-row totals, |groups|-row offsets,
+    |partitions|-row prefix boundaries); tests/test_plans.py keeps a
+    by-name whitelist of those sites and fails on any new source.
+
+    Formatted detail blocks print ``(n) Window`` then an Arguments line
+    holding either three top-level bracket groups
+    ``[funcs], [partition], [order]`` or just two. Two groups is
+    ambiguous: a partitioned-but-unordered window prints
+    ``[funcs], [partition]`` (no WindowExec warning) while an
+    unpartitioned ordered one prints ``[funcs], [order]`` — only the
+    latter is flagged, recognized by the sort-direction markers
+    (``ASC``/``DESC``) Spark always prints in an order spec.
+    """
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    out: list[str] = []
+    for i, l in enumerate(lines):
+        ls = l.strip()
+        if not (ls.startswith("(") and ls.endswith(" Window")):
+            continue
+        for d in lines[i + 1 : i + 6]:
+            ds = d.strip()
+            if not ds.startswith("Arguments:"):
+                continue
+            groups, depth, cur = [], 0, []
+            for ch in ds[len("Arguments:") :]:
+                if ch == "[":
+                    depth += 1
+                    if depth == 1:
+                        cur = []
+                        continue
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        groups.append("".join(cur))
+                        continue
+                if depth >= 1:
+                    cur.append(ch)
+            if len(groups) == 2 and re.search(
+                r"\b(?:ASC|DESC) NULLS", groups[1]
+            ):
+                out.append(groups[0])
+            break
+    return out

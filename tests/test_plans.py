@@ -592,21 +592,18 @@ def test_pareto_abc_no_global_window(spark, sf_dir):
     """ABC classification: the cumulative share must run through the
     range-partitioned prefix sum — a single-partition global window
     (SinglePartition Exchange feeding a Window) must not appear."""
+    from pandas_etl_spark.plans import unpartitioned_windows
+
     plan = plan_of(spark, sf_dir, "pareto_abc_parts")
-    lines = plan.splitlines()
-    for i, l in enumerate(lines):
+    for l in plan.splitlines():
         if "Window" in l and "windowspecdefinition" in l:
             assert "__pid" in l, l  # prefix-sum partition-local window
-        # A SinglePartition exchange is allowed only for the 1-row total
-        # broadcast / offsets side — never as the direct child of a
-        # Window (that would be the global-sort shape this test exists
-        # to forbid). In tree text the child prints BELOW its parent, so
-        # assert no Window node appears in the few lines above the
-        # exchange (ADVICE r5: the old re.finditer loop had a pass body
-        # and asserted nothing).
-        if "Exchange SinglePartition" in l:
-            context = "\n".join(lines[max(0, i - 3) : i])
-            assert "Window" not in context, f"SinglePartition feeds Window:\n{context}\n{l}"
+    # No unpartitioned ordered window at all: the cumulative share rides
+    # the __pid-local prefix sum and its driver-cumulated offsets (the
+    # old "Exchange SinglePartition within 3 lines of Window" check
+    # could never fire — formatted trees print exchanges as
+    # "Exchange (n)"; SinglePartition only appears on detail lines).
+    assert unpartitioned_windows(QUERIES["pareto_abc_parts"](spark, sf_dir)) == []
 
 
 def test_weighted_sample_ares_distributed_topk(spark, sf_dir):
@@ -714,14 +711,22 @@ def test_embedding_audit_one_pass(spark, sf_dir):
 
 
 def test_propensity_match_no_global_sort(spark, sf_dir):
-    """The as-of match must run range-partitioned — no single-partition
-    ordered window over the score stream."""
+    """The keyless as-of match must run range-partitioned: the score
+    stream scans under __pid-local windows, and the only unpartitioned
+    ordered window left is the |partitions|-row boundary-carry stitch
+    (the old "Exchange SinglePartition within 3 lines of Window" check
+    could never fire — formatted trees print exchanges as
+    "Exchange (n)" — and was hiding a genuinely single-partition
+    keyless asof_join until round 7)."""
+    from pandas_etl_spark.plans import unpartitioned_windows
+
+    df = QUERIES["propensity_match_pairs"](spark, sf_dir)
+    unpart = unpartitioned_windows(df)
+    assert len(unpart) <= 1, unpart
+    for w in unpart:  # only the carry stitch may remain
+        assert "__fix_" in w or "control_user" in w, w
     plan = plan_of(spark, sf_dir, "propensity_match_pairs")
-    lines = plan.splitlines()
-    for i, l in enumerate(lines):
-        if "Exchange SinglePartition" in l:
-            ctx = "\n".join(lines[max(0, i - 3) : i])
-            assert "Window" not in ctx, f"SinglePartition feeds Window:\n{ctx}"
+    assert "__pid" in plan  # the range-partitioned scan is present
 
 
 def test_weighted_median_no_per_group_serialization(spark, sf_dir):
@@ -747,3 +752,53 @@ def test_weighted_median_no_per_group_serialization(spark, sf_dir):
                 saw_price_window = True
                 assert "windowspecdefinition(__pid" in spec, spec
     assert saw_price_window
+
+
+def test_registry_unpartitioned_window_whitelist(spark, sf_dir):
+    """Repo-wide WindowExec lint (VERDICT r6 #3): every catalog query's
+    plan is scanned for unpartitioned ORDERED windows — the shape
+    WindowExec warns moves all rows to one task. Each permitted source
+    is whitelisted BY NAME with its bounded-frame justification and an
+    exact node count; any new source (or a new unpartitioned window
+    inside a whitelisted query) fails here and must either switch to
+    the range-partitioned prefix/stitch operators or justify itself in
+    this table."""
+    from pandas_etl_spark.plans import unpartitioned_windows
+
+    # name -> (count, why the frame is bounded / deliberately global)
+    whitelist = {
+        "propensity_match_pairs": (1, "|partitions|-row keyless-asof boundary-carry stitch"),
+        "neyman_allocation": (1, "|strata|-row largest-remainder rank"),
+        "bh_fdr_segments": (2, "|segments|-row Benjamini-Hochberg rank, twice (rank + step-up)"),
+        "weighted_median_price": (1, "|groups|-row prior-group offsets frame"),
+        "hconcat_ranked": (2, "pandas positional-concat parity: global rank is the op's semantic"),
+        "window_rank_dense_ntile": (1, "pandas-parity exact global ntile; scale path is qcut_quartiles"),
+        "vocab_topk": (1, "|vocabulary|-row rank over the aggregated token counts"),
+        "source_composition": (1, "|sources|-row cumulative share"),
+        "vocab_zipf_fit": (1, "|vocabulary|-row Zipf rank over aggregated word counts"),
+        "percent_rank_cume": (1, "pandas-parity exact global percent_rank/cume_dist"),
+        "seasonal_decompose_hourly": (3, "|hours-in-range|-row centered-MA frames"),
+        "survival_km_customers": (2, "|distinct durations|-row KM product frames"),
+        "cusum_revenue_shift": (1, "|days|-row CUSUM accumulation"),
+    }
+    offenders = {}
+    for name, fn in QUERIES.items():
+        try:
+            w = unpartitioned_windows(fn(spark, sf_dir))
+        except Exception as e:  # pragma: no cover - surface as a failure
+            offenders[name] = [f"PLAN BUILD FAILED: {type(e).__name__}: {e}"]
+            continue
+        if w:
+            offenders[name] = w
+    unexpected = {
+        n: ws
+        for n, ws in offenders.items()
+        if n not in whitelist or len(ws) != whitelist[n][0]
+    }
+    assert not unexpected, (
+        "unwhitelisted unpartitioned ordered windows (single-partition "
+        f"at scale): { {n: ws[:2] for n, ws in unexpected.items()} }"
+    )
+    # and the whitelist must not rot: every entry still has its source
+    stale = [n for n in whitelist if n not in offenders]
+    assert not stale, f"whitelist entries with no remaining source: {stale}"

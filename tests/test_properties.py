@@ -306,6 +306,114 @@ def test_asof_nearest_and_tolerance_match_pandas(spark, frames):
         pd.testing.assert_frame_equal(got_pairs, exp_pairs, check_dtype=False)
 
 
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    gaps=st.lists(st.integers(1, 60), min_size=1, max_size=8),
+    keys=st.lists(st.integers(1, 3), min_size=1, max_size=2, unique=True),
+)
+def test_asof_nearest_tie_breaks_backward_like_pandas(spark, gaps, keys):
+    """ENGINEERED equidistant matches: every left row sits exactly
+    midway between its two neighboring right rows, so every match is a
+    tie — direction='nearest' must resolve each one backward (the
+    earlier right row), exactly as pd.merge_asof does. Pins the tie
+    rule asof_nearest_click's docstring promises, which random frames
+    almost never exercise."""
+    import datetime as dt
+
+    from pandas_etl_spark.operators import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    for k in keys:
+        t = 0
+        rrows.append((k, base, 0.0))
+        for i, g in enumerate(gaps):
+            # right rows at t and t+2g; left row exactly at t+g (a tie)
+            lrows.append((k, base + dt.timedelta(minutes=t + g), float(i)))
+            t += 2 * g
+            rrows.append((k, base + dt.timedelta(minutes=t), float(i + 1)))
+    lpdf = pd.DataFrame(lrows, columns=["k", "ts", "lv"]).sort_values(
+        ["ts", "k"]
+    ).reset_index(drop=True)
+    rpdf = pd.DataFrame(rrows, columns=["k", "ts", "rv"]).sort_values(
+        ["ts", "k"]
+    ).reset_index(drop=True)
+    exp = pd.merge_asof(lpdf, rpdf, on="ts", by="k", direction="nearest")
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            on="ts",
+            by="k",
+            direction="nearest",
+        )
+        .toPandas()
+        .sort_values(["ts", "k"])
+        .reset_index(drop=True)
+    )
+    cols = ["k", "ts", "lv", "rv"]
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+    # and the rule itself, independently of pandas: the earlier (backward)
+    # neighbor always wins an exact tie
+    for row in got.itertuples():
+        assert row.rv == row.lv  # right v at index i is the backward neighbor
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(frames=asof_frames())
+def test_asof_join_keyless_matches_pandas(spark, frames):
+    """No ``by`` key — the range-partitioned stitch path (the grouped
+    path's window is per-key; keyless must reproduce pd.merge_asof
+    through _keyless_scan's boundary carries instead of a
+    single-partition window) ≡ pd.merge_asof for all three
+    directions."""
+    from pandas_etl_spark.operators import asof_join
+
+    lpdf, rpdf = frames
+    if lpdf.empty:
+        return
+    # keyless semantics: drop k from the join, keep unique ts per side
+    lpdf = lpdf.drop_duplicates("ts").sort_values("ts").reset_index(drop=True)
+    rpdf = rpdf.drop_duplicates("ts").sort_values("ts").reset_index(drop=True)
+    l = spark.createDataFrame(lpdf.drop(columns=["k"]))
+    r = spark.createDataFrame(rpdf.drop(columns=["k"]))
+    for direction, tol in (
+        ("backward", None),
+        ("forward", None),
+        ("nearest", None),
+        ("nearest", 1800.0),
+    ):
+        exp = pd.merge_asof(
+            lpdf.drop(columns=["k"]),
+            rpdf.drop(columns=["k"]),
+            on="ts",
+            direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        )
+        got = (
+            asof_join(l, r, on="ts", direction=direction, tolerance=tol)
+            .toPandas()
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+        cols = ["ts", "lv", "rv"]
+        pd.testing.assert_frame_equal(
+            got[cols],
+            exp[cols].sort_values("ts").reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
 _mo_left = st.lists(
     st.tuples(
         st.sampled_from(["a", "b"]),

@@ -165,6 +165,24 @@ EXTENDED = [
     "mann_kendall_trend",
     "cohort_ltv_curves",
     "referential_audit",
+    # round-7: the full remaining TPC-H family, closing the "verified
+    # but never timed" gap (q8/q21/q7 were already headline-adjacent)
+    "tpch_q2_shape",
+    "tpch_q4_priority_check",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_shipments",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_part_promotion",
+    "tpch_q22_idle_customers",
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

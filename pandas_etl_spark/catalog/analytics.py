@@ -1100,6 +1100,86 @@ def q_k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+# AS MATERIALIZED: each round references the previous edge set three
+# times; an inlining engine would otherwise re-evaluate the whole chain
+# per reference (exponential in rounds — observed 126 s vs 1 s at
+# sf0.01). Spark's side pins the same boundary with localCheckpoint.
+_KCORE_PEEL_SQL = """,
+    deg{i} AS MATERIALIZED (
+        SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}
+        ) GROUP BY node
+    ),
+    weak{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE deg < %K%),
+    e{j} AS MATERIALIZED (
+        SELECT u, v FROM e{i}
+        WHERE u NOT IN (SELECT node FROM weak{i})
+          AND v NOT IN (SELECT node FROM weak{i})
+    )"""
+_KCORE_CTE = (
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    e0 AS MATERIALIZED (SELECT u, v FROM pairs WHERE n >= 2)"""
+    + "".join(
+        _KCORE_PEEL_SQL.format(i=i, j=i + 1) for i in range(_KCORE_ROUNDS)
+    ).replace("%K%", str(_KCORE_K))
+)
+
+
+@query(
+    "k_core_fixed_depth",
+    oracle=_KCORE_CTE
+    + f"""
+    SELECT node AS part, CAST(count(*) AS BIGINT) AS deg_after_peel
+    FROM (
+        SELECT u AS node FROM e{_KCORE_ROUNDS}
+        UNION ALL SELECT v FROM e{_KCORE_ROUNDS}
+    ) GROUP BY node
+    """,
+)
+def q_k_core_fixed_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling at a PINNED depth (VERDICT r6 #7): exactly 4
+    peel rounds of the k=3 core on the repeat-co-purchase graph —
+    unlike k_core_parts' peel-until-fixpoint (whose round count is
+    data-dependent, hence rows-only), a fixed depth unrolls into exact
+    SQL, giving the peeling kernel a full cross-engine oracle. Extra
+    rounds past convergence are no-ops, so when the graph converges in
+    <= 4 rounds this equals the true 3-core. Per round: one degree
+    aggregate + two anti-joins against the (shrinking) weak set,
+    lineage cut per round — identical machinery to the fixpoint
+    operator."""
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    e = edges.localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        weak = deg.filter(F.col("deg") < _KCORE_K).select("node")
+        e = (
+            e.join(weak.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(weak.withColumnRenamed("node", "v"), "v", "left_anti")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg_after_peel"))
+        .select(F.col("node").alias("part"), "deg_after_peel")
+    )
+
+
 @query(
     "user_rfm_segments",
     oracle="""

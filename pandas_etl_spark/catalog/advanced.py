@@ -637,3 +637,53 @@ def q_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tss_right"), 6).alias("click_s"),
         F.round(F.col("tss") - F.col("tss_right"), 6).alias("gap_s"),
     )
+
+
+_RCORR_W = 8
+
+
+@query(
+    "rolling_corr",
+    oracle=f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(corr(l_extendedprice, l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN {_RCORR_W - 1} PRECEDING AND CURRENT ROW), 6)
+               AS roll_corr
+    FROM lineitem
+    QUALIFY row_number() OVER (
+        PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber) >= {_RCORR_W}
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``groupby().rolling(8).corr()`` parity: per-supplier
+    rolling Pearson correlation of price vs quantity over an 8-row
+    frame (full windows only — pandas' min_periods=window default).
+    ONE shuffle on l_suppkey shared by the corr frame and the
+    row-number gate; the correlation is Catalyst's native windowed
+    co-moment aggregate (no Python), rounded above the tiny-frame
+    summation ulp."""
+    from pandas_etl_spark.sources.io import ensure_parallelism
+
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.corr("l_extendedprice", "l_quantity").over(
+                    w.rowsBetween(-(_RCORR_W - 1), 0)
+                ),
+                6,
+            ).alias("roll_corr"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") >= _RCORR_W)
+        .drop("__rn")
+    )

@@ -3415,3 +3415,68 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(one(li_missing_s, "lineitems_missing_supplier"))
     )
     return out
+
+
+@query(
+    "jaccard_link_prediction",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT u, v FROM pairs WHERE n >= 2),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ),
+    sym AS (
+        SELECT u AS z, v AS nbr FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ),
+    wedge AS (
+        SELECT p1.nbr AS n1, p2.nbr AS n2
+        FROM sym p1 JOIN sym p2 ON p1.z = p2.z AND p1.nbr < p2.nbr
+    ),
+    cand AS (
+        SELECT w.n1, w.n2, count(*) AS common
+        FROM wedge w
+        LEFT JOIN edges e ON e.u = w.n1 AND e.v = w.n2
+        WHERE e.u IS NULL
+        GROUP BY w.n1, w.n2
+    )
+    SELECT c.n1 AS part_a, c.n2 AS part_b,
+           CAST(c.common AS BIGINT) AS common_neighbors,
+           round(c.common * 1.0 / (d1.d + d2.d - c.common), 6) AS jaccard
+    FROM cand c
+    JOIN deg d1 ON d1.node = c.n1
+    JOIN deg d2 ON d2.node = c.n2
+    ORDER BY round(c.common * 1.0 / (d1.d + d2.d - c.common), 6) DESC,
+             c.n1, c.n2
+    LIMIT 20
+    """,
+)
+def q_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction on the repeat-co-purchase graph
+    (operators/graph.jaccard_links): non-adjacent part pairs scored by
+    neighbor-set overlap — the scale-free companion to Adamic-Adar
+    (same wedge plan, but the score common/(du+dv−common) is a ratio
+    of exact integers: engine-exact, no float-sum drift). Top-20 under
+    the (jaccard DESC, part_a, part_b) total order."""
+    from pandas_etl_spark.operators.graph import jaccard_links
+
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    jl = jaccard_links(edges, "u", "v")
+    return (
+        jl.select(
+            F.col("n1").alias("part_a"),
+            F.col("n2").alias("part_b"),
+            "common_neighbors",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
+        .limit(20)
+    )

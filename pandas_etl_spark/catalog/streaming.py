@@ -1134,3 +1134,104 @@ def q_stream_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(
         os.path.join(state, f"v{versions[-1]}", "mv")
     ).select("bucket", "n_rows", "bal_cents")
+
+
+@query(
+    "stream_asof_enrich",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, arg_max(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_value, c.ts AS ts_click
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of enrichment — the feature-serving shape: purchase
+    events arrive as micro-batches and each batch is enriched per
+    foreachBatch with the most recent click at-or-before it from a
+    STATIC click snapshot (the distributed union-tag as-of join of
+    operators/asof.py — per-row enrichment against a static right side
+    is batching-invariant, so the one-shot batch as-of join is an exact
+    oracle). Enriched batches land as ``__batch=<id>`` partitions under
+    dynamic overwrite — the replay-safe append convention of the other
+    foreachBatch sinks (a checkpoint replay overwrites its own
+    partition, never duplicates). Streaming twin of asof_join_events."""
+    import os
+    import tempfile
+
+    from pandas_etl_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    bounds = ev.agg(
+        F.min(ts_seconds("ts")).alias("lo"), F.max(ts_seconds("ts")).alias("hi")
+    ).first()
+    tmp = tempfile.mkdtemp(prefix="stream_asof_")
+    src, out = os.path.join(tmp, "src"), os.path.join(tmp, "out")
+    if bounds is None or bounds["lo"] is None:
+        return purchases.select(
+            "event_id", "user_id", "ts", "value",
+            F.lit(None).cast("double").alias("click_value"),
+            F.lit(None).cast(purchases.schema["ts"].dataType).alias("ts_click"),
+        )
+    cutoff = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    purchases.filter(ts_seconds("ts") < cutoff).coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    purchases.filter(ts_seconds("ts") >= cutoff).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    now = 1_700_000_000
+    for sub, t in (("b0", now - 100), ("b1", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = asof_join(
+            batch_df, clicks, on="ts", by="user_id", suffix="_click"
+        )
+        (
+            enriched.withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", "ts", "value", "click_value", "ts_click"
+    )

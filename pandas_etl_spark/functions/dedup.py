@@ -365,6 +365,7 @@ def minhash_lsh_pairs(
     k: int = 5,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs, verified by estimated Jaccard
     (signature agreement rate ≥ threshold).
@@ -373,7 +374,18 @@ def minhash_lsh_pairs(
     — the shuffle key is the band hash, so cost is proportional to bucket
     collisions, not N². ``bands`` tunes the S-curve: more bands → recall
     at lower similarity.
-    """
+
+    ``max_bucket`` drops buckets larger than the cap before the in-bucket
+    self-join — the standard LSH skew guard. Without it, boilerplate-
+    heavy corpora are quadratic: ultra-common shingles (site chrome,
+    license headers, templates) pull many documents' per-band minima to
+    the SAME values, and one such mega-bucket costs B² pairs (measured
+    on a salted ×5 corpus: 1.9 s → 99 s, exponent ≈ 2.4, from exactly
+    this — SCALE.md round 7). A dropped pair only loses candidacy in
+    that band; genuinely similar docs still collide in the other
+    bands, and buckets past ~1000 members are template chrome, not
+    near-dup families. Pass ``None`` to disable (exact gate-scale
+    parity with the unbanded oracle)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, k, seed)
@@ -397,6 +409,18 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        # skew guard: one aggregate on the same (band, bucket) key the
+        # join shuffles on, then a filter — mega-buckets never reach
+        # the self-join
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        banded = (
+            banded.join(sizes, ["band", "bucket"])
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
@@ -462,10 +486,15 @@ def minhash_lsh_pairs_portable(
     k: int = 5,
     threshold: float = 0.4,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Oracle-reproducible MinHash-LSH pairs: band bucket key is the
     concatenated signature slice (portable across engines, unlike
-    murmur3 ``F.hash``)."""
+    murmur3 ``F.hash``). ``max_bucket`` is the same skew guard as the
+    production variant's (see :func:`minhash_lsh_pairs`), default OFF
+    here so the gate-scale oracle comparison stays unconditional — an
+    oracle adopting it must mirror the cap with a HAVING on the same
+    bucket key."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signatures_portable(df, text_col, id_col, num_perm, k, seed)
@@ -487,6 +516,15 @@ def minhash_lsh_pairs_portable(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        banded = (
+            banded.join(sizes, ["band", "bucket"])
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])

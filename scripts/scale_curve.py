@@ -10,12 +10,17 @@ linear; the LSH/prefix designs should stay well under the ~2 of naive
 all-pairs).
 
 Corpus synthesis keeps the workload shape honest at K x:
-- documents: K replicas of sf0.1; replica k > 0 suffixes EVERY token
-  with ``_r{k}`` so replicas share no shingles/grams — within-replica
-  duplicate structure is preserved exactly, and no artificial
-  cross-replica near-dup pairs are created (a plain text copy would
-  make every doc a 64/64 MinHash match of its 9 clones and fake a
-  quadratic candidate blow-up that real growth doesn't have);
+- documents: K replicas of sf0.1; replica k > 0 applies a BIJECTIVE
+  character rotation (Caesar-shift of [a-z] and [0-9] by k via
+  ``translate``) so replicas share no letter-bearing shingles/grams —
+  within-replica duplicate structure, doc lengths, and shingle-count
+  distributions are preserved EXACTLY, and no artificial cross-replica
+  similarity is created. (Two rejected alternatives, both measured
+  super-linear by construction: a plain copy makes every doc a 64/64
+  MinHash match of its clones; a per-token ``_r{k}`` suffix floods
+  every replica with the same ultra-common ``_r{k}``-boundary shingles,
+  which align per-band minima and fake an LSH mega-bucket — the very
+  skew minhash_lsh_pairs' max_bucket guard exists for);
 - embeddings: K replicas with offset vec_ids (brute-force cosine cost
   is row count; vector values don't change the work).
 
@@ -65,12 +70,20 @@ def synthesize(spark, k: int) -> str:
     embs = load_table(spark, BASE, "embeddings")
     doc_parts = []
     emb_parts = []
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    digits = "0123456789"
     for r in range(k):
-        salt = (
-            F.col("text")
-            if r == 0
-            else F.regexp_replace("text", r"(\S+)", f"$1_r{r}")
-        )
+        if r == 0:
+            salt = F.col("text")
+        else:
+            src = letters + digits
+            dst = (
+                letters[r % 26 :]
+                + letters[: r % 26]
+                + digits[r % 10 :]
+                + digits[: r % 10]
+            )
+            salt = F.translate(F.lower(F.col("text")), src, dst)
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + r * 10_000_000).alias("doc_id"),

@@ -2543,3 +2543,51 @@ def test_markov_attribution_no_conversions(spark):
     out = markov_attribution(df).collect()
     assert {r.channel for r in out} == {"A", "B"}
     assert all(r.removal_effect == 0.0 and r.attribution == 0.0 for r in out)
+
+
+def test_minhash_lsh_bucket_cap_guards_skew(spark):
+    """The max_bucket skew guard: on a normal corpus the default cap is
+    inert (identical pairs with cap on/off); a mega-bucket (many docs
+    sharing dominant boilerplate shingles that align their per-band
+    minima) is dropped by a small cap instead of exploding into B²
+    candidate pairs, while pairs that also collide in an uncapped band
+    survive."""
+    from pandas_etl_spark.functions.dedup import minhash_lsh_pairs
+
+    base = [
+        (i, " ".join(f"w{i}x{j}q{(i * 31 + j * 7) % 97}" for j in range(40)))
+        for i in range(40)
+    ]
+    near = [(100, base[0][1] + " tail"), (101, base[1][1] + " tail")]
+    df = spark.createDataFrame(base + near, "doc_id long, text string")
+
+    def pairs(frame, **kw):
+        return {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(frame, threshold=0.5, **kw).collect()
+        }
+
+    assert pairs(df, max_bucket=None) == pairs(df, max_bucket=1000)
+    expected = {(0, 100), (1, 101)}
+    assert expected <= pairs(df, max_bucket=1000)
+
+    # mega-bucket: 60 docs dominated by the same boilerplate — their
+    # shingle sets are mostly the shared chrome, so per-band minima
+    # coincide and they all land in one bucket per band
+    chrome = "this website uses cookies accept terms privacy policy " * 20
+    boiler = [(200 + i, chrome + f"x{i}") for i in range(60)]
+    bdf = spark.createDataFrame(base + boiler, "doc_id long, text string")
+    uncapped = pairs(bdf, max_bucket=None)
+    capped = pairs(bdf, max_bucket=30)
+    boiler_ids = {i for i, _ in boiler}
+    n_unc = sum(1 for a, b in uncapped if a in boiler_ids and b in boiler_ids)
+    n_cap = sum(1 for a, b in capped if a in boiler_ids and b in boiler_ids)
+    # uncapped: the mega-bucket yields ~C(60,2) boilerplate pairs; the
+    # cap kills the oversized buckets (pairs may survive via smaller
+    # side buckets, but the quadratic mass is gone)
+    assert n_unc > 1000
+    assert n_cap < n_unc / 2, (n_cap, n_unc)
+    # non-boilerplate docs are untouched by the cap
+    assert {p for p in uncapped if p[0] < 200 and p[1] < 200} == {
+        p for p in capped if p[0] < 200 and p[1] < 200
+    }

@@ -3480,3 +3480,115 @@ def q_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "attribution_time_decay",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               epoch_us(ts) AS us,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS wnum
+        FROM events
+    ),
+    p AS (SELECT user_id, wnum, event_id, value, us AS pus FROM w
+          WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, wnum, event_type, us FROM w
+          WHERE event_type <> 'purchase'),
+    j AS (
+        SELECT p.user_id, p.wnum, p.event_id, p.value, t.event_type,
+               CAST(power(2.0, 60 - least(CAST(ceil((p.pus - t.us)
+                        / 1800000000.0) AS INTEGER), 60)) AS BIGINT) AS wi
+        FROM p JOIN t USING (user_id, wnum)
+    ),
+    tw AS (SELECT user_id, wnum, event_id, sum(wi) AS tw
+           FROM j GROUP BY 1, 2, 3),
+    credits AS (
+        SELECT j.event_type AS channel,
+               j.value * j.wi / tw.tw AS credit
+        FROM j JOIN tw USING (user_id, wnum, event_id)
+        UNION ALL
+        SELECT 'direct', p.value
+        FROM p ANTI JOIN t USING (user_id, wnum)
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+           round(sum(credit), 6) AS attributed_value
+    FROM credits GROUP BY channel
+    """,
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — completes the positional
+    family (last-touch, linear, Markov): each purchase splits its value
+    over the touches in its window with half-life weights, recency
+    winning. Weights are EXACT dyadic integers — 2^(60 − ceil(gap /
+    30 min), clamped) as bigint — so per-window weight totals are exact
+    integer sums (no pow/exp libm drift, no accumulation-order
+    ambiguity); the only floats are the per-credit division and the
+    final channel sum, rounded above ulp. Same one-user_id-shuffle
+    window-id plan as attribution_linear; everything after is
+    (user, window)-keyed joins."""
+    from pyspark.sql import Window as W
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wnum = F.coalesce(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w),
+        F.lit(0),
+    )
+    ev2 = ev.withColumn("wnum", wnum).withColumn(
+        "us", F.unix_micros("ts")
+    )
+    p = ev2.filter(F.col("event_type") == "purchase").select(
+        "user_id", "wnum", "event_id", "value", F.col("us").alias("pus")
+    )
+    t = ev2.filter(F.col("event_type") != "purchase").select(
+        "user_id", "wnum", "event_type", "us"
+    )
+    j = p.join(t, ["user_id", "wnum"]).select(
+        "user_id",
+        "wnum",
+        "event_id",
+        "value",
+        "event_type",
+        F.pow(
+            F.lit(2.0),
+            60
+            - F.least(
+                F.ceil(
+                    (F.col("pus") - F.col("us")) / F.lit(1800000000.0)
+                ).cast("int"),
+                F.lit(60),
+            ),
+        )
+        .cast("bigint")
+        .alias("wi"),
+    )
+    tw = j.groupBy("user_id", "wnum", "event_id").agg(
+        F.sum("wi").alias("tw")
+    )
+    credits = (
+        j.join(tw, ["user_id", "wnum", "event_id"])
+        .select(
+            F.col("event_type").alias("channel"),
+            (F.col("value") * F.col("wi") / F.col("tw")).alias("credit"),
+        )
+        .unionByName(
+            p.join(t, ["user_id", "wnum"], "left_anti").select(
+                F.lit("direct").alias("channel"),
+                F.col("value").alias("credit"),
+            )
+        )
+    )
+    return credits.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        F.round(F.sum("credit"), 6).alias("attributed_value"),
+    )

@@ -504,3 +504,51 @@ def q_cohens_d_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.cast("bigint").alias("n2"),
         F.round(d, 6).alias("cohens_d"),
     )
+
+
+@query(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ),
+    first AS (SELECT user_id, min(day) AS d0 FROM du GROUP BY user_id),
+    newd AS (SELECT d0 AS day, count(*) AS n_new FROM first GROUP BY d0)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
+               AS cum_distinct_users
+    FROM newd
+    """,
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the classic growth curve.
+    Distinct-by-day is NOT windowable directly at scale (a running
+    COUNT(DISTINCT) window re-scans every prefix); the scalable
+    identity is  cum_distinct(d) = Σ_{d'≤d} first_seen(d')  — two
+    user-keyed aggregates collapse the data to a |days|-row frame, and
+    the only ordered cumsum runs over that bounded frame (whitelisted
+    tiny-frame window, same class as cusum_revenue_shift)."""
+    from pyspark.sql import Window as W
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    du = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    ).distinct()
+    first = du.groupBy("user_id").agg(F.min("day").alias("d0"))
+    newd = first.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    return newd.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        F.sum("n_new")
+        .over(
+            W.partitionBy().orderBy("day").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+        .alias("cum_distinct_users"),
+    )

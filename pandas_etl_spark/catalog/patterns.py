@@ -782,3 +782,94 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median_price",
         )
     )
+
+
+# numerator/denominator pairs: 0.25, 0.5, 0.75, 0.9 as exact integer
+# ratios so the crossing test  den*cw >= num*tot  never touches floats
+_WQ_QUANTILES = [(5, 20), (10, 20), (15, 20), (18, 20)]
+
+
+@query(
+    "weighted_percentiles",
+    oracle=f"""
+    WITH pp AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               sum(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT grp, price_c, w,
+               sum(w) OVER (PARTITION BY grp ORDER BY price_c) AS cw,
+               sum(w) OVER (PARTITION BY grp) AS tot
+        FROM pp
+    ),
+    qs (num, den) AS (
+        VALUES {", ".join(f"({n}, {d})" for n, d in _WQ_QUANTILES)}
+    )
+    SELECT grp AS l_returnflag,
+           round(num * 1.0 / den, 2) AS q,
+           CAST(tot AS BIGINT) AS total_qty,
+           round(min(price_c) * 1.0 / 100.0, 2) AS wq_price
+    FROM cum CROSS JOIN qs
+    WHERE den * cw >= num * tot
+    GROUP BY grp, num, den, tot
+    """,
+)
+def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price percentiles (p25/p50/p75/p90) per return
+    flag — weighted_median_price generalized to the full quantile
+    ladder from ONE pass: the same range-partitioned global prefix sum
+    over (group, price) with broadcast prior-group offsets, then every
+    quantile reads the same cumulative frame against its exact integer
+    crossing test  den·cw ≥ num·tot  (no float ever decides a row).
+    Adding a quantile costs a broadcast literal row, not a re-scan."""
+    from pyspark.sql import Window as W
+
+    from pandas_etl_spark.operators.prefix import global_running_sum
+
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    pp = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    cum = global_running_sum(
+        pp, [F.col("grp").asc(), F.col("price_c").asc()], "w", "gcum"
+    )
+    totals = pp.groupBy("grp").agg(F.sum("w").alias("tot"))
+    offs = totals.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("tot").over(
+                W.partitionBy().orderBy("grp").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    qs = F.broadcast(
+        cum.sparkSession.createDataFrame(_WQ_QUANTILES, "num int, den int")
+    )
+    within = (
+        cum.join(F.broadcast(offs), "grp")
+        .withColumn("cw", F.col("gcum") - F.col("off"))
+        .crossJoin(qs)
+    )
+    return (
+        within.filter(
+            F.col("den") * F.col("cw") >= F.col("num") * F.col("tot")
+        )
+        .groupBy(
+            F.col("grp").alias("l_returnflag"), "num", "den", "tot"
+        )
+        .agg(F.round(F.min("price_c") * 1.0 / 100.0, 2).alias("wq_price"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("num") * 1.0 / F.col("den"), 2).alias("q"),
+            F.col("tot").cast("bigint").alias("total_qty"),
+            "wq_price",
+        )
+    )

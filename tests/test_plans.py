@@ -771,6 +771,7 @@ def test_registry_unpartitioned_window_whitelist(spark, sf_dir):
         "neyman_allocation": (1, "|strata|-row largest-remainder rank"),
         "bh_fdr_segments": (2, "|segments|-row Benjamini-Hochberg rank, twice (rank + step-up)"),
         "weighted_median_price": (1, "|groups|-row prior-group offsets frame"),
+        "weighted_percentiles": (1, "|groups|-row prior-group offsets frame"),
         "hconcat_ranked": (2, "pandas positional-concat parity: global rank is the op's semantic"),
         "window_rank_dense_ntile": (1, "pandas-parity exact global ntile; scale path is qcut_quartiles"),
         "vocab_topk": (1, "|vocabulary|-row rank over the aggregated token counts"),
@@ -780,6 +781,7 @@ def test_registry_unpartitioned_window_whitelist(spark, sf_dir):
         "seasonal_decompose_hourly": (3, "|hours-in-range|-row centered-MA frames"),
         "survival_km_customers": (2, "|distinct durations|-row KM product frames"),
         "cusum_revenue_shift": (1, "|days|-row CUSUM accumulation"),
+        "cumulative_distinct_users": (1, "|days|-row first-seen cumsum"),
     }
     offenders = {}
     for name, fn in QUERIES.items():

@@ -183,6 +183,30 @@ EXTENDED = [
     "tpch_q19_disjunctive",
     "tpch_q20_part_promotion",
     "tpch_q22_idle_customers",
+    # round-7 additions
+    "k_anonymize_local",
+    "markov_attribution",
+    "gini_revenue_concentration",
+    "lorenz_deciles",
+    "entropy_by_source",
+    "chi_square_event_dow",
+    "stickiness_dau_mau",
+    "new_vs_returning_daily",
+    "cohens_d_segments",
+    "class_weights_inverse_freq",
+    "stratified_kfold_assign",
+    "knn_label_noise",
+    "dedup_rate_by_source",
+    "centroid_margin_audit",
+    "stream_asof_enrich",
+    "rolling_corr",
+    "jaccard_link_prediction",
+    "weighted_percentiles",
+    "attribution_time_decay",
+    "cumulative_distinct_users",
+    # k_core_fixed_depth is deliberately NOT benched: it is the first 4
+    # peel rounds of the already-benched k_core_parts (the
+    # community_modularity / dedup_cluster_histogram precedent)
     # community_modularity is deliberately NOT benched: it re-runs the
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four

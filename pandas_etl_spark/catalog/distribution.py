@@ -278,13 +278,22 @@ def q_chi_square_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, the statistic, and V all run on the |types|×7 grid from
     exact-integer marginals."""
     ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
-    cells = ev.select(
-        "event_type",
-        (
-            F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).cast("bigint")
-            % 7
-        ).alias("dow"),
-    ).groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n"))
+    # the grid feeds five consumers (marginals, total, dims, expected):
+    # localCheckpoint the |types|x7 frame so the events scan runs once
+    cells = (
+        ev.select(
+            "event_type",
+            (
+                F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).cast(
+                    "bigint"
+                )
+                % 7
+            ).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     rowt = cells.groupBy("event_type").agg(F.sum("n").alias("rn"))
     colt = cells.groupBy("dow").agg(F.sum("n").alias("cn"))
     tot = cells.agg(F.sum("n").alias("t"))

@@ -452,15 +452,34 @@ def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment rank/dense_rank (one c_mktsegment shuffle) plus an
+    exact GLOBAL ntile(4) — scale-true since round 7: with the unique
+    (c_acctbal, c_custkey) order, ntile is pure integer arithmetic on
+    the range-partitioned global prefix COUNT — the first n%4 buckets
+    take floor(n/4)+1 rows (the SQL ntile contract), computed from
+    (rn, n) with no single-partition window."""
+    from pandas_etl_spark.operators.prefix import global_row_number
+
     w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    wg = W.orderBy("c_acctbal", "c_custkey")
-    return _t(spark, sf_dir, "customer").select(
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    rn = global_row_number(
+        c, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    )
+    n = c.agg(F.count(F.lit(1)).alias("n"))
+    q, m = F.floor(F.col("n") / 4), F.col("n") % 4
+    big = m * (q + 1)  # rows living in the m oversized leading buckets
+    quartile = F.when(
+        F.col("rn") <= big, F.floor((F.col("rn") - 1) / (q + 1)) + 1
+    ).otherwise(m + F.floor((F.col("rn") - 1 - big) / q) + 1)
+    return rn.crossJoin(F.broadcast(n)).select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
         F.rank().over(w).cast("bigint").alias("rnk"),
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.ntile(4).over(wg).cast("bigint").alias("quartile"),
+        quartile.cast("bigint").alias("quartile"),
     )
 
 

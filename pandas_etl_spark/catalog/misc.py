@@ -129,14 +129,27 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    """Exact global percent_rank / cume_dist — scale-true since round
+    7: the (c_acctbal, c_custkey) order is UNIQUE, so rank ==
+    row_number and both statistics are pure arithmetic on the
+    range-partitioned global prefix COUNT (operators/prefix) and a
+    broadcast 1-row total: (rn-1)/(n-1) and rn/n are the exact integer
+    divisions the window functions compute, bit-identical — with no
+    single-partition window at any n."""
+    from pandas_etl_spark.operators.prefix import global_row_number
 
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return load_table(spark, sf_dir, "customer").select(
+    c = ensure_parallelism(load_table(spark, sf_dir, "customer")).select(
+        "c_custkey", "c_acctbal"
+    )
+    rn = global_row_number(
+        c, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    )
+    n = c.agg(F.count(F.lit(1)).alias("n"))
+    return rn.crossJoin(F.broadcast(n)).select(
         "c_custkey",
         "c_acctbal",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        ((F.col("rn") - 1) / (F.col("n") - 1)).alias("pct_rank"),
+        (F.col("rn") / F.col("n")).alias("cume"),
     )
 
 

@@ -75,3 +75,24 @@ def global_running_sum(
     return local.withColumn(out_col, (F.col("__local_cum") + offset_expr)).drop(
         "__pid", "__local_cum"
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row number over a TOTAL order ``order_cols``,
+    without a single-partition window: the prefix sum of ones. With a
+    unique order this equals rank()/row_number(), so the global-rank
+    pandas-parity operators (percent_rank, cume_dist, ntile,
+    positional concat) can all be expressed scale-true: the only
+    driver state is one count per partition."""
+    ranked = global_running_sum(
+        df.withColumn("__one", F.lit(1)), order_cols, "__one", out_col,
+        num_partitions,
+    )
+    return ranked.withColumn(out_col, F.col(out_col).cast("bigint")).drop(
+        "__one"
+    )

@@ -772,12 +772,10 @@ def test_registry_unpartitioned_window_whitelist(spark, sf_dir):
         "bh_fdr_segments": (2, "|segments|-row Benjamini-Hochberg rank, twice (rank + step-up)"),
         "weighted_median_price": (1, "|groups|-row prior-group offsets frame"),
         "weighted_percentiles": (1, "|groups|-row prior-group offsets frame"),
-        "hconcat_ranked": (2, "pandas positional-concat parity: global rank is the op's semantic"),
-        "window_rank_dense_ntile": (1, "pandas-parity exact global ntile; scale path is qcut_quartiles"),
-        "vocab_topk": (1, "|vocabulary|-row rank over the aggregated token counts"),
+        "hconcat_ranked": (2, "5-row frames (rank AFTER TakeOrdered limit 5)"),
+        "vocab_topk": (1, "<=200-row frame (rank AFTER the TakeOrdered top-k)"),
         "source_composition": (1, "|sources|-row cumulative share"),
-        "vocab_zipf_fit": (1, "|vocabulary|-row Zipf rank over aggregated word counts"),
-        "percent_rank_cume": (1, "pandas-parity exact global percent_rank/cume_dist"),
+        "vocab_zipf_fit": (1, "top-1000 frame (rank AFTER TakeOrdered)"),
         "seasonal_decompose_hourly": (3, "|hours-in-range|-row centered-MA frames"),
         "survival_km_customers": (2, "|distinct durations|-row KM product frames"),
         "cusum_revenue_shift": (1, "|days|-row CUSUM accumulation"),

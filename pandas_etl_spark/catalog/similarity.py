@@ -715,3 +715,102 @@ def q_embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("nrm", 0.99), 6).alias("norm_p99"),
         F.round(F.max("nrm"), 6).alias("norm_max"),
     )
+
+
+def _lsh_checked_oracle() -> str:
+    """DuckDB twin of the single-table sign-LSH path, generated from the
+    SAME deterministic LCG hyperplanes as functions/similarity. The
+    sign-bit dots are emitted as explicit LEFT-ASSOCIATIVE sums
+    (ev[1]*p1 + ev[2]*p2 + ...) — bit-identical to Catalyst's
+    sequential aggregate fold; DuckDB's list_dot_product uses a
+    different accumulation order and can flip a boundary sign."""
+    from pandas_etl_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, _LSH_CHECKED_BITS, seed=42)
+    bucket = " + ".join(
+        f"(CASE WHEN ({' + '.join(f'ev[{i + 1}]*{x!r}' for i, x in enumerate(p))}) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    b AS (SELECT vec_id, ev, CAST({bucket} AS BIGINT) AS bucket FROM v),
+    q AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM b
+          WHERE vec_id < {_N_QUERIES}),
+    cand AS (
+        SELECT q.query_id, q.qv, b.vec_id AS neighbor_id, b.ev
+        FROM b JOIN q USING (bucket)
+        WHERE b.vec_id <> q.query_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(ev, qv) /
+                     (sqrt(list_dot_product(ev, ev)) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_TOPK}
+    """
+
+
+_LSH_CHECKED_BITS = 6
+
+
+@query("ann_lsh_checked", oracle=_lsh_checked_oracle())
+def q_ann_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CHECKED single-table sign-LSH ANN (the cross-engine twin
+    of the rows-only multi-table ann_lsh_topk, the same relationship
+    minhash_lsh_pairs_checked has to its xxhash production path): the
+    6 hyperplane sign bits come from Catalyst's sequential-fold dot
+    products against LCG-deterministic planes, candidates share the
+    query's bucket, and the exact cosine re-rank rounds to 6 before
+    the id-tie-broken top-k — every step reproducible in ANSI SQL, so
+    the bucketing+shortlist+re-rank kernel itself is hash-verified,
+    not just recall-audited. Corpus cost: one bucket column in the
+    scan projection, one id-only bucket join."""
+    from pandas_etl_spark.functions.similarity import (
+        cosine,
+        salted_topk,
+        signlsh_bucket,
+    )
+    from pandas_etl_spark.sources.io import ensure_parallelism
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        signlsh_bucket("embedding", 64, _LSH_CHECKED_BITS, seed=42).alias(
+            "bucket"
+        ),
+    )
+    q = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        "bucket",
+    )
+    cand = (
+        b.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("embedding"), F.col("query_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    return salted_topk(
+        cand, "query_id", [F.desc("cosine_sim"), F.asc("neighbor_id")], _TOPK
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cosine_sim",
+        F.col("rank").cast("bigint").alias("rnk"),
+    )

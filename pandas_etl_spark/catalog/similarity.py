@@ -636,12 +636,92 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("diversity_sample_kcenter")
+@query("diversity_sample_kcenter", oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    c1 AS MATERIALIZED (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+        SELECT v.vec_id, v.ev, 1.0 - (list_dot_product(v.ev, c1.ev) / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(c1.ev, c1.ev)))) AS ud
+        FROM v, c1 WHERE v.vec_id <> c1.vec_id
+    ),
+    c2 AS MATERIALIZED (
+        SELECT vec_id, ev, round(ud, 6) AS d FROM d1
+        ORDER BY round(ud, 6) DESC, vec_id LIMIT 1
+    ),
+    d2 AS MATERIALIZED (
+        SELECT d.vec_id, d.ev,
+               least(d.ud, 1.0 - (list_dot_product(d.ev, c.ev) / (sqrt(list_dot_product(d.ev, d.ev)) * sqrt(list_dot_product(c.ev, c.ev))))) AS ud
+        FROM d1 d, c2 c WHERE d.vec_id <> c.vec_id
+    ),
+    c3 AS MATERIALIZED (
+        SELECT vec_id, ev, round(ud, 6) AS d FROM d2
+        ORDER BY round(ud, 6) DESC, vec_id LIMIT 1
+    ),
+    d3 AS MATERIALIZED (
+        SELECT d.vec_id, d.ev,
+               least(d.ud, 1.0 - (list_dot_product(d.ev, c.ev) / (sqrt(list_dot_product(d.ev, d.ev)) * sqrt(list_dot_product(c.ev, c.ev))))) AS ud
+        FROM d2 d, c3 c WHERE d.vec_id <> c.vec_id
+    ),
+    c4 AS MATERIALIZED (
+        SELECT vec_id, ev, round(ud, 6) AS d FROM d3
+        ORDER BY round(ud, 6) DESC, vec_id LIMIT 1
+    ),
+    d4 AS MATERIALIZED (
+        SELECT d.vec_id, d.ev,
+               least(d.ud, 1.0 - (list_dot_product(d.ev, c.ev) / (sqrt(list_dot_product(d.ev, d.ev)) * sqrt(list_dot_product(c.ev, c.ev))))) AS ud
+        FROM d3 d, c4 c WHERE d.vec_id <> c.vec_id
+    ),
+    c5 AS MATERIALIZED (
+        SELECT vec_id, ev, round(ud, 6) AS d FROM d4
+        ORDER BY round(ud, 6) DESC, vec_id LIMIT 1
+    ),
+    d5 AS MATERIALIZED (
+        SELECT d.vec_id, d.ev,
+               least(d.ud, 1.0 - (list_dot_product(d.ev, c.ev) / (sqrt(list_dot_product(d.ev, d.ev)) * sqrt(list_dot_product(c.ev, c.ev))))) AS ud
+        FROM d4 d, c5 c WHERE d.vec_id <> c.vec_id
+    ),
+    c6 AS MATERIALIZED (
+        SELECT vec_id, ev, round(ud, 6) AS d FROM d5
+        ORDER BY round(ud, 6) DESC, vec_id LIMIT 1
+    ),
+    d6 AS MATERIALIZED (
+        SELECT d.vec_id, d.ev,
+               least(d.ud, 1.0 - (list_dot_product(d.ev, c.ev) / (sqrt(list_dot_product(d.ev, d.ev)) * sqrt(list_dot_product(c.ev, c.ev))))) AS ud
+        FROM d5 d, c6 c WHERE d.vec_id <> c.vec_id
+    ),
+    c7 AS MATERIALIZED (
+        SELECT vec_id, ev, round(ud, 6) AS d FROM d6
+        ORDER BY round(ud, 6) DESC, vec_id LIMIT 1
+    ),
+    d7 AS MATERIALIZED (
+        SELECT d.vec_id, d.ev,
+               least(d.ud, 1.0 - (list_dot_product(d.ev, c.ev) / (sqrt(list_dot_product(d.ev, d.ev)) * sqrt(list_dot_product(c.ev, c.ev))))) AS ud
+        FROM d6 d, c7 c WHERE d.vec_id <> c.vec_id
+    ),
+    c8 AS MATERIALIZED (
+        SELECT vec_id, ev, round(ud, 6) AS d FROM d7
+        ORDER BY round(ud, 6) DESC, vec_id LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS selection_rank, vec_id,
+           CAST(NULL AS DOUBLE) AS dist_to_centers FROM c1
+    UNION ALL SELECT 2, vec_id, d FROM c2
+    UNION ALL SELECT 3, vec_id, d FROM c3
+    UNION ALL SELECT 4, vec_id, d FROM c4
+    UNION ALL SELECT 5, vec_id, d FROM c5
+    UNION ALL SELECT 6, vec_id, d FROM c6
+    UNION ALL SELECT 7, vec_id, d FROM c7
+    UNION ALL SELECT 8, vec_id, d FROM c8
+    """)
 def q_diversity_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy k-center diversity sample (k=8) over the embeddings —
-    rows-only (the greedy selection is iterative, not SQL-expressible);
-    determinism, seed identity, and the non-increasing coverage-radius
-    property are asserted in tests/test_properties.py."""
+    """Greedy k-center diversity sample (k=8) over the embeddings.
+    Oracle-backed since round 7: the greedy selection is iterative but
+    k is FIXED, so the oracle unrolls the 7 post-seed rounds as chained
+    MATERIALIZED argmax CTEs carrying the running (unrounded) min
+    distance — exactly the operator's round(least(...), 6)-then-argmax
+    selection with id tie-breaks. Determinism, seed identity, and the
+    non-increasing coverage radius stay asserted in
+    tests/test_properties.py."""
     return sim.kcenter_sample(load_table(spark, sf_dir, "embeddings"), k=8)
 
 

@@ -894,3 +894,133 @@ def q_ann_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine_sim",
         F.col("rank").cast("bigint").alias("rnk"),
     )
+
+
+_PCA_POW_ITERS = 30
+
+
+def _pca_power_oracle() -> str:
+    """Unrolled power-iteration oracle for the dominant principal
+    component: covariance C from one self-join aggregate (E[xy] −
+    μᵢμⱼ), then 30 chained MATERIALIZED matvec+normalize rounds from
+    the constant start vector, sign-canonicalized at the largest-|w|
+    coordinate, projections rounded to 4 (far above the float
+    accumulation drift a 30-step normalized iteration can carry)."""
+    it = []
+    for t in range(1, _PCA_POW_ITERS + 1):
+        it.append(f""",
+    u{t} AS MATERIALIZED (
+        SELECT c.i AS pos, sum(c.c * w.wv) AS uv
+        FROM cov c JOIN w{t - 1} w ON c.j = w.pos GROUP BY c.i
+    ),
+    w{t} AS MATERIALIZED (
+        SELECT pos, uv / sqrt((SELECT sum(uv * uv) FROM u{t})) AS wv
+        FROM u{t}
+    )""")
+    W = f"w{_PCA_POW_ITERS}"
+    return f"""
+    WITH flat AS (
+        SELECT vec_id, label,
+               unnest(CAST(embedding AS DOUBLE[])) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    n AS (SELECT count(*) AS n FROM embeddings),
+    mu AS MATERIALIZED (SELECT pos, avg(x) AS m FROM flat GROUP BY pos),
+    cov AS MATERIALIZED (
+        SELECT a.pos AS i, b.pos AS j,
+               sum(a.x * b.x) / max(n.n) - max(ma.m) * max(mb.m) AS c
+        FROM flat a
+        JOIN flat b ON a.vec_id = b.vec_id
+        JOIN mu ma ON ma.pos = a.pos
+        JOIN mu mb ON mb.pos = b.pos
+        CROSS JOIN n
+        GROUP BY a.pos, b.pos
+    ),
+    w0 AS MATERIALIZED (
+        SELECT pos, 0.125 AS wv FROM mu
+    ){''.join(it)},
+    pick AS (
+        SELECT CASE WHEN wv < 0 THEN -1.0 ELSE 1.0 END AS s
+        FROM {W} ORDER BY round(abs(wv), 6) DESC, pos LIMIT 1
+    ),
+    wc AS MATERIALIZED (
+        SELECT pos, wv * (SELECT s FROM pick) AS wv FROM {W}
+    )
+    SELECT f.vec_id, max(f.label) AS label,
+           round(sum((f.x - mu.m) * wc.wv), 4) AS pc1
+    FROM flat f
+    JOIN mu ON mu.pos = f.pos
+    JOIN wc ON wc.pos = f.pos
+    GROUP BY f.vec_id
+    """
+
+
+@query("pca_power_top_component", oracle=_pca_power_oracle())
+def q_pca_power_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component by FIXED-ITERATION power method —
+    the cross-engine-checkable kernel beside embedding_pca_project's
+    rows-only k=8 eigendecomposition (same trick as the Markov
+    doubling-series oracle: pin the iteration count and linear algebra
+    unrolls into SQL). Covariance is E[xy] − μμᵀ from ONE (vec-keyed)
+    self-join aggregate; 30 matvec+normalize rounds run on the 64×64
+    grid (driver-bounded tiny frames, localCheckpointed); the sign is
+    canonicalized at the largest-|w| coordinate; per-vector projections
+    round to 4 — far above the drift a normalized 30-step iteration
+    carries. At 100 TB only the moment aggregate touches the corpus;
+    the iteration cost is dimension-sized, independent of row count."""
+    from pandas_etl_spark.sources.io import ensure_parallelism
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    flat = v.select("vec_id", F.posexplode("ev").alias("pos", "x"))
+    n = v.count()
+    mu = flat.groupBy("pos").agg(F.avg("x").alias("m")).localCheckpoint()
+    a = flat.select(F.col("vec_id"), F.col("pos").alias("i"), F.col("x").alias("xa"))
+    b = flat.select(F.col("vec_id"), F.col("pos").alias("j"), F.col("x").alias("xb"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg((F.sum(F.col("xa") * F.col("xb")) / F.lit(float(n))).alias("exy"))
+        .join(F.broadcast(mu.select(F.col("pos").alias("i"), F.col("m").alias("mi"))), "i")
+        .join(F.broadcast(mu.select(F.col("pos").alias("j"), F.col("m").alias("mj"))), "j")
+        .select("i", "j", (F.col("exy") - F.col("mi") * F.col("mj")).alias("c"))
+        .localCheckpoint()
+    )
+    w = mu.select("pos", F.lit(0.125).alias("wv")).localCheckpoint()
+    for _ in range(_PCA_POW_ITERS):
+        u = (
+            cov.join(
+                w.select(F.col("pos").alias("j"), F.col("wv").alias("wj")),
+                "j",
+            )
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.sum(F.col("c") * F.col("wj")).alias("uv"))
+        )
+        nrm = u.agg(F.sqrt(F.sum(F.col("uv") * F.col("uv"))).alias("nm"))
+        w = (
+            u.crossJoin(F.broadcast(nrm))
+            .select("pos", (F.col("uv") / F.col("nm")).alias("wv"))
+            .localCheckpoint()
+        )
+    s_row = (
+        w.orderBy(F.round(F.abs("wv"), 6).desc(), F.asc("pos")).limit(1).collect()
+    )
+    sign = -1.0 if s_row and s_row[0]["wv"] < 0 else 1.0
+    wc = {r["pos"]: r["wv"] * sign for r in w.collect()}
+    mud = {r["pos"]: r["m"] for r in mu.collect()}
+    dims = sorted(wc)
+    w_arr = F.array(*[F.lit(float(wc[p])) for p in dims])
+    mu_arr = F.array(*[F.lit(float(mud[p])) for p in dims])
+    proj = F.aggregate(
+        F.zip_with(
+            F.zip_with(F.col("ev"), mu_arr, lambda x, m: x - m),
+            w_arr,
+            lambda d, wv: d * wv,
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return v.select("vec_id", "label", F.round(proj, 4).alias("pc1"))

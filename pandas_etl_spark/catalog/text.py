@@ -1649,3 +1649,116 @@ def q_vocab_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("nb").cast("bigint").alias("n_tokens_b"),
         F.round(0.5 * F.sum("qa") + 0.5 * F.sum("qb"), 6).alias("jsd"),
     )
+
+
+_CMS_D = 4  # hash rows
+_CMS_W = 2048  # counters per row
+_HH_DEN = 500  # theta = 1/500: the support test n*500 >= N stays integer
+
+
+def _cms_checked_oracle() -> str:
+    rows = ", ".join(str(r) for r in range(_CMS_D))
+    return f"""
+    WITH toks AS (
+        SELECT unnest({_DD_TOKENS}) AS word FROM documents
+    ),
+    wc AS MATERIALIZED (SELECT word, count(*) AS n FROM toks GROUP BY word),
+    tot AS (SELECT sum(n) AS nn FROM wc),
+    hh AS (SELECT word, n FROM wc, tot WHERE n * {_HH_DEN} >= tot.nn),
+    grid AS MATERIALIZED (
+        SELECT r,
+               CAST('0x' || substring(md5(word || '#' || CAST(r AS VARCHAR)),
+                                      1, 8) AS BIGINT) % {_CMS_W} AS b,
+               sum(n) AS c
+        FROM wc CROSS JOIN (SELECT unnest([{rows}]) AS r)
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT hh.word, hh.n, min(g.c) AS n_est
+        FROM hh
+        CROSS JOIN (SELECT unnest([{rows}]) AS r) rr
+        JOIN grid g
+          ON g.r = rr.r
+         AND g.b = CAST('0x' || substring(md5(hh.word || '#'
+                          || CAST(rr.r AS VARCHAR)), 1, 8) AS BIGINT) % {_CMS_W}
+        GROUP BY hh.word, hh.n
+    )
+    SELECT word, CAST(n AS BIGINT) AS n, CAST(n_est AS BIGINT) AS n_est
+    FROM est
+    """
+
+
+@query("heavy_hitters_cms_checked", oracle=_cms_checked_oracle())
+def q_heavy_hitters_cms_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CHECKED count-min sketch (the portable twin of
+    heavy_hitters_cms, whose JVM sketch hashing is engine-specific —
+    the same relationship the portable MinHash has to xxhash): a d=4 ×
+    w=2048 counter grid keyed by md5 buckets, all counters EXACT
+    integer sums, estimate = min over the d rows — so the one-sided CMS
+    guarantee n ≤ n_est is hash-verified cross-engine, not just
+    property-tested. The grid is built from the word-count table (one
+    token shuffle shared with the exact counts); candidates are the
+    exact θ=1/500 heavy hitters (integer support test n·500 ≥ N)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    wc = (
+        d.select(F.explode(tx.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # feeds totals, candidates, and the grid
+    )
+    tot = wc.agg(F.sum("n").alias("nn"))
+    hh = wc.crossJoin(F.broadcast(tot)).filter(
+        F.col("n") * _HH_DEN >= F.col("nn")
+    ).select("word", "n")
+
+    def bucket(word_col, r):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(word_col, F.lit(f"#{r}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    grid = (
+        wc.select(
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            bucket(F.col("word"), r).alias("b"),
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("rb"),
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.sum("n").alias("c"))
+    )
+    probes = hh.select(
+        "word",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        bucket(F.col("word"), r).alias("b"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("word", "n", "rb.r", "rb.b")
+    return (
+        probes.join(F.broadcast(grid), ["r", "b"])
+        .groupBy("word", "n")
+        .agg(F.min("c").cast("bigint").alias("n_est"))
+        .select("word", F.col("n").cast("bigint").alias("n"), "n_est")
+    )

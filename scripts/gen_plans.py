@@ -93,6 +93,20 @@ NOTES = {
     "geo_cell_density": "Grid density: coordinate derivation + floor are scan-projection expressions; single shuffle keyed on the cell id with map-side partials.",
     "gopher_quality_gate": "Gopher document gate: every rule (word bounds, mean word length, symbol ratio, alpha fraction, stopwords) is a per-row array expression in ONE scan projection — zero shuffles; the flags compare exact integers so engines cannot disagree at a boundary.",
     "source_overlap_jaccard": "Cross-source contamination matrix: both sides reduce to distinct (source, 60-bit gram-hash) pairs before the ONE hash-keyed shuffle; per-gram source lists are bounded by |sources| so the in-bucket i<j expansion is |sources|^2 worst-case per gram; per-source set sizes broadcast onto the pair counts.",
+    "gini_revenue_concentration": "Gini: per-customer exact-cents aggregate, the range-partitioned prefix sum, then TWO 1-row integer aggregates — sum(rank*x) is recovered algebraically from sum(cum), so no rank column and no single-partition window exist at any n.",
+    "weighted_percentiles": "Weighted quantile ladder: ONE prefix-sum pass over the (group, price) order; each of p25-p90 is an exact integer crossing test (den*cw >= num*tot) against a 4-row broadcast literal frame — adding quantiles adds no scan, no shuffle.",
+    "entropy_by_source": "Token entropy: one (source, token) integer count shuffle with map-side partials; the -sum(p log2 p) fold and vocab normalization run in the per-source aggregate — text crosses the wire once as tokens, never again.",
+    "chi_square_event_dow": "Chi-square/Cramer's V: ONE data-sized count aggregate to the |types|x7 grid (localCheckpointed — marginals, totals, dims, and expected counts are five consumers); everything after is broadcast joins over grid rows.",
+    "stickiness_dau_mau": "DAU/MAU: distinct (day,user) collapse FIRST (the only data-sized shuffle), then the <=28x fan-out replicates the COLLAPSED frame into its target days; per-day distinct count finishes it — raw events are never replicated.",
+    "jaccard_link_prediction": "Jaccard link scores: canonical edges + degrees localCheckpointed (five consumers — two sym legs, the adjacency anti-join, two degree lookups — one edge build instead of five); wedge self-join keyed on the common neighbor; score is a ratio of exact integers.",
+    "knn_label_noise": "Label-noise audit: the bounded query subset broadcasts through cosine_topk (corpus scan scores in place, no corpus shuffle); the disagreement vote is a (query,label)-keyed aggregate over k rows per query.",
+    "centroid_margin_audit": "Centroid margins: one posexplode aggregate to the |labels|x64 centroid frame, broadcast back over a single corpus scan; per-row scoring is zip_with dot products (JVM fold, no Python); own-vs-best-other reduces per vector.",
+    "attribution_time_decay": "Time-decay credit: one user_id Exchange shared by the window-id window; weights are exact dyadic bigints (2^(60-bucket)) so per-window totals are exact integer sums; credit splits are (user, window)-keyed joins.",
+    "pca_power_top_component": "Power-iteration PC1: the corpus is touched by ONE vec-keyed self-join moment aggregate (covariance) and one final projection scan; all 30 matvec+normalize rounds run on the 64x64 grid (localCheckpointed tiny frames) — iteration cost is dimension-sized, independent of rows.",
+    "ann_lsh_checked": "Checked sign-LSH: six sequential-fold hyperplane dots evaluate in the scan projection; candidates come from ONE id-only bucket join against the broadcast query buckets; exact cosine re-rank + salted top-k.",
+    "heavy_hitters_cms_checked": "Portable CMS: the word-count table (one token shuffle, localCheckpointed) feeds totals, the exact theta-support candidates, and the d x w counter grid; probes join the broadcast grid — every counter an exact integer sum.",
+    "k_anonymize_local": "Local recoding: level-0 is the only full-data aggregate; each cascade level re-aggregates just the still-violating subset against grid-bounded group lists (AQE broadcasts them at runtime).",
+    "percent_rank_cume": "Scale-true global percent_rank/cume_dist: the unique order makes rank == row_number, so both statistics are exact integer divisions on the range-partitioned prefix COUNT + a broadcast 1-row total — no single-partition window.",
     "knn_label_transfer": "kNN label propagation: the bounded query set broadcasts (the corpus never shuffles for scoring — same shape as ann_cosine_topk); salted two-stage top-k; the majority vote is a tiny (query,label) aggregate + per-query window.",
     "propensity_match_pairs": "Propensity matching: ONE user_id shuffle for the exact-cents score reduction; control dedup aggregates per score; the as-of match runs on the range-partitioned distributed as-of join — no global sort, no single-partition window.",
     "minhash_source_signature": "Mergeable source sketches: all 64 permutation minima compute in ONE aggregate over the distinct (source, gram) stream (no per-perm pass, no explode); the |sources|-row signature table self-joins via broadcast — gram sets never pairwise-join.",

@@ -2591,3 +2591,30 @@ def test_minhash_lsh_bucket_cap_guards_skew(spark):
     assert {p for p in uncapped if p[0] < 200 and p[1] < 200} == {
         p for p in capped if p[0] < 200 and p[1] < 200
     }
+
+
+def test_global_row_number_matches_window(spark):
+    """global_row_number == row_number() over the same total order, on a
+    multi-partition frame with duplicate sort-key prefixes (uniqueness
+    comes from the tie column, as in the percent_rank/ntile queries)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.operators.prefix import global_row_number
+
+    df = spark.range(0, 5000, 1, 16).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("tie")
+    )
+    got = {
+        (r.k, r.tie): r.rn
+        for r in global_row_number(
+            df, [F.col("k").asc(), F.col("tie").asc()]
+        ).collect()
+    }
+    exp = {
+        (r.k, r.tie): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.orderBy("k", "tie")).cast("bigint")
+        ).collect()
+    }
+    assert got == exp

@@ -76,14 +76,14 @@ def synthesize(spark, k: int) -> str:
         if r == 0:
             salt = F.col("text")
         else:
-            src = letters + digits
-            dst = (
+            rot_from = letters + digits
+            rot_to = (
                 letters[r % 26 :]
                 + letters[: r % 26]
                 + digits[r % 10 :]
                 + digits[: r % 10]
             )
-            salt = F.translate(F.lower(F.col("text")), src, dst)
+            salt = F.translate(F.lower(F.col("text")), rot_from, rot_to)
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + r * 10_000_000).alias("doc_id"),

@@ -1618,3 +1618,106 @@ def q_compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(
         ensure_parallelism(load_table(spark, sf_dir, "documents"))
     )
+
+
+_MHSIG_PERMS = 16
+
+
+def _mh_sig_checked_oracle() -> str:
+    """Portable-MinHash source signatures in SQL: 40-bit md5 gram
+    hashes + the same small-coefficient permutations as
+    functions/dedup.portable_perm_params — every min() exact int64."""
+    from pandas_etl_spark.functions.dedup import _P40, portable_perm_params
+
+    params = portable_perm_params(_MHSIG_PERMS, seed=42)
+    mins = ",\n               ".join(
+        f"min((h * {a} + {b}) % {_P40}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(_MHSIG_PERMS)
+    )
+    return f"""
+    WITH t AS (SELECT source, {_DD_TOK} AS t FROM documents),
+    g AS (
+        SELECT DISTINCT source, gram
+        FROM (SELECT source, unnest(list_distinct({_dd_grams(5)})) AS gram
+              FROM t)
+    ),
+    h AS (
+        SELECT source,
+               CAST('0x' || substring(md5(gram), 1, 10) AS BIGINT) AS h
+        FROM g
+    ),
+    sig AS MATERIALIZED (
+        SELECT source,
+               {mins}
+        FROM h GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST({eq} AS BIGINT) AS n_matching_perms,
+           round(({eq}) * 1.0 / {_MHSIG_PERMS}, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+    """
+
+
+@query("minhash_source_signature_checked", oracle=_mh_sig_checked_oracle())
+def q_minhash_source_signature_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-CHECKED portable twin of minhash_source_signature (whose
+    xxhash64 sketch is engine-specific): 40-bit md5 gram hashes under
+    the small-coefficient portable permutations — every intermediate an
+    exact int64, so the per-source signatures and the signature-compare
+    similarity hash-match cross-engine. Same shape: distinct
+    (source, gram) reduction, ONE source-keyed aggregate folding all 16
+    mins map-side, |sources|² broadcast compare."""
+    from pandas_etl_spark.functions.dedup import (
+        _P40,
+        portable_perm_params,
+    )
+    from pandas_etl_spark.functions.text import tokens, word_ngrams
+
+    params = portable_perm_params(_MHSIG_PERMS, seed=42)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    g = (
+        docs.select("source", tokens("text").alias("t"))
+        .select(
+            "source",
+            F.explode(F.array_distinct(word_ngrams("t", 5))).alias("gram"),
+        )
+        .distinct()
+    )
+    h = g.select(
+        "source",
+        F.expr(
+            "cast(conv(substring(md5(gram), 1, 10), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    sig = h.groupBy("source").agg(
+        *[
+            F.min(F.expr(f"(h * {a}L + {b}L) % {_P40}L")).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    a = sig.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"m{i}").alias(f"am{i}") for i in range(_MHSIG_PERMS)],
+    )
+    b = sig.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(_MHSIG_PERMS)],
+    )
+    matches = None
+    for i in range(_MHSIG_PERMS):
+        term = F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return a.join(
+        F.broadcast(b), F.col("source_a") < F.col("source_b")
+    ).select(
+        "source_a",
+        "source_b",
+        matches.cast("bigint").alias("n_matching_perms"),
+        F.round(matches * 1.0 / _MHSIG_PERMS, 6).alias("est_jaccard"),
+    )

@@ -207,6 +207,7 @@ EXTENDED = [
     "pca_power_top_component",
     "ann_lsh_checked",
     "heavy_hitters_cms_checked",
+    "minhash_source_signature_checked",
     # k_core_fixed_depth is deliberately NOT benched: it is the first 4
     # peel rounds of the already-benched k_core_parts (the
     # community_modularity / dedup_cluster_histogram precedent)

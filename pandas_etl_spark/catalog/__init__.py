@@ -102,8 +102,14 @@ _PRIORITY = [
     "stream_quality_gate",
     "stream_geo_density",
 ]
-# r8+ rotation pool: ~100 oracle-backed queries remain never
-# driver-checked after this round's 35 (the misc/pandas-parity tail —
+# r8+ rotation pool: ~110 oracle-backed queries remain never
+# driver-checked after this round's 35 (the 24 round-7 additions —
+# gini/lorenz/weighted_percentiles, entropy/chi-square/effect sizes,
+# stickiness + first-seen family, the ML audits, checked LSH/CMS/PCA/
+# k-center/markov/source-signature twins, stream_asof_enrich,
+# rolling_corr, jaccard_link_prediction, attribution_time_decay,
+# k_anonymize_local, k_core_fixed_depth — plus the
+# misc/pandas-parity tail —
 # null_handling/percentiles_exact/str_extractall/describe_stats/…,
 # embeddings — centroids/outliers/standardize, skew pair, remaining
 # graph/stats — triangle_top/modularity/adamic_adar/bfs/assortativity/

@@ -208,6 +208,8 @@ EXTENDED = [
     "ann_lsh_checked",
     "heavy_hitters_cms_checked",
     "minhash_source_signature_checked",
+    "erasure_rewrite",
+    "corpus_datacard",
     # k_core_fixed_depth is deliberately NOT benched: it is the first 4
     # peel rounds of the already-benched k_core_parts (the
     # community_modularity / dedup_cluster_histogram precedent)

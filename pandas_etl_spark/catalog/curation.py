@@ -1721,3 +1721,151 @@ def q_minhash_source_signature_checked(
         matches.cast("bigint").alias("n_matching_perms"),
         F.round(matches * 1.0 / _MHSIG_PERMS, 6).alias("est_jaccard"),
     )
+
+
+@query(
+    "erasure_rewrite",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    kept AS (SELECT * FROM d WHERE user_id % 97 <> 0)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS value_cents,
+           CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_residue
+    FROM kept GROUP BY day
+    """,
+)
+def q_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure at lakehouse granularity: the event
+    log lands day-partitioned; a deterministic erase set (user_id % 97
+    = 0 — the GDPR delete list stand-in) is then removed by rewriting
+    ONLY the partitions that contain those users (dynamic partition
+    overwrite — untouched days keep their files byte-identical; a day
+    whose every row is erased is DROPPED explicitly, since a dynamic
+    overwrite emitting zero rows rewrites nothing — the
+    backfill_day_partition lesson). The returned rollup re-reads the
+    store and carries an n_residue column the oracle pins at zero, so
+    the green hash proves complete erasure, not just a filtered view.
+    At 100 TB the rewrite cost is |affected partitions|, never the
+    table."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="erasure_"), "t")
+    ev.write.partitionBy("day").parquet(tmp)
+    erased = F.col("user_id") % 97 == 0
+    affected = [
+        r["day"]
+        for r in spark.read.parquet(tmp).filter(erased).select("day").distinct().collect()
+    ]  # bounded: <= |days in range|
+    if affected:
+        fixed = (
+            spark.read.parquet(tmp)
+            .filter(F.col("day").isin(affected))
+            .filter(~erased)
+        )
+        kept_days = {
+            r["day"] for r in fixed.select("day").distinct().collect()
+        }
+        for d0 in affected:
+            if d0 not in kept_days:  # whole partition erased: DROP it
+                shutil.rmtree(
+                    os.path.join(tmp, f"day={d0}"), ignore_errors=True
+                )
+        if kept_days:
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                fixed.write.mode("overwrite").partitionBy("day").parquet(tmp)
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+    store = spark.read.parquet(tmp)
+    return store.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("value_cents"),
+        F.sum(F.when(erased, 1).otherwise(0)).cast("bigint").alias(
+            "n_residue"
+        ),
+    )
+
+
+def _datacard_oracle() -> str:
+    from pandas_etl_spark.catalog.text import _DD_NTOK
+
+    return f"""
+    WITH m AS (
+        SELECT lang, source, n_chars,
+               {_DD_QUALITY} AS quality,
+               CAST({_DD_NTOK} AS BIGINT) AS n_tokens,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT)           AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT)         AS n_sources,
+           CAST(sum(n_tokens) AS BIGINT)                  AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT)                   AS n_chars,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT)  AS n_exact_dups,
+           round(avg(quality), 6)                         AS mean_quality,
+           CAST(min(n_tokens) AS BIGINT)                  AS min_tokens,
+           CAST(CAST(quantile_disc(n_tokens, 0.5) AS DOUBLE) AS BIGINT)
+                                                          AS p50_tokens,
+           CAST(max(n_tokens) AS BIGINT)                  AS max_tokens
+    FROM m
+    """
+
+
+@query("corpus_datacard", oracle=_datacard_oracle())
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus DATACARD — the release-notes header block (doc /
+    lang / source counts, token and char volume, exact-dup count, mean
+    quality, token-length spread) computed in ONE scan: every metric is
+    an aggregate over the same projection (fingerprint, token count,
+    quality are scan-projection expressions), so the card costs one
+    pass no matter how many metrics it carries. The discrete median
+    keeps the percentile integer-exact cross-engine."""
+    from pandas_etl_spark.functions.text import quality_score, token_count
+    from pandas_etl_spark.functions.text import fingerprint
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    m = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+        fingerprint("text").alias("fp"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)")
+        .cast("bigint")
+        .alias("p50_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )

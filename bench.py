@@ -183,9 +183,9 @@ EXTENDED = [
     "tpch_q19_disjunctive",
     "tpch_q20_part_promotion",
     "tpch_q22_idle_customers",
-    # round-7 additions
+    # round-7 additions (markov_attribution gained its oracle this round
+    # but was already benched in the round-5 block above)
     "k_anonymize_local",
-    "markov_attribution",
     "gini_revenue_concentration",
     "lorenz_deciles",
     "entropy_by_source",

@@ -210,6 +210,7 @@ EXTENDED = [
     "minhash_source_signature_checked",
     "erasure_rewrite",
     "corpus_datacard",
+    "exact_quantiles_distributed",
     # k_core_fixed_depth is deliberately NOT benched: it is the first 4
     # peel rounds of the already-benched k_core_parts (the
     # community_modularity / dedup_cluster_histogram precedent)

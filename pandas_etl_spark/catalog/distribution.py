@@ -561,3 +561,81 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_distinct_users"),
     )
+
+
+# numerator/denominator quantiles as exact integer ratios (disc method):
+# the selected row is the smallest rn with den*rn >= num*n
+_EQ_QUANTILES = [(1, 2), (9, 10), (99, 100)]
+
+
+@query(
+    "exact_quantiles_distributed",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber)
+                   AS rn,
+               count(*) OVER () AS n
+        FROM v
+    ),
+    qs (num, den) AS (
+        VALUES {", ".join(f"({n}, {d})" for n, d in _EQ_QUANTILES)}
+    )
+    SELECT round(num * 1.0 / den, 2) AS q,
+           CAST(max(n) AS BIGINT) AS n,
+           round(min(cents) * 1.0 / 100.0, 2) AS value
+    FROM r CROSS JOIN qs
+    WHERE den * rn >= num * n
+    GROUP BY num, den
+    """,
+)
+def q_exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles (p50/p90/p99, discrete method) without
+    ever centralizing the values: Spark's ``percentile`` aggregate is
+    exact but buffers the column per aggregation task — memory-bound at
+    100 TB — while this is the range-partitioned global prefix COUNT
+    plus an exact integer crossing test  den·rn ≥ num·n  per quantile
+    (the unweighted sibling of weighted_percentiles). Adding a quantile
+    adds a broadcast literal row, not a pass; the only driver state is
+    one count per partition."""
+    from pyspark.sql import Window as W  # noqa: F401  (parity w/ siblings)
+
+    from pandas_etl_spark.operators.prefix import global_row_number
+
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem")).select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    r = global_row_number(
+        li,
+        [
+            F.col("cents").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+    )
+    n = li.agg(F.count(F.lit(1)).alias("n"))
+    qs = F.broadcast(
+        spark.createDataFrame(_EQ_QUANTILES, "num int, den int")
+    )
+    return (
+        r.crossJoin(F.broadcast(n))
+        .crossJoin(qs)
+        .filter(F.col("den") * F.col("rn") >= F.col("num") * F.col("n"))
+        .groupBy("num", "den")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(F.min("cents") * 1.0 / 100.0, 2).alias("value"),
+        )
+        .select(
+            F.round(F.col("num") * 1.0 / F.col("den"), 2).alias("q"),
+            "n",
+            "value",
+        )
+    )

@@ -1762,6 +1762,11 @@ def q_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
+    if ev.limit(1).isEmpty():  # empty ingestion: empty store, stable schema
+        return spark.createDataFrame(
+            [],
+            "day string, n_rows bigint, value_cents bigint, n_residue bigint",
+        )
     tmp = os.path.join(tempfile.mkdtemp(prefix="erasure_"), "t")
     ev.write.partitionBy("day").parquet(tmp)
     erased = F.col("user_id") % 97 == 0

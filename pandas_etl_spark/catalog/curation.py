@@ -1783,11 +1783,11 @@ def q_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept_days = {
             r["day"] for r in fixed.select("day").distinct().collect()
         }
-        for d0 in affected:
-            if d0 not in kept_days:  # whole partition erased: DROP it
-                shutil.rmtree(
-                    os.path.join(tmp, f"day={d0}"), ignore_errors=True
-                )
+        # ORDER MATTERS: rewrite first, drop after. The rewrite's lazy
+        # plan scans every affected partition (including fully-erased
+        # ones); deleting a partition before the write executes makes
+        # that scan hit missing files (caught by the layout test with
+        # an all-erased day — real data rarely has one).
         if kept_days:
             prev = spark.conf.get(
                 "spark.sql.sources.partitionOverwriteMode", "static"
@@ -1800,6 +1800,11 @@ def q_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             finally:
                 spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        for d0 in affected:
+            if d0 not in kept_days:  # whole partition erased: DROP it
+                shutil.rmtree(
+                    os.path.join(tmp, f"day={d0}"), ignore_errors=True
                 )
     store = spark.read.parquet(tmp)
     return store.groupBy(F.col("day").cast("string").alias("day")).agg(

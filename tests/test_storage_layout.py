@@ -466,3 +466,72 @@ def test_dynamic_partition_overwrite_touches_only_emitted_days(spark, sf_dir, tm
         .count()
     )
     assert got == 0
+
+
+def test_erasure_rewrite_touches_only_affected_days(spark, sf_dir, tmp_path):
+    """GDPR erasure must rewrite exactly the partitions containing the
+    erase set: every day WITHOUT erased users keeps its files
+    byte-for-byte; affected days lose every erased row; a day whose
+    rows are ALL erased disappears entirely."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    tgt = str(tmp_path / "t")
+    rows = (
+        # day A: mixed (user 97 erased, 1/2 kept)
+        [("2024-01-01", u, 10) for u in (97, 1, 2)]
+        # day B: untouched (no erased users)
+        + [("2024-01-02", u, 20) for u in (3, 4)]
+        # day C: fully erased
+        + [("2024-01-03", u, 30) for u in (194, 291)]
+    )
+    spark.createDataFrame(
+        rows, "day string, user_id long, cents long"
+    ).write.partitionBy("day").parquet(tgt)
+
+    def listing(day: str) -> dict[str, tuple[int, float]]:
+        out = {}
+        root_dir = os.path.join(tgt, f"day={day}")
+        for root, _, files in os.walk(root_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime)
+        return out
+
+    before_b = listing("2024-01-02")
+    erased = F.col("user_id") % 97 == 0
+    affected = [
+        r["day"]
+        for r in spark.read.parquet(tgt)
+        .filter(erased)
+        .select("day")
+        .distinct()
+        .collect()
+    ]
+    # partition values read back as DATE under inference
+    assert sorted(str(d) for d in affected) == ["2024-01-01", "2024-01-03"]
+    fixed = (
+        spark.read.parquet(tgt).filter(F.col("day").isin(affected)).filter(~erased)
+    )
+    kept_days = {str(r["day"]) for r in fixed.select("day").distinct().collect()}
+    import shutil
+
+    # rewrite FIRST (its lazy plan scans the fully-erased partition),
+    # drop the all-erased day after — same order as erasure_rewrite
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.mode("overwrite").partitionBy("day").parquet(tgt)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for d0 in (str(d) for d in affected):
+        if d0 not in kept_days:
+            shutil.rmtree(os.path.join(tgt, f"day={d0}"), ignore_errors=True)
+    assert listing("2024-01-02") == before_b  # untouched day intact
+    assert not os.path.isdir(os.path.join(tgt, "day=2024-01-03"))  # dropped
+    store = spark.read.parquet(tgt)
+    assert store.filter(erased).count() == 0  # zero residue
+    assert store.count() == 4  # 2 kept on day A + 2 on day B

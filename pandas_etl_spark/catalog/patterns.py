@@ -873,3 +873,106 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wq_price",
         )
     )
+
+
+_CROSTON_ALPHA = 0.3
+
+
+@query(
+    "croston_intermittent_demand",
+    oracle=f"""
+    WITH d AS (
+        SELECT l_partkey AS part, l_quantity AS qty,
+               datediff('day', DATE '1970-01-01', l_shipdate) AS day,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    lists AS (
+        SELECT part,
+               list(qty ORDER BY day, l_orderkey, l_linenumber) AS qs,
+               list(day ORDER BY day, l_orderkey, l_linenumber) AS ds,
+               count(*) AS n
+        FROM d GROUP BY part
+    ),
+    ser AS (
+        SELECT part, n, qs,
+               list_transform(generate_series(1, len(ds) - 1),
+                              i -> CAST(ds[i + 1] - ds[i] AS DOUBLE)) AS gaps
+        FROM lists WHERE n >= 2
+    ),
+    sm AS (
+        SELECT part, n,
+               CAST(list_reduce(qs,
+                    (acc, x) -> {1 - _CROSTON_ALPHA} * acc
+                                + {_CROSTON_ALPHA} * x) AS DOUBLE) AS z,
+               CAST(list_reduce(gaps,
+                    (acc, x) -> {1 - _CROSTON_ALPHA} * acc
+                                + {_CROSTON_ALPHA} * x) AS DOUBLE) AS p
+        FROM ser
+    )
+    SELECT part AS l_partkey, CAST(n AS BIGINT) AS n_demands,
+           round(z, 6) AS smoothed_size,
+           round(p, 6) AS smoothed_interval_days,
+           round(z / p, 6) AS croston_daily_forecast
+    FROM sm WHERE p > 0
+    """,
+)
+def q_croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (the standard forecast
+    for sparse spare-part/SKU series, where plain EWMA biases toward
+    zero-heavy periods): per part, exponentially smooth the nonzero
+    demand SIZES and the inter-demand INTERVALS separately; the demand
+    rate is their ratio. Same bit-reproducible recursion contract as
+    ewm_mean: pandas' adjust=False EWMA inside one mapInPandas per
+    partition (parts parallelize; total per-part order makes the
+    doubles exact) ≡ DuckDB list_reduce over the same ordered lists.
+    One l_partkey shuffle; series are per-part bounded."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.datediff("l_shipdate", F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    n = spark.sparkContext.defaultParallelism
+    part = li.repartition(n, "part").sortWithinPartitions(
+        "part", "day", "l_orderkey", "l_linenumber"
+    )
+
+    def croston(batches):
+        import pandas as pd
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out = []
+        for key, g in pdf.groupby("part", sort=False):
+            if len(g) < 2:
+                continue
+            z = (
+                g["qty"].ewm(alpha=_CROSTON_ALPHA, adjust=False).mean().iloc[-1]
+            )
+            gaps = g["day"].diff().dropna().astype("float64")
+            p = gaps.ewm(alpha=_CROSTON_ALPHA, adjust=False).mean().iloc[-1]
+            if p > 0:
+                out.append((key, len(g), round(z, 6), round(p, 6), round(z / p, 6)))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "l_partkey",
+                    "n_demands",
+                    "smoothed_size",
+                    "smoothed_interval_days",
+                    "croston_daily_forecast",
+                ],
+            )
+
+    return part.mapInPandas(
+        croston,
+        "l_partkey long, n_demands bigint, smoothed_size double, "
+        "smoothed_interval_days double, croston_daily_forecast double",
+    )

@@ -1767,7 +1767,8 @@ def q_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             [],
             "day string, n_rows bigint, value_cents bigint, n_residue bigint",
         )
-    tmp = os.path.join(tempfile.mkdtemp(prefix="erasure_"), "t")
+    tmp_root = tempfile.mkdtemp(prefix="erasure_")
+    tmp = os.path.join(tmp_root, "t")
     ev.write.partitionBy("day").parquet(tmp)
     erased = F.col("user_id") % 97 == 0
     affected = [
@@ -1806,14 +1807,29 @@ def q_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.rmtree(
                     os.path.join(tmp, f"day={d0}"), ignore_errors=True
                 )
+    # pathological all-erased input: every partition was dropped, so the
+    # store has no data files — reading it would fail schema inference
+    # (r7 ADVICE); return the stable empty-schema frame instead
+    if not any(n.startswith("day=") for n in os.listdir(tmp)):
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        return spark.createDataFrame(
+            [],
+            "day string, n_rows bigint, value_cents bigint, n_residue bigint",
+        )
     store = spark.read.parquet(tmp)
-    return store.groupBy(F.col("day").cast("string").alias("day")).agg(
+    rollup = store.groupBy(F.col("day").cast("string").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("cents").cast("bigint").alias("value_cents"),
         F.sum(F.when(erased, 1).otherwise(0)).cast("bigint").alias(
             "n_residue"
         ),
     )
+    # materialize BEFORE deleting the store the lazy plan reads from
+    # (write-before-drop, same lesson as the rewrite above), then clean
+    # up the temp store — sweep/bench sessions must not leak /tmp copies
+    rollup = rollup.localCheckpoint(eager=True)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return rollup
 
 
 def _datacard_oracle() -> str:

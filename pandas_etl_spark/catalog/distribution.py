@@ -60,12 +60,14 @@ _REV_CTE = """
         FROM rev
     ),
     agg AS (
-        SELECT count(*) AS n, sum(cents) AS s, sum(cum) AS t FROM ranked
+        SELECT count(*) AS n, sum(cents) AS s,
+               sum(CAST(cum AS DOUBLE)) AS t
+        FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS n_customers,
            CAST(s AS BIGINT) AS total_cents,
-           round((2.0 * ((n + 1) * s - t)) / (n * 1.0 * s)
-                 - (n + 1) * 1.0 / n, 6) AS gini
+           round((2.0 * ((n + 1.0) * s - t)) / (n * 1.0 * s)
+                 - (n + 1.0) / n, 6) AS gini
     FROM agg
     """,
 )
@@ -75,8 +77,12 @@ def q_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-cents per-customer totals; the sorted cumulative runs through
     the range-partitioned global prefix sum, and Σ rank·x is recovered
     from Σ cum via  Σ rank·x = (n+1)·Σx − Σ cum  — so the only state
-    after the prefix sum is two 1-row integer aggregates. No rank
-    column, no single-partition window, at any n."""
+    after the prefix sum is two 1-row aggregates. No rank column, no
+    single-partition window, at any n. Σ cum and (n+1)·Σx are ~n·s/2
+    (~1.7e18 already at sf1) so both are computed in double — bigint
+    would silently wrap in Spark by ~sf3 while DuckDB promotes to
+    HUGEINT, a silent cross-engine divergence; gini is a ratio rounded
+    to 6 places, so double accumulation is exact far beyond that."""
     from pandas_etl_spark.operators.prefix import global_running_sum
 
     o = ensure_parallelism(load_table(spark, sf_dir, "orders"))
@@ -91,14 +97,14 @@ def q_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = cum.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("s"),
-        F.sum("cum").alias("t"),
+        F.sum(F.col("cum").cast("double")).alias("t"),
     )
     n, s, t = F.col("n"), F.col("s"), F.col("t")
     return agg.select(
         n.cast("bigint").alias("n_customers"),
         s.cast("bigint").alias("total_cents"),
         F.round(
-            (2.0 * ((n + 1) * s - t)) / (n * 1.0 * s) - (n + 1) * 1.0 / n, 6
+            (2.0 * ((n + 1.0) * s - t)) / (n * 1.0 * s) - (n + 1.0) / n, 6
         ).alias("gini"),
     )
 

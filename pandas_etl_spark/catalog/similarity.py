@@ -483,6 +483,7 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     level (PartitionFilters plan-asserted). Deterministic fit ⇒
     bit-identical to ann_ivf_topk on the same corpus (tested).
     Rows-only driver check (k-means is engine-specific)."""
+    import shutil
     import tempfile
 
     from pandas_etl_spark.functions.similarity import (
@@ -496,9 +497,15 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="ivf_index_")
     build_ivf_index(emb, path, n_cells=16, kmeans_iters=2)
-    return ann_ivf_indexed(queries, path, k=_TOPK, nprobe=4).withColumnRenamed(
+    result = ann_ivf_indexed(queries, path, k=_TOPK, nprobe=4).withColumnRenamed(
         "rank", "rnk"
     )
+    # materialize the (|queries|·k)-row result before deleting the index
+    # it scans (partition-filter skipping is plan-asserted in
+    # tests/test_operators.py on its own index), then clean up /tmp
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return result
 
 
 def _knn_lpa_oracle() -> str:

@@ -513,6 +513,9 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept = spark.read.parquet(corpus).count()
     except Exception:  # empty source: no batch ever wrote the corpus dir
         kept = 0
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # /tmp hygiene (r7 VERDICT #6)
     return spark.createDataFrame(
         [(n_in, kept, n_in - kept)], "n_input long, n_corpus long, n_dropped long"
     )
@@ -668,9 +671,17 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions = sorted(
         int(os.path.basename(p)[1:]) for p in _glob.glob(os.path.join(snap, "v*"))
     )
+    import shutil
+
     if not versions:  # empty source: no micro-batch ever committed
+        shutil.rmtree(tmp, ignore_errors=True)
         return base
-    return spark.read.parquet(os.path.join(snap, f"v{versions[-1]}"))
+    result = spark.read.parquet(os.path.join(snap, f"v{versions[-1]}"))
+    # materialize before deleting the snapshot files the lazy plan
+    # reads, then clean up (/tmp hygiene — r7 VERDICT #6)
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
 
 
 @query(
@@ -734,14 +745,22 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     parts = [p for p in (_read(good, False), _read(quar, True)) if p is not None]
+    import shutil
+
     if not parts:
+        shutil.rmtree(tmp, ignore_errors=True)
         return spark.createDataFrame(
             [], "quarantined boolean, n_rows bigint, total_value double"
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    return out.filter(F.col("n_rows") > 0)
+    out = out.filter(F.col("n_rows") > 0)
+    # materialize (≤2 rows) before deleting the stores the aggs read,
+    # then clean up (/tmp hygiene — r7 VERDICT #6)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 @query("stream_manifest_ingest")
@@ -806,8 +825,12 @@ def q_stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows, ok = res["n_rows"], bool(res["ok"])
     except Exception:  # empty source: no batch landed, nothing to verify
         n_rows, ok = 0, True
+    n_input = docs.count()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # /tmp hygiene (r7 VERDICT #6)
     return spark.createDataFrame(
-        [(docs.count(), n_rows, ok)],
+        [(n_input, n_rows, ok)],
         "n_input long, n_rows long, verified boolean",
     )
 
@@ -865,9 +888,12 @@ def q_stream_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    import shutil
+
     try:
         streamed = read_snapshot_version(spark, rollup_path).drop("__batch")
     except FileNotFoundError:  # empty source: nothing landed
+        shutil.rmtree(tmp, ignore_errors=True)
         return spark.createDataFrame(
             [(0, 0, 0, True)],
             "n_days long, est_streamed long, est_batch long, verified boolean",
@@ -885,6 +911,7 @@ def q_stream_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_total = hll_estimate(streamed, []).first()["distinct_est"] or 0
     c_total = hll_estimate(cold, []).first()["distinct_est"] or 0
     verified = s_daily == c_daily and s_total == c_total
+    shutil.rmtree(tmp, ignore_errors=True)  # /tmp hygiene (r7 VERDICT #6)
     return spark.createDataFrame(
         [(len(s_daily), int(s_total), int(c_total), bool(verified))],
         "n_days long, est_streamed long, est_batch long, verified boolean",
@@ -943,9 +970,12 @@ def q_stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     n_in = docs.count()
+    import shutil
+
     try:
         got = spark.read.parquet(corpus).select("doc_id", "text")
     except Exception:  # empty source: no batch ever wrote the corpus
+        shutil.rmtree(tmp, ignore_errors=True)
         return spark.createDataFrame(
             [(n_in, 0, 0, n_in == 0)],
             "n_input long, n_corpus long, n_tokens_removed long, verified boolean",
@@ -973,8 +1003,10 @@ def q_stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatches = (
         got.exceptAll(expect).count() + expect.exceptAll(got).count()
     )
+    n_corpus = got.count()
+    shutil.rmtree(tmp, ignore_errors=True)  # /tmp hygiene (r7 VERDICT #6)
     return spark.createDataFrame(
-        [(n_in, got.count(), int(n_removed), mismatches == 0)],
+        [(n_in, n_corpus, int(n_removed), mismatches == 0)],
         "n_input long, n_corpus long, n_tokens_removed long, verified boolean",
     )
 
@@ -1126,14 +1158,21 @@ def q_stream_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(os.path.basename(p)[1:])
         for p in _glob.glob(os.path.join(state, "v*"))
     )
+    import shutil
+
     if not versions:  # empty source: the seed MV is the answer
+        shutil.rmtree(tmp, ignore_errors=True)
         return base.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.sum("cents").cast("bigint").alias("bal_cents"),
         )
-    return spark.read.parquet(
+    result = spark.read.parquet(
         os.path.join(state, f"v{versions[-1]}", "mv")
     ).select("bucket", "n_rows", "bal_cents")
+    # materialize the 10-row MV before deleting its files, then clean up
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
 
 
 @query(
@@ -1181,14 +1220,14 @@ def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(
         F.min(ts_seconds("ts")).alias("lo"), F.max(ts_seconds("ts")).alias("hi")
     ).first()
-    tmp = tempfile.mkdtemp(prefix="stream_asof_")
-    src, out = os.path.join(tmp, "src"), os.path.join(tmp, "out")
     if bounds is None or bounds["lo"] is None:
         return purchases.select(
             "event_id", "user_id", "ts", "value",
             F.lit(None).cast("double").alias("click_value"),
             F.lit(None).cast(purchases.schema["ts"].dataType).alias("ts_click"),
         )
+    tmp = tempfile.mkdtemp(prefix="stream_asof_")
+    src, out = os.path.join(tmp, "src"), os.path.join(tmp, "out")
     cutoff = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
     purchases.filter(ts_seconds("ts") < cutoff).coalesce(1).write.parquet(
         os.path.join(src, "b0")
@@ -1232,6 +1271,25 @@ def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(out).select(
+    import shutil
+
+    # zero purchases: every micro-batch is empty, the dynamic-overwrite
+    # sink never writes a partition, and reading the store would fail
+    # schema inference (r7 ADVICE) — return the stable empty frame
+    if not os.path.isdir(out) or not any(
+        n.startswith("__batch=") for n in os.listdir(out)
+    ):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return purchases.filter(F.lit(False)).select(
+            "event_id", "user_id", "ts", "value",
+            F.lit(None).cast("double").alias("click_value"),
+            F.lit(None).cast(purchases.schema["ts"].dataType).alias("ts_click"),
+        )
+    result = spark.read.parquet(out).select(
         "event_id", "user_id", "ts", "value", "click_value", "ts_click"
     )
+    # materialize before deleting the files the lazy plan reads, then
+    # clean up — sweep/bench sessions must not leak /tmp store copies
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -375,17 +375,23 @@ def minhash_lsh_pairs(
     collisions, not N². ``bands`` tunes the S-curve: more bands → recall
     at lower similarity.
 
-    ``max_bucket`` drops buckets larger than the cap before the in-bucket
-    self-join — the standard LSH skew guard. Without it, boilerplate-
-    heavy corpora are quadratic: ultra-common shingles (site chrome,
-    license headers, templates) pull many documents' per-band minima to
-    the SAME values, and one such mega-bucket costs B² pairs (measured
-    on a salted ×5 corpus: 1.9 s → 99 s, exponent ≈ 2.4, from exactly
-    this — SCALE.md round 7). A dropped pair only loses candidacy in
-    that band; genuinely similar docs still collide in the other
-    bands, and buckets past ~1000 members are template chrome, not
-    near-dup families. Pass ``None`` to disable (exact gate-scale
-    parity with the unbanded oracle)."""
+    ``max_bucket`` is the LSH skew guard. Without it, boilerplate-heavy
+    corpora are quadratic: ultra-common shingles (site chrome, license
+    headers, templates) pull many documents' per-band minima to the
+    SAME values, and one such mega-bucket costs B² pairs (measured on a
+    salted ×5 corpus: 1.9 s → 99 s, exponent ≈ 2.4 — SCALE.md round 7).
+    Buckets at or under the cap self-join as usual; OVERSIZED buckets
+    degrade to a STAR against the bucket's min id instead of being
+    dropped: a genuine near-dup family larger than the cap shares its
+    per-band minima in EVERY band, so dropping would silently zero its
+    recall — exactly the largest true duplicate clusters (r7 ADVICE).
+    The star keeps every member candidate-paired with one
+    representative at O(B) pairs; the signature-agreement verification
+    below then separates real families (members ≈ rep → pairs survive,
+    and connected-components downstream closes the cluster) from
+    template chrome (members disagree with the rep → filtered). Pass
+    ``None`` to disable (exact gate-scale parity with the unbanded
+    oracle)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, k, seed)
@@ -409,25 +415,31 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    star = None
     if max_bucket is not None:
         # skew guard: one aggregate on the same (band, bucket) key the
-        # join shuffles on, then a filter — mega-buckets never reach
-        # the self-join
+        # join shuffles on. Mega-buckets never reach the self-join —
+        # they emit |bucket|-1 star pairs against min(id) instead, so a
+        # >cap near-dup family degrades to O(B), not to zero recall.
         sizes = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__bn")
+            F.count(F.lit(1)).alias("__bn"), F.min("id").alias("__rep")
         )
-        banded = (
-            banded.join(sizes, ["band", "bucket"])
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
+        tagged = banded.join(sizes, ["band", "bucket"])
+        star = tagged.filter(
+            (F.col("__bn") > max_bucket) & (F.col("id") != F.col("__rep"))
+        ).select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+        banded = tagged.filter(F.col("__bn") <= max_bucket).drop(
+            "__bn", "__rep"
         )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     with_sigs = (
         cand.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -491,9 +503,10 @@ def minhash_lsh_pairs_portable(
     """Oracle-reproducible MinHash-LSH pairs: band bucket key is the
     concatenated signature slice (portable across engines, unlike
     murmur3 ``F.hash``). ``max_bucket`` is the same skew guard as the
-    production variant's (see :func:`minhash_lsh_pairs`), default OFF
-    here so the gate-scale oracle comparison stays unconditional — an
-    oracle adopting it must mirror the cap with a HAVING on the same
+    production variant's (oversized buckets degrade to a star against
+    min(id) — see :func:`minhash_lsh_pairs`), default OFF here so the
+    gate-scale oracle comparison stays unconditional — an oracle
+    adopting it must mirror both the cap and the star on the same
     bucket key."""
     assert num_perm % bands == 0
     rows = num_perm // bands
@@ -516,22 +529,27 @@ def minhash_lsh_pairs_portable(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    star = None
     if max_bucket is not None:
         sizes = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__bn")
+            F.count(F.lit(1)).alias("__bn"), F.min("id").alias("__rep")
         )
-        banded = (
-            banded.join(sizes, ["band", "bucket"])
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
+        tagged = banded.join(sizes, ["band", "bucket"])
+        star = tagged.filter(
+            (F.col("__bn") > max_bucket) & (F.col("id") != F.col("__rep"))
+        ).select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+        banded = tagged.filter(F.col("__bn") <= max_bucket).drop(
+            "__bn", "__rep"
         )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"m{i}").alias(f"am{i}") for i in range(num_perm)])
     sb = sig.select(F.col("id").alias("id_b"), *[F.col(f"m{i}").alias(f"bm{i}") for i in range(num_perm)])
     with_sigs = cand.join(sa, "id_a").join(sb, "id_b")

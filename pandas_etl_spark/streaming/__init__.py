@@ -535,10 +535,20 @@ def mv_maintain_sink(
             return -1, None, None, -1
         v = vs[-1]
         mark = os.path.join(state_path, f"v{v}", "_BATCH")
-        applied = -1
-        if os.path.isfile(mark):
-            with open(mark) as fh:
-                applied = int(fh.read().strip() or -1)
+        if not os.path.isfile(mark):
+            # A committed version without its _BATCH high-water mark can
+            # only be state written by pre-_BATCH code: treating it as
+            # applied=-1 would re-apply an already-committed batch on
+            # checkpoint replay (double-applied CDC deltas — r7 ADVICE).
+            # There is no safe high-water guess, so refuse to resume.
+            raise RuntimeError(
+                f"mv_maintain_sink state at {state_path!r} has v{v} "
+                "without a _BATCH mark (pre-upgrade layout); discard the "
+                "state dir and the stream checkpoint, then re-run the "
+                "initial load"
+            )
+        with open(mark) as fh:
+            applied = int(fh.read().strip() or -1)
         return (
             v,
             spark.read.parquet(os.path.join(state_path, f"v{v}", "snapshot")),

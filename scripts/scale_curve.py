@@ -143,16 +143,22 @@ def main() -> int:
             times[q][k] = round(best, 3)
             print(json.dumps({"query": q, "scale": k, "sec": times[q][k]}))
     k0, k1 = min(scales), max(scales)
-    print("\n| query | " + " | ".join(f"x{k} (s)" for k in sorted(scales))
-          + " | exponent |")
-    print("|---" * (len(scales) + 2) + "|")
+    # single-scale runs have no curve — print times without an exponent
+    # column instead of dividing by log(1) (r7 ADVICE)
+    with_exp = k0 != k1
+    header = "\n| query | " + " | ".join(f"x{k} (s)" for k in sorted(scales))
+    print(header + (" | exponent |" if with_exp else " |"))
+    print("|---" * (len(scales) + (2 if with_exp else 1)) + "|")
     for q in CORE:
-        alpha = math.log(times[q][k1] / times[q][k0]) / math.log(k1 / k0)
-        print(
-            f"| {q} | "
-            + " | ".join(str(times[q][k]) for k in sorted(scales))
-            + f" | {alpha:.2f} |"
+        row = f"| {q} | " + " | ".join(
+            str(times[q][k]) for k in sorted(scales)
         )
+        if with_exp:
+            alpha = math.log(times[q][k1] / times[q][k0]) / math.log(k1 / k0)
+            row += f" | {alpha:.2f} |"
+        else:
+            row += " |"
+        print(row)
     return 0
 
 

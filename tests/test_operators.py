@@ -2593,6 +2593,30 @@ def test_minhash_lsh_bucket_cap_guards_skew(spark):
     }
 
 
+def test_minhash_lsh_mega_family_star_recall(spark):
+    """ADVICE r7: a genuine near-dup family LARGER than max_bucket
+    shares its per-band minima in EVERY band, so drop-the-bucket
+    semantics would emit ZERO pairs for precisely the largest true
+    duplicate clusters. The star degradation instead pairs every member
+    against the bucket's min id at O(B) cost, and the signature
+    verification keeps those pairs (members ≈ representative)."""
+    from pandas_etl_spark.functions.dedup import minhash_lsh_pairs
+
+    body = "the quick brown fox jumps over the lazy dog again " * 8
+    fam = [(i, body + f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(fam, "doc_id long, text string")
+
+    out = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, threshold=0.5, max_bucket=10).collect()
+    }
+    # every member reaches the representative (min id) — the family is
+    # one connected component downstream, not invisible
+    assert {(0, i) for i in range(1, 40)} <= out
+    # and the quadratic mass is gone: O(B) star pairs, not C(40,2)
+    assert len(out) < 200, len(out)
+
+
 def test_global_row_number_matches_window(spark):
     """global_row_number == row_number() over the same total order, on a
     multi-partition frame with duplicate sort-key prefixes (uniqueness

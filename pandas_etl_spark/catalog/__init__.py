@@ -58,65 +58,72 @@ _PRIORITY = [
     "pricing_summary",
     "rolling_time_window",
     "resample_interpolate",
-    # --- r7 rotation (VERDICT r6 #1): the 25 round-6 additions plus
-    # doc_rolling_fingerprint (whose only driver row ever is the r01
-    # FAIL — its fix is sweep-green but has never been driver-confirmed)
-    # and the stalest never-checked rows from the warehouse/stats tail.
-    # The r6 rotation (span dedup family, ER, retrieval quality, graph/
-    # stats, geo) went 50/50 green in CORRECTNESS_r06 and rotates out. ---
-    "doc_rolling_fingerprint",
-    # round-6 additions, all sweep-only today
-    "gopher_quality_gate",
-    "source_overlap_jaccard",
-    "knn_label_transfer",
-    "propensity_match_pairs",
-    "bpe_fertility_by_lang",
-    "lang_id_kappa",
-    "mv_incremental_agg",
-    "embedding_quality_audit",
-    "stream_mv_incremental",
-    "backfill_day_partition",
-    "asof_nearest_click",
-    "twap_user_day",
-    "vocab_drift_jsd",
-    "k_anonymize_generalize",
-    "dedup_cluster_histogram",
-    "neyman_allocation",
-    "bh_fdr_segments",
-    "trajectory_length_daily",
-    "weighted_median_price",
-    "mann_kendall_trend",
-    "cohort_ltv_curves",
-    "referential_audit",
-    # stalest never-checked rows: warehouse lifecycle + stats + streams
-    "theil_sen_trend",
-    "mwu_purchase_vs_click",
-    "quantile_normalize_sources",
-    "scd2_point_in_time",
-    "key_skew_profile",
-    "table_manifest_checksum",
+    # --- r8 rotation (VERDICT r7 #1/#2): snapshot_diff_orders stays in
+    # the prefix until its array_join fix is DRIVER-green (the one r7
+    # red row), then the 28 round-7 additions (all sweep-only today)
+    # and the stalest never-checked misc/pandas-parity rows. The r7
+    # rotation went 49/50 green in CORRECTNESS_r07 and rotates out. ---
     "snapshot_diff_orders",
-    "cdc_apply_latest",
-    "fk_discovery",
-    "stream_cdc_apply",
-    "stream_quality_gate",
-    "stream_geo_density",
+    # round-7 additions: distribution / effect-size / first-seen family
+    "gini_revenue_concentration",
+    "lorenz_deciles",
+    "weighted_percentiles",
+    "exact_quantiles_distributed",
+    "entropy_by_source",
+    "chi_square_event_dow",
+    "stickiness_dau_mau",
+    "new_vs_returning_daily",
+    "cumulative_distinct_users",
+    "cohens_d_segments",
+    # round-7 ML-audit ring
+    "class_weights_inverse_freq",
+    "stratified_kfold_assign",
+    "knn_label_noise",
+    "centroid_margin_audit",
+    "dedup_rate_by_source",
+    # round-7 checked twins + graph/stats/stream additions
+    "ann_lsh_checked",
+    "heavy_hitters_cms_checked",
+    "minhash_source_signature_checked",
+    "pca_power_top_component",
+    "markov_attribution",
+    "stream_asof_enrich",
+    "rolling_corr",
+    "jaccard_link_prediction",
+    "attribution_time_decay",
+    "k_anonymize_local",
+    "k_core_fixed_depth",
+    "erasure_rewrite",
+    "corpus_datacard",
+    "croston_intermittent_demand",
+    # stalest never-checked misc/pandas-parity tail
+    "null_handling",
+    "percentiles_exact",
+    "str_extractall",
+    "describe_stats",
+    "value_counts",
 ]
-# r8+ rotation pool: ~110 oracle-backed queries remain never
-# driver-checked after this round's 35 (the 24 round-7 additions —
-# gini/lorenz/weighted_percentiles, entropy/chi-square/effect sizes,
-# stickiness + first-seen family, the ML audits, checked LSH/CMS/PCA/
-# k-center/markov/source-signature twins, stream_asof_enrich,
-# rolling_corr, jaccard_link_prediction, attribution_time_decay,
-# k_anonymize_local, k_core_fixed_depth — plus the
-# misc/pandas-parity tail —
-# null_handling/percentiles_exact/str_extractall/describe_stats/…,
-# embeddings — centroids/outliers/standardize, skew pair, remaining
-# graph/stats — triangle_top/modularity/adamic_adar/bfs/assortativity/
-# cheapest_paths/benford/cusum/calibration/psi/bootstrap/attribution,
-# remaining text — chunk_documents/heavy_hitters/pmi_cooccur/winnow/
-# vocab_zipf_fit/feature_hash_counts, sampling/privacy gates,
-# upsert_snapshot/schema_evolution_read, remaining geo/patterns).
+# r8+ rotation pool: ~98 oracle-backed queries remain never
+# driver-checked after this round's 35 (misc/pandas-parity tail —
+# unpivot/percent_rank_cume/regexp_extract/equi_range/isin/geomean/
+# correlated_subquery/grouping_sets/profile/assoc/benford/sampling/
+# dummies/accessors/salted pair/moments/rolling_median/rank_methods/
+# duplicated/upsert/quality_checks/gap_fill/frame_compare/skew pair/
+# corr_matrix/schema_evolution_read; embeddings — centroids/outliers/
+# standardize/semantic_knn/diversity_kcenter; analytics —
+# funnel/ab_test/session_transcripts/outlier_mad/group_mode/ohlc/
+# value_histogram/group_regression/basket/attribution_last_touch/
+# event_debounce/seasonal/triangle_top/modularity/adamic_adar/rfm/
+# anomaly/transition/trailing_24h/peak/calibration/psi/bootstrap/
+# attribution_linear/bfs/assortativity/cheapest_paths/cusum; text —
+# multimodal_audio/image_ahash/json_variant/lang_confusion/chunk/
+# heavy_hitters/group_percentiles/udtf_ngram/pmi/winnow pair/
+# source_composition/length_buckets/zipf/feature_hash/contrastive/
+# fuzzy/doc_novelty; curation — merge_intervals/outlier_zscore/
+# multi_resolution/winsorize/quality_weighted/group_share/nucleus/
+# k_anonymity_audit/group_sample_n/weighted_ares/l_diversity;
+# geo/patterns — nearest_knn/spatial_cluster/acf/funnel_time_bound/
+# session_paths/ols/conversion_latency/capped_balance).
 # Compute the live pool with:
 #   [q for q in QUERIES if q in ORACLES
 #    and q not in union(CORRECTNESS_r*.json keys)]

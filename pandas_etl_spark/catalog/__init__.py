@@ -45,6 +45,7 @@ _PRIORITY = [
     # --- pinned regression-critical block (kept green r1-r4) ---
     "dedup_exact",
     "dedup_groups",
+    "dedup_groups_planted",  # non-vacuous twin: gate corpus has no dups
     "dedup_clusters",
     "dedup_multi_signal",
     "minhash_lsh_pairs_checked",
@@ -101,7 +102,6 @@ _PRIORITY = [
     "percentiles_exact",
     "str_extractall",
     "describe_stats",
-    "value_counts",
 ]
 # r8+ rotation pool: ~98 oracle-backed queries remain never
 # driver-checked after this round's 35 (misc/pandas-parity tail —

@@ -52,6 +52,39 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dup_groups(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@query(
+    "dedup_groups_planted",
+    oracle=f"""
+    WITH uni AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 50000000, '  ' || upper(text) FROM documents
+        WHERE doc_id % 7 = 0
+    )
+    SELECT md5({_DD_NORM}) AS fp,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           min(doc_id) AS keeper_id
+    FROM uni
+    GROUP BY fp
+    HAVING count(*) > 1
+    """,
+)
+def q_dedup_groups_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_groups on a corpus with PLANTED duplicates (r7 VERDICT #3):
+    the gate fixture has no exact dups, so four rounds of dedup_groups
+    0 = 0 rows proved schema only — here every 7th document is cloned
+    under a re-keyed id with case/leading-whitespace noise, so the
+    green hash proves the n_dups count, the min-id keeper choice, AND
+    the normalization (lower/trim/whitespace-collapse) that makes the
+    noisy clone collapse onto its original."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text")).alias("text"),
+    )
+    return dd.dup_groups(d.unionByName(planted), "text", "doc_id")
+
+
 # n-gram Jaccard: drop "stop-shingles" (shingles present in > max_df docs)
 # before the inverted-index self-join — the skew/size control that makes
 # the exact algorithm viable at scale. The oracle replicates the filter.

@@ -2593,6 +2593,30 @@ def test_minhash_lsh_bucket_cap_guards_skew(spark):
     }
 
 
+def test_dup_groups_planted_duplicates(spark):
+    """dup_groups on data that actually CONTAINS duplicate groups (four
+    rounds of 0 = 0 gate rows proved schema only — r7 VERDICT #3):
+    exact clones and normalization-equivalent variants (case, leading/
+    trailing/internal whitespace) must land in one group with the
+    correct member count and min-id keeper; unique docs must not
+    appear."""
+    from pandas_etl_spark.functions.dedup import dup_groups
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),          # exact clone
+        (3, "  Alpha   BETA gamma  "),    # normalization-equivalent
+        (4, "wholly unique document"),
+        (5, "second family"),
+        (9, "SECOND   FAMILY"),           # normalization-equivalent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.keeper_id: r.n_dups for r in dup_groups(df, "text", "doc_id").collect()
+    }
+    assert got == {1: 3, 5: 2}
+
+
 def test_minhash_lsh_mega_family_star_recall(spark):
     """ADVICE r7: a genuine near-dup family LARGER than max_bucket
     shares its per-band minima in EVERY band, so drop-the-bucket

@@ -569,3 +569,131 @@ def test_mv_maintain_sink_atomic_commit_and_replay_safe(spark, tmp_path):
     assert not os.path.isdir(stale)
     got2 = mv()
     assert got2[0] == (5, 50 + 30) and got2[1] == (4, 70)
+
+
+def test_mv_maintain_sink_crash_between_stage_writes(spark, tmp_path, monkeypatch):
+    """Crash-injection for the staged commit (r7 VERDICT #5): the sink
+    is KILLED between the snapshot and mv writes inside the stage dir
+    (a real mid-stage death, not a synthetic empty dir). Recovery must
+    (a) leave the published state untouched — _latest never observes
+    the orphan half-stage; (b) on restart with a fresh sink instance,
+    reclaim the orphan and converge the replayed batch to exactly the
+    once-applied result."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from pandas_etl_spark.streaming import mv_maintain_sink
+
+    path = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(i, 0) for i in range(10)], "user_id long, cents long"
+    )
+
+    def make_sink():
+        return mv_maintain_sink(
+            path,
+            base,
+            keys=["user_id"],
+            seq_cols=["seq"],
+            bucket_of=lambda df: F.col("user_id") % 2,
+            value_col="cents",
+        )
+
+    b0 = spark.createDataFrame(
+        [(1, 100, "U", 1), (2, 50, "U", 1)],
+        "user_id long, cents long, op string, seq long",
+    )
+    make_sink()(b0, 0)
+
+    def latest_mv():
+        vs = sorted(
+            int(d[1:]) for d in os.listdir(path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        d = os.path.join(path, f"v{vs[-1]}", "mv")
+        return vs[-1], {
+            r["bucket"]: (r["n_rows"], r["bal_cents"])
+            for r in spark.read.parquet(d).collect()
+        }
+
+    v_before, mv_before = latest_mv()
+
+    # kill the sink between the snapshot write (1st stage parquet) and
+    # the mv write (2nd): the stage dir holds a real half-written version
+    orig = DataFrameWriter.parquet
+    stage_writes = {"n": 0}
+
+    def crashing(self, p, *a, **kw):
+        if ".stage-" in p:
+            stage_writes["n"] += 1
+            if stage_writes["n"] == 2:
+                raise RuntimeError("injected crash before the mv write")
+        return orig(self, p, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crashing)
+    b1 = spark.createDataFrame(
+        [(1, 0, "D", 2), (3, 70, "U", 2)],
+        "user_id long, cents long, op string, seq long",
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        make_sink()(b1, 1)
+    monkeypatch.setattr(DataFrameWriter, "parquet", orig)
+
+    # (a) the orphan stage exists with ONLY the snapshot; the published
+    # state is untouched — recovery never sees the half-version
+    stage = os.path.join(path, f".stage-v{v_before + 1}")
+    assert os.path.isdir(stage)
+    assert set(os.listdir(stage)) == {"snapshot"}
+    assert latest_mv() == (v_before, mv_before)
+
+    # (b) restart: a fresh sink replays the same batch, reclaims the
+    # orphan, and converges to the once-applied result
+    make_sink()(b1, 1)
+    assert not os.path.isdir(stage)
+    v_after, mv_after = latest_mv()
+    assert v_after == v_before + 1
+    # user 1 deleted, user 3 (+70 bucket 1): buckets 0/1 -> 5 / 4 rows
+    assert mv_after[0] == (5, 50) and mv_after[1] == (4, 70)
+    vd = os.path.join(path, f"v{v_after}")
+    assert {"snapshot", "mv", "_BATCH"} <= set(os.listdir(vd))
+
+
+def test_mv_maintain_sink_refuses_pre_upgrade_state(spark, tmp_path):
+    """A committed version dir WITHOUT its _BATCH high-water mark can
+    only be pre-upgrade state; resuming would re-apply an already-
+    committed batch on checkpoint replay (r7 ADVICE). The sink must
+    refuse loudly instead of double-applying."""
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.streaming import mv_maintain_sink
+
+    path = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(i, 0) for i in range(4)], "user_id long, cents long"
+    )
+    sink = mv_maintain_sink(
+        path,
+        base,
+        keys=["user_id"],
+        seq_cols=["seq"],
+        bucket_of=lambda df: F.col("user_id") % 2,
+        value_col="cents",
+    )
+    b0 = spark.createDataFrame(
+        [(1, 100, "U", 1)], "user_id long, cents long, op string, seq long"
+    )
+    sink(b0, 0)
+    os.remove(os.path.join(path, "v0", "_BATCH"))  # simulate old layout
+    with pytest.raises(RuntimeError, match="_BATCH"):
+        sink(b0, 1)
+    # discarding the state dir (the documented remedy) recovers
+    shutil.rmtree(path)
+    sink(b0, 1)
+    assert os.path.isfile(os.path.join(path, "v0", "_BATCH"))

@@ -793,6 +793,90 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_audit_oracle(threshold: float = 0.4) -> str:
+    """exact-vs-LSH pair agreement, both sides oracle-reproducible: the
+    portable-MinHash LSH SQL (md5 40-bit hashes) joined against the
+    exact n-gram Jaccard pairs at the same threshold."""
+    return f"""
+    WITH lsh AS (
+        SELECT id_a, id_b FROM ({_minhash_portable_oracle(threshold=threshold)})
+    ),
+    sh0 AS (
+        SELECT doc_id AS id, unnest({_DD_SHINGLES}) AS shingle FROM documents
+    ),
+    dfq AS (SELECT shingle FROM sh0 GROUP BY shingle
+            HAVING count(*) <= {_MAX_DF}),
+    sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN dfq USING (shingle)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    ex0 AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT id_a, id_b FROM ex0
+        JOIN sizes sa ON sa.id = ex0.id_a
+        JOIN sizes sb ON sb.id = ex0.id_b
+        WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared)
+              >= {threshold}
+    ),
+    hit AS (SELECT * FROM exact WHERE EXISTS (
+        SELECT 1 FROM lsh WHERE lsh.id_a = exact.id_a
+                            AND lsh.id_b = exact.id_b)),
+    c AS (SELECT (SELECT count(*) FROM exact) AS ne,
+                 (SELECT count(*) FROM lsh) AS nl,
+                 (SELECT count(*) FROM hit) AS nh)
+    SELECT CAST(ne AS BIGINT) AS exact_pairs,
+           CAST(nl AS BIGINT) AS lsh_pairs,
+           CAST(nh AS BIGINT) AS agreeing_pairs,
+           CASE WHEN nl > 0 THEN round(nh * 1.0 / nl, 4)
+                ELSE 1.0 END AS precision,
+           CASE WHEN ne > 0 THEN round(nh * 1.0 / ne, 4)
+                ELSE 1.0 END AS recall
+    FROM c
+    """
+
+
+@query("dedup_recall_audit_checked", oracle=_recall_audit_oracle())
+def q_dedup_recall_audit_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified twin of dedup_recall_audit (r7 VERDICT #7 —
+    converting the justified-rows-only tail where a deterministic twin
+    is cheap): the SAME precision/recall audit computed on the
+    PORTABLE MinHash-LSH (md5 40-bit hashes, int64-exact permutations,
+    as minhash_lsh_pairs_checked) against the exact n-gram Jaccard
+    pairs at the same threshold — so the entire audit (both pair sets,
+    the agreement join, the summary ratios) is reproduced by the
+    DuckDB oracle. The xxhash64 production audit keeps its rows-only
+    row; this twin earns the hash-verified one."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = 0.4
+    exact = dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=_K, threshold=t, max_df=_MAX_DF
+    ).select("id_a", "id_b")
+    lsh = dd.minhash_lsh_pairs_portable(
+        d, "text", "doc_id", num_perm=32, bands=8, k=_K, threshold=t
+    ).select("id_a", "id_b")
+    hit = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    ne = exact.agg(F.count(F.lit(1)).alias("ne"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("nl"))
+    nh = hit.agg(F.count(F.lit(1)).alias("nh"))
+    return (
+        ne.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            F.col("ne").cast("bigint").alias("exact_pairs"),
+            F.col("nl").cast("bigint").alias("lsh_pairs"),
+            F.col("nh").cast("bigint").alias("agreeing_pairs"),
+            F.when(F.col("nl") > 0, F.round(F.col("nh") / F.col("nl"), 4))
+            .otherwise(F.lit(1.0))
+            .alias("precision"),
+            F.when(F.col("ne") > 0, F.round(F.col("nh") / F.col("ne"), 4))
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
+    )
+
+
 @query("dedup_recall_audit")
 def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-level precision/recall of the MinHash-LSH near-dup path

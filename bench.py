@@ -214,6 +214,7 @@ EXTENDED = [
     "croston_intermittent_demand",
     "dedup_groups_planted",
     "dedup_recall_audit_checked",
+    "hll_distinct_checked",
     # k_core_fixed_depth is deliberately NOT benched: it is the first 4
     # peel rounds of the already-benched k_core_parts (the
     # community_modularity / dedup_cluster_histogram precedent)

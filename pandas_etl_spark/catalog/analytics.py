@@ -1546,6 +1546,165 @@ def q_active_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly.orderBy("week")
 
 
+# Portable HLL twin: p=8 (256 registers), bucket = first 2 md5 hex chars,
+# rho from the next 48 bits via bin() string length — every step exact
+# integers in BOTH engines, so the register grids are bit-identical and
+# the estimate differs only by a (rounded-away) 1-ulp ln/division.
+_HLL_M = 256
+# alpha_m * m^2 * 2^49, written as the SAME left-associative double
+# expression in both engines (IEEE ops are deterministic given the order)
+_HLL_SCALE = "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0"
+
+
+@query(
+    "hll_distinct_checked",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS m FROM events
+    ),
+    r AS (
+        SELECT event_type,
+               CAST('0x' || substring(m, 1, 2) AS BIGINT) AS bucket,
+               CAST('0x' || substring(m, 3, 12) AS BIGINT) AS w
+        FROM h
+    ),
+    rho AS (
+        SELECT event_type, bucket,
+               CASE WHEN w > 0 THEN 49 - length(bin(w)) ELSE 49 END AS rho
+        FROM r
+    ),
+    regs AS (
+        SELECT event_type, bucket, max(rho) AS M
+        FROM rho GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT * FROM regs
+        UNION ALL
+        SELECT 'ALL' AS event_type, bucket, max(M) AS M
+        FROM regs GROUP BY bucket
+    ),
+    grid AS (
+        SELECT g.event_type, b.bucket
+        FROM (SELECT DISTINCT event_type FROM merged) g
+        CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket) b
+    ),
+    fullr AS (
+        SELECT grid.event_type, grid.bucket, coalesce(m.M, 0) AS M
+        FROM grid LEFT JOIN merged m
+          ON grid.event_type = m.event_type AND grid.bucket = m.bucket
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(49 - M AS INT)) AS BIGINT)
+                   AS S,
+               CAST(sum(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT) AS V
+        FROM fullr GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events
+        GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', count(DISTINCT user_id) FROM events
+    ),
+    est AS (
+        SELECT agg.event_type, ex.exact_users, agg.V,
+               CASE WHEN ({_HLL_SCALE} / S) <= 640.0 AND V > 0
+                    THEN 256.0 * ln(256.0 / V)
+                    ELSE ({_HLL_SCALE} / S) END AS e
+        FROM agg JOIN ex ON agg.event_type = ex.event_type
+    )
+    SELECT event_type,
+           CAST(exact_users AS BIGINT) AS exact_users,
+           CAST(V AS BIGINT) AS empty_registers,
+           round(e, 4) AS hll_est,
+           round(e / exact_users - 1.0, 4) AS rel_err
+    FROM est
+    """,
+)
+def q_hll_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified PORTABLE HyperLogLog (Flajolet et al. 2007), the
+    checked twin of the DataSketches production family (approx_distinct,
+    active_users_hll_rollup, audience_overlap_hll, stream_hll_ingest —
+    all rows-only because JVM sketch bytes are engine-specific): p=8,
+    bucket = first 2 md5 hex chars, rho = leading-zero rank of the next
+    48 bits via the bin()-string length (bit-identical in both engines,
+    verified), register max per (event_type, bucket), and the 'ALL' row
+    built by MERGING the per-type registers (max per bucket) — so the
+    sketch-union property itself is hash-verified, not just the
+    estimate. Σ 2^(-M_j) is kept EXACT as the integer Σ 2^(49-M_j)
+    (≤ 2^57, one closing double division); the raw-vs-linear-counting
+    branch decides on that exact value. The gate corpus (~150 users)
+    lands in the linear-counting regime; the raw-estimator branch is
+    exercised cross-engine by the >640-distinct unit test
+    (tests/test_operators.py). At 100 TB the shape is one
+    (type, bucket)-keyed shuffle with map-side max partials — registers,
+    never users, cross the wire; exact_users/rel_err columns are gate
+    diagnostics, not part of the production path."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    h = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("m")
+    )
+    r = h.select(
+        "event_type",
+        F.conv(F.substring("m", 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring("m", 3, 12), 16, 10).cast("bigint").alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") > 0, F.lit(49) - F.length(F.bin("w")))
+        .otherwise(F.lit(49))
+        .cast("bigint")
+    )
+    regs = (
+        r.select("event_type", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    merged = regs.unionByName(
+        regs.groupBy("bucket")
+        .agg(F.max("M").alias("M"))
+        .select(F.lit("ALL").alias("event_type"), "bucket", "M")
+    )
+    grid = (
+        merged.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(256).select(F.col("id").alias("bucket")))
+        )
+    )
+    fullr = grid.join(merged, ["event_type", "bucket"], "left").withColumn(
+        "M", F.coalesce("M", F.lit(0))
+    )
+    agg = fullr.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(49 - M as int))"))
+        .cast("bigint")
+        .alias("S"),
+        F.sum(F.when(F.col("M") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("V"),
+    )
+    ex = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .unionByName(
+            ev.agg(F.countDistinct("user_id").alias("exact_users")).select(
+                F.lit("ALL").alias("event_type"), "exact_users"
+            )
+        )
+    )
+    e_raw = F.expr(_HLL_SCALE) / F.col("S")
+    e = F.when(
+        (e_raw <= 640.0) & (F.col("V") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("V")),
+    ).otherwise(e_raw)
+    return agg.join(ex, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        F.col("V").cast("bigint").alias("empty_registers"),
+        F.round(e, 4).alias("hll_est"),
+        F.round(e / F.col("exact_users") - 1.0, 4).alias("rel_err"),
+    )
+
+
 @query("audience_overlap_hll")
 def q_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience overlap between event types by

@@ -2593,6 +2593,60 @@ def test_minhash_lsh_bucket_cap_guards_skew(spark):
     }
 
 
+def test_portable_hll_raw_branch_accuracy(spark):
+    """The portable-HLL twin's RAW-estimator branch (E_raw > 2.5m, the
+    regime the ~150-user gate corpus never reaches): 5000 distinct users
+    must estimate within the p=8 HLL error envelope (~1.04/√256 ≈ 6.5%,
+    allow 3σ ≈ 20%), and the per-type → ALL register merge must hold.
+    Runs the registered query body on synthetic events via a temp view
+    swap-in is overkill — call the kernel through the catalog function
+    on a parquet dir."""
+    import duckdb
+
+    from pandas_etl_spark.catalog import ORACLES, QUERIES
+
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="hll_raw_")
+    rows = [
+        (i, "view" if i % 2 == 0 else "click", 1.0, i)
+        for i in range(1, 5001)
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, event_id long"
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "value",
+        "timestamp('2024-01-01 00:00:00') as ts",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+
+    out = {
+        r.event_type: r
+        for r in QUERIES["hll_distinct_checked"](spark, tmp).collect()
+    }
+    assert out["ALL"].exact_users == 5000
+    # raw regime: E_raw = 5000-ish > 640, and (likely) no empty registers
+    assert abs(out["ALL"].rel_err) < 0.20, out["ALL"]
+    assert abs(out["view"].rel_err) < 0.20, out["view"]
+    # cross-engine: the DuckDB oracle reproduces the raw branch too
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp, 'events.parquet')}/*.parquet')"
+    )
+    oracle = {
+        r[0]: r for r in con.execute(ORACLES["hll_distinct_checked"]).fetchall()
+    }
+    got = out["ALL"]
+    assert oracle["ALL"][1] == 5000
+    assert oracle["ALL"][3] == got.hll_est
+    assert oracle["view"][3] == out["view"].hll_est
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_dup_groups_planted_duplicates(spark):
     """dup_groups on data that actually CONTAINS duplicate groups (four
     rounds of 0 = 0 gate rows proved schema only — r7 VERDICT #3):

@@ -44,8 +44,13 @@ from pandas_etl_spark.catalog import mlaudit  # noqa: E402,F401
 _PRIORITY = [
     # --- pinned regression-critical block (kept green r1-r4) ---
     "dedup_exact",
-    "dedup_groups",
-    "dedup_groups_planted",  # non-vacuous twin: gate corpus has no dups
+    # dedup_groups itself is unpinned as of r8: the gate corpus has no
+    # duplicates, so its four driver-green rounds were vacuous 0 = 0
+    # rows; the planted twin below checks the same operator's schema
+    # AND its n_dups/keeper/normalization semantics on data that
+    # actually contains groups. dedup_groups stays registered and
+    # sweep-covered.
+    "dedup_groups_planted",
     "dedup_clusters",
     "dedup_multi_signal",
     "minhash_lsh_pairs_checked",
@@ -56,7 +61,11 @@ _PRIORITY = [
     "curate_corpus",
     "dedup_incremental",
     "sessionize",
-    "pricing_summary",
+    # pricing_summary sits out the r8 prefix (driver-green r3-r7 and
+    # triple-covered every round: __spark_entry__.entry() flagship, the
+    # bench headline, and the full local sweep); its slot carries the
+    # round-8 portable-HLL twin to a hard driver signal instead.
+    "hll_distinct_checked",
     "rolling_time_window",
     "resample_interpolate",
     # --- r8 rotation (VERDICT r7 #1/#2): snapshot_diff_orders stays in
@@ -102,6 +111,7 @@ _PRIORITY = [
     "percentiles_exact",
     "str_extractall",
     "describe_stats",
+    "value_counts",
 ]
 # r8+ rotation pool: ~98 oracle-backed queries remain never
 # driver-checked after this round's 35 (misc/pandas-parity tail —

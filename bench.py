@@ -223,6 +223,8 @@ EXTENDED = [
     # ann_recall_audit is deliberately NOT benched: it runs all four
     # ANN paths to measure recall, so its wall time is the sum of
     # already-benched queries, not a signal of its own
+    "ann_ivf_checked",
+    "ann_pq_checked",
 ]
 
 

@@ -1031,3 +1031,450 @@ def q_pca_power_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: acc + t,
     )
     return v.select("vec_id", "label", F.round(proj, 4).alias("pc1"))
+
+
+_IVF_CHK_BITS = 3  # sign bits of the first 3 dims → 8 seed cells
+_IVF_CHK_PROBE = 2
+
+
+def _ivf_checked_oracle() -> str:
+    """DuckDB twin of the IVF assign→probe→re-rank kernel with portable
+    one-pass centroids: the k-means fit (engine-specific float
+    iteration) is replaced by sign-pattern seeding — cell = the sign
+    bits of the first 3 coordinates (bit-identical across engines:
+    comparing RAW stored floats involves no arithmetic), centroid =
+    per-dimension mean rounded to 6; distances round to 6 before every
+    argmin with an id tie-break, absorbing the cross-engine
+    float-accumulation-order drift (~1e-15)."""
+    sign_cell = " + ".join(
+        f"(CASE WHEN ev[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_IVF_CHK_BITS)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, {sign_cell} AS fbucket,
+               unnest(ev) AS x, generate_subscripts(ev, 1) AS pos
+        FROM v
+    ),
+    cent AS MATERIALIZED (
+        SELECT fbucket AS cell, pos, round(avg(x), 6) AS c
+        FROM flat GROUP BY 1, 2
+    ),
+    d AS MATERIALIZED (
+        SELECT f.vec_id, c.cell,
+               round(sum((f.x - c.c) * (f.x - c.c)), 6) AS dist
+        FROM flat f JOIN cent c ON c.pos = f.pos
+        GROUP BY 1, 2
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS rn
+            FROM d WHERE vec_id < {_N_QUERIES}
+        ) WHERE rn <= {_IVF_CHK_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM assign a JOIN probe p USING (cell)
+        WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               round(list_dot_product(e.ev, q.ev) /
+                     (sqrt(list_dot_product(e.ev, e.ev)) *
+                      sqrt(list_dot_product(q.ev, q.ev))), 6) AS cosine_sim
+        FROM cand c
+        JOIN v e ON e.vec_id = c.neighbor_id
+        JOIN v q ON q.vec_id = c.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOPK}
+    """
+
+
+@query("ann_ivf_checked", oracle=_ivf_checked_oracle())
+def q_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CHECKED IVF ANN — the cross-engine twin of the rows-only
+    ann_ivf_topk / ann_ivf_indexed production paths (the same
+    relationship ann_lsh_checked has to ann_lsh_topk). The only
+    unverifiable stage of the production path is the k-means fit
+    (float Lloyd iterations diverge across engines); the twin swaps it
+    for a ONE-PASS portable fit — cells seeded by the sign pattern of
+    the first 3 coordinates (sign of a RAW stored float involves no
+    arithmetic, so seeding is bit-identical across engines; it is the
+    same quantizer family as sign-LSH, so seed cells are geometrically
+    coherent), centroid = per-dimension mean rounded to 6 — and keeps
+    the rest of the kernel IDENTICAL: every vector assigned to its nearest cell
+    (squared-L2 argmin, rounded distances, lowest-cell tie-break),
+    queries probe their nprobe=2 nearest cells, candidates re-rank by
+    exact cosine rounded to 6 with an id tie-break. Assign→probe→
+    re-rank is therefore hash-verified, not just recall-audited.
+
+    Scale shape (same as production): the centroid table is
+    |cells|×dim and driver-bounded (collected once, ≤512 floats); the
+    corpus is touched by ONE assignment projection (no shuffle — the
+    argmin is a per-row expression over broadcast constants) and the
+    candidate join keys on cell with the bounded query side broadcast;
+    top-k is the salted two-stage window. Reference: righteouslabs/
+    pandas-etl has no ANN surface; this extends the training-data
+    north star."""
+    from pandas_etl_spark.functions.similarity import (
+        _sqdist,
+        cosine,
+        salted_topk,
+    )
+    from pandas_etl_spark.sources.io import ensure_parallelism
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    fbucket = sum(
+        F.when(F.col("ev")[j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(_IVF_CHK_BITS)
+    )
+    flat = v.select(
+        "vec_id", fbucket.alias("fbucket"), F.posexplode("ev").alias("pos", "x")
+    )
+    cent_rows = (
+        flat.groupBy("fbucket", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .collect()  # bounded: ≤ cells×dim = 512 rows of driver state
+    )
+    if not cent_rows:  # empty corpus — no cells to probe
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, cosine_sim double, rnk bigint",
+        )
+    cents: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        cents.setdefault(int(r["fbucket"]), {})[int(r["pos"])] = float(r["c"])
+    dim = 1 + max(p for by_pos in cents.values() for p in by_pos)
+    cent_list = [
+        (cell, [cents[cell][p] for p in range(dim)]) for cell in sorted(cents)
+    ]
+    # (rounded dist, cell) structs: array_min / sort_array order
+    # lexicographically, giving the dist-then-lowest-cell tie-break.
+    dist_arr = F.array(
+        *[
+            F.struct(
+                F.round(_sqdist(F.col("ev"), c), 6).alias("d"),
+                F.lit(cell).alias("c"),
+            )
+            for cell, c in cent_list
+        ]
+    )
+    assigned = v.select(
+        "vec_id", "ev", F.array_min(dist_arr).getField("c").alias("cell")
+    )
+    probes = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ev").alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(dist_arr), 1, _IVF_CHK_PROBE),
+                lambda p: p.getField("c"),
+            )
+        ).alias("cell"),
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+    )
+    return salted_topk(
+        cand, "query_id", [F.desc("cosine_sim"), F.asc("neighbor_id")], _TOPK
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cosine_sim",
+        F.col("rank").cast("bigint").alias("rnk"),
+    )
+
+
+_PQ_CHK_SUB = 8  # dims per subspace (64-d -> m=8 subspaces)
+_PQ_CHK_CODES = 16  # codebook entries per subspace (init: 16 lowest ids)
+_PQ_CHK_ITERS = 2  # portable Lloyd refinements (mirrors the production fit)
+_PQ_CHK_RERANK = 8  # ADC shortlist factor before the exact re-rank (production)
+
+
+def _pq_checked_oracle() -> str:
+    """DuckDB twin of the PQ fit->encode->ADC kernel, mirroring the
+    production fit EXACTLY but portably: init codebook entries are the
+    RAW subvectors of the 16 lowest-id vectors (data values, no
+    arithmetic -- bit-identical across engines), followed by 2
+    relational Lloyd iterations whose means round to 6 and whose argmin
+    assignments use rounded distances with a lowest-code tie-break
+    (empty cells keep their previous entry via the LEFT JOIN coalesce,
+    the production rule). Sub-distances round to 6 before the encode
+    argmin and before the ADC sum, absorbing float accumulation-order
+    drift. Queries reuse the corpus sub-distance table (they are
+    corpus members), so the LUT is the dist CTE filtered to query
+    ids."""
+    its = []
+    prev = "cb0"
+    for t in range(1, _PQ_CHK_ITERS + 1):
+        its.append(f""",
+    dist{t} AS MATERIALIZED (
+        SELECT f.vec_id, f.s, b.code,
+               round(sum((f.x - b.c) * (f.x - b.c)), 6) AS dist
+        FROM flat f JOIN {prev} b ON b.s = f.s AND b.subpos = f.subpos
+        GROUP BY 1, 2, 3
+    ),
+    code{t} AS (
+        SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, code) AS rn
+            FROM dist{t}
+        ) WHERE rn = 1
+    ),
+    cb{t} AS MATERIALIZED (
+        SELECT b.s, b.code, b.subpos, coalesce(m.m, b.c) AS c
+        FROM {prev} b
+        LEFT JOIN (
+            SELECT f.s, c0.code, f.subpos, round(avg(f.x), 6) AS m
+            FROM flat f JOIN code{t} c0
+              ON c0.vec_id = f.vec_id AND c0.s = f.s
+            GROUP BY 1, 2, 3
+        ) m ON m.s = b.s AND m.code = b.code AND m.subpos = b.subpos
+    )""")
+        prev = f"cb{t}"
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    vn AS (
+        SELECT vec_id, ev,
+               CASE WHEN n > 0
+                    THEN list_transform(ev, x -> round(x / n, 6))
+                    ELSE ev END AS evn
+        FROM (SELECT vec_id, ev,
+                     sqrt(list_dot_product(ev, ev)) AS n FROM v)
+    ),
+    flat AS (
+        SELECT vec_id,
+               (generate_subscripts(evn, 1) - 1) // {_PQ_CHK_SUB} AS s,
+               (generate_subscripts(evn, 1) - 1) % {_PQ_CHK_SUB} AS subpos,
+               unnest(evn) AS x
+        FROM vn
+    ),
+    cb0 AS MATERIALIZED (
+        SELECT s, vec_id AS code, subpos, x AS c
+        FROM flat WHERE vec_id < {_PQ_CHK_CODES}
+    ){''.join(its)},
+    dist AS MATERIALIZED (
+        SELECT f.vec_id, f.s, b.code,
+               round(sum((f.x - b.c) * (f.x - b.c)), 6) AS dist
+        FROM flat f JOIN {prev} b ON b.s = f.s AND b.subpos = f.subpos
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, code) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(sum(q.dist), 6) AS approx_dist
+        FROM codes c
+        JOIN dist q ON q.s = c.s AND q.code = c.code
+        WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY approx_dist, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= {_TOPK * _PQ_CHK_RERANK}
+    ),
+    scored AS (
+        SELECT sh.query_id, sh.neighbor_id,
+               round(list_dot_product(e.ev, q.ev) /
+                     (sqrt(list_dot_product(e.ev, e.ev)) *
+                      sqrt(list_dot_product(q.ev, q.ev))), 6) AS cosine_sim
+        FROM short sh
+        JOIN v e ON e.vec_id = sh.neighbor_id
+        JOIN v q ON q.vec_id = sh.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOPK}
+    """
+
+
+@query("ann_pq_checked", oracle=_pq_checked_oracle())
+def q_ann_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CHECKED product-quantization ANN — the cross-engine twin
+    of the rows-only ann_pq_topk / pq_encode_stats production paths.
+    As with ann_ivf_checked, the only engine-specific stage of PQ is
+    the per-subspace k-means codebook fit; the twin runs the SAME fit
+    portably — init entries are the raw subvectors of the 16 lowest-id
+    vectors (data values, no arithmetic, so bit-identical across
+    engines — production's ``C = S[:k]`` init), then 2 relational
+    Lloyd iterations with means rounded to 6, argmin reassignment on
+    rounded distances (lowest-code tie-break), and empty cells keeping
+    their previous entry — and keeps the PQ kernel itself intact and
+    hash-verified end-to-end: vectors L2-normalize (rounded to 6; the
+    production rule — on the unit sphere ADC's L2 order is cosine
+    order), split into m=8 subspaces of 8 dims, each subvector encodes
+    to the argmin-sub-distance code (rounded, lowest-code tie-break),
+    queries shortlist k·8 candidates by the asymmetric-distance sum of
+    their per-(subspace, code) LUT entries, and the shortlist re-ranks
+    by exact cosine — the full production pipeline.
+
+    Scale shape: the codebook is m×codes×dim/m and broadcast (1024
+    rows, localCheckpointed per Lloyd round to truncate lineage);
+    encode is ONE broadcast join + partial aggregate over the
+    exploded corpus (no corpus shuffle wider than (id, s, code));
+    the ADC join broadcasts the bounded query LUT; top-k is the salted
+    two-stage window. The production path (functions/similarity.
+    pq_encode / ann_pq_topk) keeps the Arrow-vectorized numpy encode
+    and the bounded-sample fit — this twin verifies the semantics on
+    the full gate corpus (where sample == corpus, the fits coincide
+    modulo 1e-6 rounding)."""
+    from pandas_etl_spark.functions.similarity import cosine, salted_topk
+    from pandas_etl_spark.sources.io import ensure_parallelism
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    # L2-normalize before quantizing (the production rule: on the unit
+    # sphere ADC's L2 order is cosine order); normalized coordinates
+    # round to 6 so both engines quantize bit-identical values.
+    nrm = F.sqrt(
+        F.aggregate(F.col("ev"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    vn = v.withColumn(
+        "evn",
+        F.when(
+            nrm > 0, F.transform(F.col("ev"), lambda x: F.round(x / nrm, 6))
+        ).otherwise(F.col("ev")),
+    )
+    flat = vn.select(
+        "vec_id", F.posexplode("evn").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") / F.lit(_PQ_CHK_SUB)).cast("int").alias("s"),
+        F.pmod(F.col("pos"), F.lit(_PQ_CHK_SUB)).alias("subpos"),
+        "x",
+    )
+    cb = flat.filter(F.col("vec_id") < _PQ_CHK_CODES).select(
+        "s", F.col("vec_id").alias("code"), "subpos", F.col("x").alias("c")
+    )
+    # portable Lloyd: reassign every subvector to its nearest entry
+    # (rounded distances, lowest-code tie-break), recompute rounded
+    # means, keep the previous entry for cells that emptied — both
+    # engines run the identical relational step, so the refined
+    # codebook stays bit-identical.
+    for _ in range(_PQ_CHK_ITERS):
+        dist_t = (
+            flat.join(F.broadcast(cb), ["s", "subpos"])
+            .groupBy("vec_id", "s", "code")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                    ),
+                    6,
+                ).alias("dist")
+            )
+        )
+        code_t = dist_t.groupBy("vec_id", "s").agg(
+            F.min(F.struct("dist", "code")).getField("code").alias("code")
+        )
+        mean_t = (
+            flat.join(code_t, ["vec_id", "s"])
+            .groupBy("s", "code", "subpos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+        )
+        cb = (
+            cb.join(mean_t, ["s", "code", "subpos"], "left")
+            .select(
+                "s", "code", "subpos", F.coalesce("m", "c").alias("c")
+            )
+            .localCheckpoint()  # codebook-sized (m·codes·sub = 1024 rows)
+        )
+    dist = (
+        flat.join(F.broadcast(cb), ["s", "subpos"])
+        .groupBy("vec_id", "s", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 6
+            ).alias("dist")
+        )
+    )
+    codes = dist.groupBy("vec_id", "s").agg(
+        F.min(F.struct("dist", "code")).getField("code").alias("code")
+    )
+    qlut = dist.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "s", "code",
+        F.col("dist").alias("qdist"),
+    )
+    adc = (
+        codes.join(F.broadcast(qlut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qdist"), 6).alias("approx_dist"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "approx_dist"
+        )
+    )
+    short = salted_topk(
+        adc,
+        "query_id",
+        [F.asc("approx_dist"), F.asc("neighbor_id")],
+        _TOPK * _PQ_CHK_RERANK,
+    ).select("query_id", "neighbor_id")
+    # exact cosine re-rank of the bounded shortlist (production rule);
+    # the shortlist (Q·k·rerank rows) broadcasts against the corpus.
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    scored = (
+        v.join(
+            F.broadcast(short), v["vec_id"] == short["neighbor_id"]
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+    )
+    return salted_topk(
+        scored, "query_id", [F.desc("cosine_sim"), F.asc("neighbor_id")], _TOPK
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cosine_sim",
+        F.col("rank").cast("bigint").alias("rnk"),
+    )

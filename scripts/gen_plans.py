@@ -119,6 +119,8 @@ NOTES = {
     "weighted_median_price": "Weighted median: per-(group, price) aggregate collapses the data; the cumulative weight rides the pinned range-partitioned prefix sum over the GLOBAL (group, price) order with broadcast prior-group offsets — no per-group ordered window at any group cardinality (plan-asserted).",
     "neyman_allocation": "Neyman allocation: ONE moment aggregate over the data; quotas, largest-remainder ranks and the allocation all run on the |strata|-row frame.",
     "dedup_cluster_histogram": "Dedup audit: reuses the CC labeling core (iterative rounds lineage-cut by localCheckpoint, so the explain shows the label frame); two tiny aggregates after.",
+    "ann_ivf_checked": "Checked IVF: sign-pattern seed cells fit in ONE posexplode aggregate (<=cells x dim rows collected); assignment is a per-row argmin over broadcast centroid literals in the scan projection; candidates come from ONE cell-keyed join against the broadcast probe set; exact cosine re-rank + salted top-k.",
+    "ann_pq_checked": "Checked PQ: L2-normalize in the scan projection; codebook fit/refine runs on codebook-sized frames (localCheckpointed per Lloyd round); encode is ONE broadcast join + (id,s,code) partial aggregate; ADC joins the broadcast query LUT; the bounded shortlist re-ranks by exact cosine.",
 }
 # diversity_sample_kcenter is not plan-audited: the greedy selection runs
 # k bounded driver rounds and returns a materialized local frame, so its

@@ -1868,6 +1868,46 @@ def test_ann_recall_audit_bounds(spark, sf_dir):
     assert rows["ivf"]["mean_recall_at_k"] >= 0.5
 
 
+def test_checked_ann_twins_recall_vs_bruteforce(spark, sf_dir):
+    """The portable IVF/PQ checked twins (md5-bucket one-pass fits) must
+    still behave like ANN indexes, not hash lotteries: their top-5 sets
+    must recover a meaningful fraction of the exact cosine top-5, and
+    every reported IVF neighbor must carry the true (rounded) cosine of
+    that pair — the twin re-ranks exactly within probed cells."""
+    from pandas_etl_spark.catalog import QUERIES
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    ivf = QUERIES["ann_ivf_checked"](spark, sf_dir).collect()
+    pq = QUERIES["ann_pq_checked"](spark, sf_dir).collect()
+    ivf_pairs = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    pq_pairs = {(r["query_id"], r["neighbor_id"]) for r in pq}
+    assert len(exact) == 25  # 5 queries x k=5
+    assert len(ivf_pairs & exact) / len(exact) >= 0.3, sorted(ivf_pairs)
+    assert len(pq_pairs & exact) / len(exact) >= 0.3, sorted(pq_pairs)
+    # IVF re-ranks exactly: per query, cosine_sim must be non-increasing
+    # with rank and within [-1, 1]
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["cosine_sim"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True), (qid, sims)
+        assert all(-1.0 <= s <= 1.0 for s in sims), (qid, sims)
+    # PQ re-ranks its ADC shortlist exactly: cosine non-increasing
+    by_q = {}
+    for r in pq:
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["cosine_sim"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True), (qid, sims)
+        assert all(-1.0 <= s <= 1.0 for s in sims), (qid, sims)
+
+
 def test_exact_span_dedup_null_and_empty_text(spark):
     """Null/empty text rows yield (n_tokens=0, empty output) instead of
     the -1 that legacy size(NULL) would propagate; other rows are

@@ -225,6 +225,7 @@ EXTENDED = [
     # already-benched queries, not a signal of its own
     "ann_ivf_checked",
     "ann_pq_checked",
+    "bpe_merges_checked",
 ]
 
 

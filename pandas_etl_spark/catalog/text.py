@@ -1762,3 +1762,193 @@ def q_heavy_hitters_cms_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").cast("bigint").alias("n_est"))
         .select("word", F.col("n").cast("bigint").alias("n"), "n_est")
     )
+
+
+_BPE_CHK_WORDS = 200
+_BPE_CHK_MERGES = 8
+_BPE_CHK_MIN_PF = 2
+
+
+def _bpe_checked_oracle() -> str:
+    """DuckDB twin of the BPE merge loop with a FIXED round count (the
+    pca_power/markov trick: pin the iterations and the loop unrolls
+    into SQL). Every quantity is an exact integer or string — no floats
+    anywhere — so cross-engine hash parity is deterministic: pair
+    frequencies are weighted integer sums, the best pair per round is
+    (pf DESC, lhs, rhs) — the production heap's exact ordering — and
+    the greedy leftmost non-overlapping rewrite keeps the even offsets
+    of each run of consecutive match positions (gaps-and-islands)."""
+    rounds = []
+    out_rows = []
+    prev = "toks0"
+    for t in range(1, _BPE_CHK_MERGES + 1):
+        rounds.append(f""",
+    pairs{t} AS MATERIALIZED (
+        SELECT w, freq, pos, tok AS a,
+               lead(tok) OVER (PARTITION BY w ORDER BY pos) AS b
+        FROM {prev}
+    ),
+    best{t} AS MATERIALIZED (
+        SELECT a, b, pf FROM (
+            SELECT a, b, sum(freq) AS pf
+            FROM pairs{t} WHERE b IS NOT NULL GROUP BY a, b
+        ) WHERE pf >= {_BPE_CHK_MIN_PF}
+        ORDER BY pf DESC, a, b LIMIT 1
+    ),
+    keep{t} AS MATERIALIZED (
+        SELECT w, pos FROM (
+            SELECT w, pos,
+                   pos - min(pos) OVER (PARTITION BY w, isl) AS off
+            FROM (
+                SELECT m.w, m.pos,
+                       m.pos - row_number()
+                           OVER (PARTITION BY m.w ORDER BY m.pos) AS isl
+                FROM pairs{t} m JOIN best{t} s
+                  ON m.a = s.a AND m.b = s.b
+            )
+        ) WHERE off % 2 = 0
+    ),
+    toks{t} AS MATERIALIZED (
+        SELECT w, freq,
+               row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+               tok
+        FROM (
+            SELECT t.w, t.freq, t.pos,
+                   CASE WHEN k.pos IS NOT NULL
+                        THEN t.tok || (SELECT b FROM best{t})
+                        ELSE t.tok END AS tok
+            FROM {prev} t
+            LEFT JOIN keep{t} k ON k.w = t.w AND k.pos = t.pos
+            LEFT JOIN keep{t} kp ON kp.w = t.w AND kp.pos = t.pos - 1
+            WHERE kp.pos IS NULL
+        )
+    )""")
+        out_rows.append(
+            f"SELECT {t - 1} AS rank, a AS lhs, b AS rhs,"
+            f" CAST(pf AS BIGINT) AS pair_freq FROM best{t}"
+        )
+        prev = f"toks{t}"
+    union = "\n        UNION ALL ".join(out_rows)
+    return f"""
+    WITH wf AS MATERIALIZED (
+        SELECT w, freq FROM (
+            SELECT word AS w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest({_DD_TOKENS}) AS word FROM documents)
+            GROUP BY word
+        ) ORDER BY freq DESC, w LIMIT {_BPE_CHK_WORDS}
+    ),
+    toks0 AS MATERIALIZED (
+        SELECT w, freq, generate_subscripts(cs, 1) - 1 AS pos,
+               unnest(cs) AS tok
+        FROM (SELECT w, freq, regexp_extract_all(w, '.') AS cs FROM wf)
+    ){''.join(rounds)}
+    SELECT CAST(rank AS INT) AS rank, lhs, rhs, pair_freq FROM (
+        {union}
+    ) ORDER BY rank
+    """
+
+
+@query("bpe_merges_checked", oracle=_bpe_checked_oracle())
+def q_bpe_merges_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CHECKED BPE merge learning — the cross-engine twin of the
+    rows-only bpe_learn_merges (whose driver loop is heap-based and
+    unbounded; reference algorithm Sennrich et al. 2016). The twin pins
+    the round count at 8 and runs the SAME algorithm relationally on
+    the top-200 word-frequency table: per round, weighted pair counts
+    via one lead() window (overlapping occurrences counted, the
+    production rule), best pair by (pf DESC, lhs, rhs) — exactly the
+    production heap's (-pf, pair) ordering — greedy leftmost
+    non-overlapping rewrite (runs of consecutive match positions keep
+    even offsets), stop below pair_freq 2. Every value is an exact
+    integer or string: no floats, no rounding, so the hash match is
+    deterministic rather than drift-tolerant.
+
+    Scale shape: identical to production — BPE trains on the WORD
+    FREQUENCY table, never the corpus (the corpus is touched once by
+    the word count); all 8 rounds run on the ≤200-word token frame
+    (localCheckpointed per round, |words|·|chars| ≤ ~2k rows), with
+    the per-round best pair collected as bounded 1-row driver state
+    (the same contract as the IVF centroid collect)."""
+    from pyspark.sql import Window as W
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    schema = "rank int, lhs string, rhs string, pair_freq long"
+    wf = (
+        d.select(F.explode(tx.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(_BPE_CHK_WORDS)
+    )
+    toks = wf.select(
+        "w",
+        "freq",
+        F.posexplode(F.expr("regexp_extract_all(w, '.', 0)")).alias(
+            "pos", "tok"
+        ),
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(_BPE_CHK_MERGES):
+        pairs = toks.withColumn(
+            "b", F.lead("tok").over(W.partitionBy("w").orderBy("pos"))
+        ).withColumnRenamed("tok", "a")
+        best_rows = (
+            pairs.filter(F.col("b").isNotNull())
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("pf"))
+            .filter(F.col("pf") >= _BPE_CHK_MIN_PF)
+            .orderBy(F.desc("pf"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # bounded: exactly one row per round
+        )
+        if not best_rows:
+            break
+        lhs, rhs, pf = best_rows[0]["a"], best_rows[0]["b"], int(best_rows[0]["pf"])
+        merges.append((rank, lhs, rhs, pf))
+        m = pairs.filter((F.col("a") == lhs) & (F.col("b") == rhs)).select(
+            "w", "pos"
+        )
+        isl = m.withColumn(
+            "isl",
+            F.col("pos") - F.row_number().over(W.partitionBy("w").orderBy("pos")),
+        )
+        keep = (
+            isl.withColumn(
+                "off",
+                F.col("pos") - F.min("pos").over(W.partitionBy("w", "isl")),
+            )
+            .filter(F.col("off") % 2 == 0)
+            .select(F.col("w").alias("kw"), F.col("pos").alias("kpos"))
+        )
+        prev_k = keep.select(
+            F.col("kw").alias("dw"), (F.col("kpos") + 1).alias("dpos")
+        )
+        toks = (
+            toks.join(
+                keep,
+                (F.col("w") == F.col("kw")) & (F.col("pos") == F.col("kpos")),
+                "left",
+            )
+            .join(
+                prev_k,
+                (F.col("w") == F.col("dw")) & (F.col("pos") == F.col("dpos")),
+                "left",
+            )
+            .filter(F.col("dpos").isNull())
+            .select(
+                "w",
+                "freq",
+                "pos",
+                F.when(
+                    F.col("kpos").isNotNull(), F.concat(F.col("tok"), F.lit(rhs))
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .withColumn(
+                "pos",
+                F.row_number().over(W.partitionBy("w").orderBy("pos")) - 1,
+            )
+            .localCheckpoint()  # word-table-sized; truncates round lineage
+        )
+    return spark.createDataFrame(merges, schema)

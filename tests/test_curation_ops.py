@@ -301,6 +301,28 @@ class TestGroupedExtensions:
         assert dict(out2.dtypes)["s"] == "string"
 
 
+def test_bpe_checked_twin_matches_production(spark, sf_dir):
+    """The relational bpe_merges_checked twin must reproduce the
+    heap-based production learn_bpe_merges EXACTLY at the same
+    parameters (top-200 words, 8 merges, min pair freq 2) — same
+    overlapping pair counts, same (pf desc, lexicographic) tie-break,
+    same greedy leftmost rewrite — proving the fixed-round relational
+    formulation is the production algorithm, not an approximation."""
+    from pandas_etl_spark.catalog import QUERIES
+    from pandas_etl_spark.functions.text import learn_bpe_merges
+    from pandas_etl_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    prod = learn_bpe_merges(d, "text", num_merges=8, max_words=200)
+    twin = [
+        (r["lhs"], r["rhs"], r["pair_freq"])
+        for r in QUERIES["bpe_merges_checked"](spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert twin == [(l, r, pf) for l, r, pf in prod]
+
+
 def test_bpe_merges_match_python_reference(spark, sf_dir):
     """learn_bpe_merges ≡ a direct dict-based Sennrich-style reference
     (same cap, same freq-desc/lexicographic tie rules, same greedy

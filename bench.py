@@ -226,6 +226,7 @@ EXTENDED = [
     "ann_ivf_checked",
     "ann_pq_checked",
     "bpe_merges_checked",
+    "ann_recall_checked",
 ]
 
 

@@ -114,9 +114,10 @@ _PRIORITY = [
     "value_counts",
 ]
 # r9 rotation priority: the late-r8 checked twins (ann_ivf_checked /
-# ann_pq_checked / bpe_merges_checked — each sweep-green at sf0.001
-# AND sf0.01 this round, driver-exact comparison semantics) should
-# take prefix slots next round; they are the newest registry code.
+# ann_pq_checked / bpe_merges_checked / ann_recall_checked — each
+# sweep-green at sf0.001 AND sf0.01 this round, driver-exact
+# comparison semantics) should take prefix slots next round; they are
+# the newest registry code.
 # r8+ rotation pool: ~98 oracle-backed queries remain never
 # driver-checked after this round's 35 (misc/pandas-parity tail —
 # unpivot/percent_rank_cume/regexp_extract/equi_range/isin/geomean/

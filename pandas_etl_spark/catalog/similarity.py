@@ -1478,3 +1478,109 @@ def q_ann_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine_sim",
         F.col("rank").cast("bigint").alias("rnk"),
     )
+
+
+def _recall_checked_oracle() -> str:
+    """Composed oracle: the checked sign-LSH and brute-force kernels
+    (each independently hash-verified) nest as subqueries and the
+    recall@k join/aggregate runs on their outputs — integer counts and
+    a /k ratio rounded to 6, so the audit itself is cross-engine
+    deterministic."""
+    return f"""
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_matched,
+           round(CAST(count(l.neighbor_id) AS DOUBLE) / {_TOPK}, 6)
+               AS recall_at_k
+    FROM ({_DD_EXACT_TOPK}) e
+    LEFT JOIN ({_lsh_checked_oracle()}) l
+      ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+_DD_EXACT_TOPK = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {_DD_COS} AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM sims
+    ) WHERE rn <= {_TOPK}
+"""
+
+
+@query("ann_recall_checked", oracle=_recall_checked_oracle())
+def q_ann_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CHECKED recall audit — the cross-engine twin of the
+    rows-only ann_recall_audit: because the checked sign-LSH path and
+    the brute-force baseline are BOTH independently hash-verified
+    (ann_lsh_checked / ann_cosine_topk), their composition — per-query
+    recall@k of the approximate index against exact truth — is itself
+    SQL-expressible and hash-verified, demonstrating that audits of
+    approximate structures compose from verified kernels. Integer hit
+    counts; the only ratio rounds to 6.
+
+    Plan: both legs keep their no-corpus-shuffle shapes; the audit
+    adds one left join + aggregate over k·|queries| rows."""
+    from pandas_etl_spark.functions.similarity import (
+        cosine,
+        cosine_topk,
+        salted_topk,
+        signlsh_bucket,
+    )
+    from pandas_etl_spark.sources.io import ensure_parallelism
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = cosine_topk(emb, queries, k=_TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        signlsh_bucket("embedding", 64, _LSH_CHECKED_BITS, seed=42).alias(
+            "bucket"
+        ),
+    )
+    qb = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "bucket",
+    )
+    cand = (
+        b.join(F.broadcast(qb), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    lsh = salted_topk(
+        cand, "query_id", [F.desc("cosine_sim"), F.asc("neighbor_id")], _TOPK
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_matched"),
+            F.round(
+                F.count("hit").cast("double") / F.lit(float(_TOPK)), 6
+            ).alias("recall_at_k"),
+        )
+    )

@@ -730,3 +730,54 @@ def test_kcenter_sample_properties(spark, sf_dir):
     assert all(d is not None and d >= 0.0 for d in dists)
     assert all(x >= y - 1e-12 for x, y in zip(dists, dists[1:]))  # radius shrinks
     assert len({r["vec_id"] for r in a}) == 6  # no repeats
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=30),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "c"]), st.sampled_from(["a", "b", "c"])
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_islands_rewrite_equals_greedy(syms, pair):
+    """The gaps-and-islands even-offset rule used by bpe_merges_checked
+    (keep match positions at even offsets within each run of
+    consecutive matches) must equal the production greedy leftmost
+    merge for EVERY symbol sequence — including the run shapes
+    ('aaaa' with pair (a,a)) where overlap resolution matters and
+    which a natural-language corpus may never exercise."""
+    l, r = pair
+
+    # production greedy (functions/text.py learn_bpe_merges rewrite)
+    greedy: list[str] = []
+    for s in syms:
+        if greedy and greedy[-1] == l and s == r:
+            greedy[-1] = l + r
+        else:
+            greedy.append(s)
+
+    # islands rule: match positions, runs of consecutive positions,
+    # keep even offsets from each run start
+    matches = [
+        p for p in range(len(syms) - 1) if syms[p] == l and syms[p + 1] == r
+    ]
+    kept: set[int] = set()
+    run_start = None
+    for i, p in enumerate(matches):
+        if run_start is None or matches[i - 1] != p - 1:
+            run_start = p
+        if (p - run_start) % 2 == 0:
+            kept.add(p)
+    out: list[str] = []
+    skip = False
+    for p, s in enumerate(syms):
+        if skip:
+            skip = False
+            continue
+        if p in kept:
+            out.append(s + r)
+            skip = True
+        else:
+            out.append(s)
+
+    assert out == greedy, (syms, pair)

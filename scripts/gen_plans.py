@@ -121,6 +121,7 @@ NOTES = {
     "dedup_cluster_histogram": "Dedup audit: reuses the CC labeling core (iterative rounds lineage-cut by localCheckpoint, so the explain shows the label frame); two tiny aggregates after.",
     "ann_ivf_checked": "Checked IVF: sign-pattern seed cells fit in ONE posexplode aggregate (<=cells x dim rows collected); assignment is a per-row argmin over broadcast centroid literals in the scan projection; candidates come from ONE cell-keyed join against the broadcast probe set; exact cosine re-rank + salted top-k.",
     "ann_pq_checked": "Checked PQ: L2-normalize in the scan projection; codebook fit/refine runs on codebook-sized frames (localCheckpointed per Lloyd round); encode is ONE broadcast join + (id,s,code) partial aggregate; ADC joins the broadcast query LUT; the bounded shortlist re-ranks by exact cosine.",
+    "ann_recall_checked": "Checked recall audit: both legs keep their no-corpus-shuffle shapes (sign-LSH bucket join + broadcast-query brute force); the audit itself adds one left join + aggregate over k x |queries| rows.",
 }
 # diversity_sample_kcenter is not plan-audited: the greedy selection runs
 # k bounded driver rounds and returns a materialized local frame, so its

@@ -222,11 +222,12 @@ EXTENDED = [
     # already-benched LPA and adds only tiny per-community aggregates
     # ann_recall_audit is deliberately NOT benched: it runs all four
     # ANN paths to measure recall, so its wall time is the sum of
-    # already-benched queries, not a signal of its own
+    # already-benched queries, not a signal of its own; the same
+    # rationale excludes ann_recall_checked (its LSH + brute-force
+    # legs are both benched individually)
     "ann_ivf_checked",
     "ann_pq_checked",
     "bpe_merges_checked",
-    "ann_recall_checked",
 ]
 
 

@@ -68,80 +68,69 @@ _PRIORITY = [
     "hll_distinct_checked",
     "rolling_time_window",
     "resample_interpolate",
-    # --- r8 rotation (VERDICT r7 #1/#2): snapshot_diff_orders stays in
-    # the prefix until its array_join fix is DRIVER-green (the one r7
-    # red row), then the 28 round-7 additions (all sweep-only today)
-    # and the stalest never-checked misc/pandas-parity rows. The r7
-    # rotation went 49/50 green in CORRECTNESS_r07 and rotates out. ---
-    "snapshot_diff_orders",
-    # round-7 additions: distribution / effect-size / first-seen family
-    "gini_revenue_concentration",
-    "lorenz_deciles",
-    "weighted_percentiles",
-    "exact_quantiles_distributed",
-    "entropy_by_source",
-    "chi_square_event_dow",
-    "stickiness_dau_mau",
-    "new_vs_returning_daily",
-    "cumulative_distinct_users",
-    "cohens_d_segments",
-    # round-7 ML-audit ring
-    "class_weights_inverse_freq",
-    "stratified_kfold_assign",
-    "knn_label_noise",
-    "centroid_margin_audit",
-    "dedup_rate_by_source",
-    # round-7 checked twins + graph/stats/stream additions
-    "ann_lsh_checked",
-    "heavy_hitters_cms_checked",
-    "minhash_source_signature_checked",
+    # --- r9 rotation (VERDICT r8 #1/#2): pca_power_top_component stays
+    # in the prefix until its determinism fix (μ/cov pinned at the
+    # aggregates, driver-side fixed-order iteration, left-associative
+    # projection fold, signed-zero normalization — the r8 red row) is
+    # DRIVER-green; then the five late-r8 checked twins (sweep-green at
+    # sf0.001+sf0.01, never driver-checked) and the stalest
+    # never-checked rows from the 104-query pool, verdict-named
+    # priorities first. The r8 rotation went 35/36 green in
+    # CORRECTNESS_r08 and rotates out. ---
     "pca_power_top_component",
-    "markov_attribution",
-    "stream_asof_enrich",
-    "rolling_corr",
-    "jaccard_link_prediction",
-    "attribution_time_decay",
-    "k_anonymize_local",
-    "k_core_fixed_depth",
-    "erasure_rewrite",
-    "corpus_datacard",
-    "croston_intermittent_demand",
-    # stalest never-checked misc/pandas-parity tail
-    "null_handling",
-    "percentiles_exact",
-    "str_extractall",
-    "describe_stats",
-    "value_counts",
+    # late-r8 checked twins
+    "ann_ivf_checked",
+    "ann_pq_checked",
+    "ann_recall_checked",
+    "bpe_merges_checked",
+    "dedup_recall_audit_checked",
+    # verdict-named analytics tail (never driver-checked)
+    "ab_test_zscores",
+    "funnel_counts",
+    "basket_rules",
+    "corr_matrix",
+    "grouping_sets",
+    "correlated_subquery",
+    "attribution_last_touch",
+    "attribution_linear",
+    "event_transition_matrix",
+    "anomaly_rolling_z",
+    "active_users_trailing_24h",
+    "bootstrap_ci_mean_price",
+    "calibration_purchase_score",
+    # geo family
+    "nearest_suppliers_knn",
+    "spatial_cluster_eps",
+    # merge/interval + curation sampling tail
+    "merge_intervals",
+    "outlier_zscore",
+    "multi_resolution_rollup",
+    "winsorize_values",
+    "quality_weighted_sample",
+    # embeddings family (north-star, never driver-checked)
+    "embedding_centroids",
+    "embedding_outliers",
+    "embedding_standardize",
+    "semantic_knn_communities",
+    "diversity_sample_kcenter",
+    # float-margin-audit candidates — driver signal doubles as margin
+    # evidence (VERDICT r8 #4)
+    "seasonal_decompose_hourly",
+    # graph tail
+    "triangle_top_parts",
+    "community_modularity",
+    "session_transcripts",
 ]
-# r9 rotation priority: the late-r8 checked twins (ann_ivf_checked /
-# ann_pq_checked / bpe_merges_checked / ann_recall_checked — each
-# sweep-green at sf0.001 AND sf0.01 this round, driver-exact
-# comparison semantics) should take prefix slots next round; they are
-# the newest registry code.
-# r8+ rotation pool: ~98 oracle-backed queries remain never
-# driver-checked after this round's 35 (misc/pandas-parity tail —
-# unpivot/percent_rank_cume/regexp_extract/equi_range/isin/geomean/
-# correlated_subquery/grouping_sets/profile/assoc/benford/sampling/
-# dummies/accessors/salted pair/moments/rolling_median/rank_methods/
-# duplicated/upsert/quality_checks/gap_fill/frame_compare/skew pair/
-# corr_matrix/schema_evolution_read; embeddings — centroids/outliers/
-# standardize/semantic_knn/diversity_kcenter; analytics —
-# funnel/ab_test/session_transcripts/outlier_mad/group_mode/ohlc/
-# value_histogram/group_regression/basket/attribution_last_touch/
-# event_debounce/seasonal/triangle_top/modularity/adamic_adar/rfm/
-# anomaly/transition/trailing_24h/peak/calibration/psi/bootstrap/
-# attribution_linear/bfs/assortativity/cheapest_paths/cusum; text —
-# multimodal_audio/image_ahash/json_variant/lang_confusion/chunk/
-# heavy_hitters/group_percentiles/udtf_ngram/pmi/winnow pair/
-# source_composition/length_buckets/zipf/feature_hash/contrastive/
-# fuzzy/doc_novelty; curation — merge_intervals/outlier_zscore/
-# multi_resolution/winsorize/quality_weighted/group_share/nucleus/
-# k_anonymity_audit/group_sample_n/weighted_ares/l_diversity;
-# geo/patterns — nearest_knn/spatial_cluster/acf/funnel_time_bound/
-# session_paths/ols/conversion_latency/capped_balance).
-# Compute the live pool with:
+# r9+ rotation pool after this prefix: ~69 oracle-backed queries
+# remain never driver-checked (misc/pandas-parity tail, text family —
+# lang_confusion/chunk/heavy_hitters/group_percentiles/udtf_ngram/
+# pmi/winnow pair/source_composition/length_buckets/zipf/feature_hash/
+# contrastive/fuzzy/doc_novelty, analytics remainder — outlier_mad/
+# group_mode/ohlc/value_histogram/group_regression/event_debounce/
+# adamic_adar/rfm/peak/psi/bfs/assortativity/cheapest_paths/cusum,
+# curation remainder, geo/patterns remainder). Compute the live pool:
 #   [q for q in QUERIES if q in ORACLES
-#    and q not in union(CORRECTNESS_r*.json keys)]
+#    and q not in union(CORRECTNESS_r*.json green keys)]
 
 
 def _apply_priority_order() -> None:

@@ -906,13 +906,33 @@ def q_ann_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_POW_ITERS = 30
 
 
-def _pca_power_oracle() -> str:
+def _pca_power_oracle(probe: bool = False) -> str:
     """Unrolled power-iteration oracle for the dominant principal
     component: covariance C from one self-join aggregate (E[xy] −
     μᵢμⱼ), then 30 chained MATERIALIZED matvec+normalize rounds from
     the constant start vector, sign-canonicalized at the largest-|w|
-    coordinate, projections rounded to 4 (far above the float
-    accumulation drift a 30-step normalized iteration can carry)."""
+    coordinate. Determinism contract (r8 driver red row, fixed r9):
+    every rounded quantity must sit far from its rounding
+    half-boundary RELATIVE TO ITS OWN residual drift, so pinning
+    happens at the point of least drift — μ and the covariance are
+    rounded (6 / 4 decimals) straight out of their single-pass
+    aggregates, where cross-session/cross-engine summation-order
+    drift is ~1e-12 against measured grid margins ~1e-8 (pinning w
+    alone is NOT safe: the unpinned 30-step iteration drifts ~1e-8,
+    the same order as w's 6-decimal margin). The iteration then runs
+    on pinned constants, w is rounded to 6 (drift ~1e-13 vs margin
+    4.8e-9), and the projection is the same LEFT-ASSOCIATIVE fold
+    F.aggregate computes — list_reduce over pos-ordered terms seeded
+    with 0.0. round() can emit IEEE -0.0 (measured: min |pc1| 3.6e-5
+    at sf0.01 rounds to ±0.0), normalized by the final CASE. The
+    margin/drift ratios are asserted per-quantity in
+    tests/test_operators.py::test_pca_power_rounding_margins.
+
+    ``probe=True`` swaps the final select for a per-quantity
+    margin report (min distance of each UNROUNDED pinned value to
+    its rounding half-boundary) so the test can verify the
+    margin ≫ drift contract on the live data without string surgery
+    on the registered oracle."""
     it = []
     for t in range(1, _PCA_POW_ITERS + 1):
         it.append(f""",
@@ -925,6 +945,51 @@ def _pca_power_oracle() -> str:
         FROM u{t}
     )""")
     W = f"w{_PCA_POW_ITERS}"
+    final = """
+    SELECT vec_id, label,
+           CASE WHEN p = 0 THEN CAST(0.0 AS DOUBLE) ELSE p END AS pc1
+    FROM folded
+    """
+    if probe:
+        final = f"""
+    margins AS (
+        SELECT 'mu_6' AS quantity,
+               min(abs(abs(mraw * 1e6 - floor(mraw * 1e6)) - 0.5) / 1e6)
+                   AS margin
+        FROM mu
+        UNION ALL
+        SELECT 'cov_4',
+               min(abs(abs(craw * 1e4 - floor(craw * 1e4)) - 0.5) / 1e4)
+        FROM cov
+        UNION ALL
+        SELECT 'w_6',
+               min(abs(abs(wv * (SELECT s FROM pick) * 1e6
+                           - floor(wv * (SELECT s FROM pick) * 1e6))
+                       - 0.5) / 1e6)
+        FROM {W}
+        UNION ALL
+        SELECT 'pc1_4',
+               min(abs(abs(praw * 1e4 - floor(praw * 1e4)) - 0.5) / 1e4)
+        FROM folded
+    )
+    SELECT quantity, margin FROM margins
+    """
+        final = "," + final
+    raw_mu = ", avg(x) AS mraw" if probe else ""
+    raw_cov = (
+        ",\n               sum(a.x * b.x) / max(n.n)"
+        "\n                     - max(ma.m) * max(mb.m) AS craw"
+        if probe
+        else ""
+    )
+    raw_p = (
+        ",\n               list_reduce("
+        "\n                   list_prepend(CAST(0.0 AS DOUBLE),"
+        "\n                                list(t ORDER BY pos)),"
+        "\n                   (acc, x) -> acc + x) AS praw"
+        if probe
+        else ""
+    )
     return f"""
     WITH flat AS (
         SELECT vec_id, label,
@@ -933,10 +998,13 @@ def _pca_power_oracle() -> str:
         FROM embeddings
     ),
     n AS (SELECT count(*) AS n FROM embeddings),
-    mu AS MATERIALIZED (SELECT pos, avg(x) AS m FROM flat GROUP BY pos),
+    mu AS MATERIALIZED (
+        SELECT pos, round(avg(x), 6) AS m{raw_mu} FROM flat GROUP BY pos
+    ),
     cov AS MATERIALIZED (
         SELECT a.pos AS i, b.pos AS j,
-               sum(a.x * b.x) / max(n.n) - max(ma.m) * max(mb.m) AS c
+               round(sum(a.x * b.x) / max(n.n)
+                     - max(ma.m) * max(mb.m), 4) AS c{raw_cov}
         FROM flat a
         JOIN flat b ON a.vec_id = b.vec_id
         JOIN mu ma ON ma.pos = a.pos
@@ -952,15 +1020,22 @@ def _pca_power_oracle() -> str:
         FROM {W} ORDER BY round(abs(wv), 6) DESC, pos LIMIT 1
     ),
     wc AS MATERIALIZED (
-        SELECT pos, wv * (SELECT s FROM pick) AS wv FROM {W}
-    )
-    SELECT f.vec_id, max(f.label) AS label,
-           round(sum((f.x - mu.m) * wc.wv), 4) AS pc1
-    FROM flat f
-    JOIN mu ON mu.pos = f.pos
-    JOIN wc ON wc.pos = f.pos
-    GROUP BY f.vec_id
-    """
+        SELECT pos, round(wv * (SELECT s FROM pick), 6) AS wv FROM {W}
+    ),
+    terms AS (
+        SELECT f.vec_id, f.label, f.pos, (f.x - mu.m) * wc.wv AS t
+        FROM flat f
+        JOIN mu ON mu.pos = f.pos
+        JOIN wc ON wc.pos = f.pos
+    ),
+    folded AS (
+        SELECT vec_id, max(label) AS label,
+               round(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(t ORDER BY pos)),
+                   (acc, x) -> acc + x), 4) AS p{raw_p}
+        FROM terms GROUP BY vec_id
+    ){final}"""
 
 
 @query("pca_power_top_component", oracle=_pca_power_oracle())
@@ -970,12 +1045,22 @@ def q_pca_power_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only k=8 eigendecomposition (same trick as the Markov
     doubling-series oracle: pin the iteration count and linear algebra
     unrolls into SQL). Covariance is E[xy] − μμᵀ from ONE (vec-keyed)
-    self-join aggregate; 30 matvec+normalize rounds run on the 64×64
-    grid (driver-bounded tiny frames, localCheckpointed); the sign is
-    canonicalized at the largest-|w| coordinate; per-vector projections
-    round to 4 — far above the drift a normalized 30-step iteration
-    carries. At 100 TB only the moment aggregate touches the corpus;
-    the iteration cost is dimension-sized, independent of row count."""
+    self-join aggregate; the 30 matvec+normalize rounds run DRIVER-SIDE
+    on the collected 64×64 grid (a d²-bounded collect — at 100 TB only
+    the moment aggregate touches the corpus, and the iteration costs
+    zero cluster time); the sign is canonicalized at the largest-|w|
+    coordinate. Determinism (r8 red row fix): μ and cov are pinned
+    (6 / 4 decimals) at their aggregates, where drift is ~1e-12 vs
+    measured grid margins ~1e-8 — pinning w alone was NOT safe, the
+    unpinned iteration drifts ~1e-8, the same order as the margins
+    that flipped the r8 driver row. The driver-side loop over pinned
+    constants is then session-deterministic (fixed ascending-pos
+    summation), w re-pins to 6, and the projection is a fold over
+    constants computed by the identical left-associative chain in
+    both engines; signed zero (min |pc1| 3.6e-5 at sf0.01 rounds to
+    ±0.0) is normalized explicitly."""
+    import math
+
     from pandas_etl_spark.sources.io import ensure_parallelism
 
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
@@ -984,7 +1069,7 @@ def q_pca_power_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flat = v.select("vec_id", F.posexplode("ev").alias("pos", "x"))
     n = v.count()
-    mu = flat.groupBy("pos").agg(F.avg("x").alias("m")).localCheckpoint()
+    mu = flat.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("m"))
     a = flat.select(F.col("vec_id"), F.col("pos").alias("i"), F.col("x").alias("xa"))
     b = flat.select(F.col("vec_id"), F.col("pos").alias("j"), F.col("x").alias("xb"))
     cov = (
@@ -993,32 +1078,30 @@ def q_pca_power_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(F.col("xa") * F.col("xb")) / F.lit(float(n))).alias("exy"))
         .join(F.broadcast(mu.select(F.col("pos").alias("i"), F.col("m").alias("mi"))), "i")
         .join(F.broadcast(mu.select(F.col("pos").alias("j"), F.col("m").alias("mj"))), "j")
-        .select("i", "j", (F.col("exy") - F.col("mi") * F.col("mj")).alias("c"))
-        .localCheckpoint()
+        .select("i", "j", F.round(F.col("exy") - F.col("mi") * F.col("mj"), 4).alias("c"))
     )
-    w = mu.select("pos", F.lit(0.125).alias("wv")).localCheckpoint()
-    for _ in range(_PCA_POW_ITERS):
-        u = (
-            cov.join(
-                w.select(F.col("pos").alias("j"), F.col("wv").alias("wj")),
-                "j",
-            )
-            .groupBy(F.col("i").alias("pos"))
-            .agg(F.sum(F.col("c") * F.col("wj")).alias("uv"))
-        )
-        nrm = u.agg(F.sqrt(F.sum(F.col("uv") * F.col("uv"))).alias("nm"))
-        w = (
-            u.crossJoin(F.broadcast(nrm))
-            .select("pos", (F.col("uv") / F.col("nm")).alias("wv"))
-            .localCheckpoint()
-        )
-    s_row = (
-        w.orderBy(F.round(F.abs("wv"), 6).desc(), F.asc("pos")).limit(1).collect()
-    )
-    sign = -1.0 if s_row and s_row[0]["wv"] < 0 else 1.0
-    wc = {r["pos"]: r["wv"] * sign for r in w.collect()}
+    # d²-bounded collects: the pinned 64×64 covariance grid + 64 means.
+    C = {(r["i"], r["j"]): r["c"] for r in cov.collect()}
     mud = {r["pos"]: r["m"] for r in mu.collect()}
-    dims = sorted(wc)
+    dims = sorted(mud)
+    w = [0.125] * len(dims)
+    for _ in range(_PCA_POW_ITERS):
+        u = []
+        for i in dims:
+            acc = 0.0
+            for jx, j in enumerate(dims):
+                acc += C.get((i, j), 0.0) * w[jx]
+            u.append(acc)
+        s2 = 0.0
+        for x in u:
+            s2 += x * x
+        nm = math.sqrt(s2)
+        w = [x / nm for x in u]
+    # sign pick: largest rounded |w|, lowest pos tie-break (same order
+    # the oracle's `pick` CTE uses)
+    best = min(range(len(dims)), key=lambda k: (-round(abs(w[k]), 6), dims[k]))
+    sign = -1.0 if w[best] < 0 else 1.0
+    wc = {dims[k]: round(w[k] * sign, 6) for k in range(len(dims))}
     w_arr = F.array(*[F.lit(float(wc[p])) for p in dims])
     mu_arr = F.array(*[F.lit(float(mud[p])) for p in dims])
     proj = F.aggregate(
@@ -1030,7 +1113,12 @@ def q_pca_power_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
-    return v.select("vec_id", "label", F.round(proj, 4).alias("pc1"))
+    p = F.round(proj, 4)
+    return v.select(
+        "vec_id",
+        "label",
+        F.when(p == 0, F.lit(0.0)).otherwise(p).alias("pc1"),
+    )
 
 
 _IVF_CHK_BITS = 3  # sign bits of the first 3 dims → 8 seed cells
@@ -1164,10 +1252,17 @@ def q_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     cents: dict[int, dict[int, float]] = {}
     for r in cent_rows:
-        cents.setdefault(int(r["fbucket"]), {})[int(r["pos"])] = float(r["c"])
+        if r["c"] is not None:  # null array elements yield NULL means
+            cents.setdefault(int(r["fbucket"]), {})[int(r["pos"])] = float(
+                r["c"]
+            )
     dim = 1 + max(p for by_pos in cents.values() for p in by_pos)
+    # ragged embeddings leave (cell, pos) holes — fill a missing mean
+    # with 0.0 so the twin degrades detectably instead of crashing
+    # (the oracle's joins likewise keep running on such data)
     cent_list = [
-        (cell, [cents[cell][p] for p in range(dim)]) for cell in sorted(cents)
+        (cell, [cents[cell].get(p, 0.0) for p in range(dim)])
+        for cell in sorted(cents)
     ]
     # (rounded dist, cell) structs: array_min / sort_array order
     # lexicographically, giving the dist-then-lowest-cell tie-break.

@@ -126,10 +126,12 @@ NOTES = {
 # diversity_sample_kcenter is not plan-audited: the greedy selection runs
 # k bounded driver rounds and returns a materialized local frame, so its
 # final explain is a LocalTableScan (same exclusion rationale as LPA /
-# k-core / BFS above). bpe_merges_checked likewise: its 8 rounds each
-# collect a 1-row best pair and the result is the assembled merge list. backfill_day_partition is likewise excluded: its
-# plan construction performs the partitioned write + dynamic overwrite,
-# so the final explain shows only the post-backfill scan.
+# k-core / BFS above).
+# bpe_merges_checked is likewise excluded: its 8 rounds each collect a
+# 1-row best pair and the result is the assembled merge list.
+# backfill_day_partition is likewise excluded: its plan construction
+# performs the partitioned write + dynamic overwrite, so the final
+# explain shows only the post-backfill scan.
 
 
 def main() -> None:

@@ -91,7 +91,11 @@ def synthesize(spark, k: int) -> str:
     # documents via the rotation corpus (shared with scale_curve runs)
     docs_src = os.path.join(doc_synth(spark, k), "documents.parquet")
     docs_dst = os.path.join(dst, "documents.parquet")
-    if not os.path.exists(docs_dst):
+    # lexists: a stale symlink (rotation corpus regenerated elsewhere)
+    # fails os.path.exists but still blocks os.symlink — relink it
+    if os.path.lexists(docs_dst) and not os.path.exists(docs_dst):
+        os.unlink(docs_dst)
+    if not os.path.lexists(docs_dst):
         os.symlink(docs_src, docs_dst)
     return dst
 

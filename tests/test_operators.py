@@ -1869,8 +1869,9 @@ def test_ann_recall_audit_bounds(spark, sf_dir):
 
 
 def test_checked_ann_twins_recall_vs_bruteforce(spark, sf_dir):
-    """The portable IVF/PQ checked twins (md5-bucket one-pass fits) must
-    still behave like ANN indexes, not hash lotteries: their top-5 sets
+    """The portable IVF/PQ checked twins (sign-pattern-seeded one-pass
+    IVF fit; lowest-id-init PQ Lloyd fit) must still behave like ANN
+    indexes, not hash lotteries: their top-5 sets
     must recover a meaningful fraction of the exact cosine top-5, and
     every reported IVF neighbor must carry the true (rounded) cosine of
     that pair — the twin re-ranks exactly within probed cells."""
@@ -2137,6 +2138,45 @@ def test_pca_fit_project_properties(spark, sf_dir):
         pca_fit(emb, "embedding", k=0)
     with pytest.raises(ValueError):
         pca_fit(emb.limit(0), "embedding", k=2)
+
+
+def test_pca_power_rounding_margins(sf_dir):
+    """Float-boundary margin contract for pca_power_top_component (the
+    r8 driver red row). Every rounded quantity must sit far from its
+    rounding half-boundary RELATIVE TO ITS OWN residual drift — an
+    absolute margin bound is geometrically impossible (64 w values on
+    a 1e-6 grid have expected min margin ~8e-9), which is exactly why
+    the original single-point pinning failed: the unpinned iteration
+    drifts ~1e-8, the same order as the margins it was rounded at.
+    With μ and cov pinned at their single-pass aggregates the drift
+    ladder is: μ/cov ~1e-12 (one n-term reassociated sum), w ~1e-13
+    (fixed-order iteration over pinned constants), pc1 ~1e-14
+    (left-associative fold over pinned constants, 1-ulp constant
+    representation differences). The probe oracle measures each
+    quantity's true margin on the live data; each must beat its
+    drift bound by ≥100×. Measured r9 at sf0.001/sf0.01: mu 1.4e-8,
+    cov 3.4e-9/7.5e-8, w 4.9e-10/1.1e-9, pc1 7.1e-8/5.1e-9."""
+    import duckdb
+
+    from pandas_etl_spark.catalog.similarity import _pca_power_oracle
+    from tests.oracle_harness import TABLES
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        margins = dict(con.execute(_pca_power_oracle(probe=True)).fetchall())
+    finally:
+        con.close()
+    floors = {"mu_6": 1e-10, "cov_4": 1e-10, "w_6": 1e-11, "pc1_4": 1e-11}
+    assert set(margins) == set(floors)
+    for q, floor in floors.items():
+        assert margins[q] > floor, (
+            f"{q} rounding-boundary margin {margins[q]} is within drift "
+            f"range (floor {floor}) — pin this quantity on a coarser grid"
+        )
 
 
 def test_holt_linear_pinned_recurrence(spark):

@@ -101,7 +101,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(o_totalprice)                   AS max_price,
            round(avg(o_totalprice), 6)         AS avg_price,
            round(stddev_samp(o_totalprice), 6) AS sd_price,
-           round(var_samp(o_totalprice), 3)    AS var_price
+           round(var_samp(o_totalprice), 2)    AS var_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -122,9 +122,12 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
         F.round(F.stddev_samp("o_totalprice"), 6).alias("sd_price"),
-        # var's Welford M2 merge order differs per engine by ~1 ulp
-        # (~4e-6 abs at 2e10): round well above the noise floor
-        F.round(F.var_samp("o_totalprice"), 3).alias("var_price"),
+        # var's Welford M2 merge order differs per engine/session by
+        # ~1 ulp (~4e-6 abs at 2e10; r1 measured 6e-5 noise): round well
+        # above the floor — the r9 margin audit measured the 1e-3 grid's
+        # nearest-boundary margin at 2.2e-4, only 3.7x that noise, so
+        # the pin moved to 1e-2 (scripts/float_margin_audit.py)
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
     )
     ncust = o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_cust")

@@ -255,7 +255,7 @@ def q_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "geomean_udaf",
     oracle="""
     SELECT o_orderpriority,
-           round(exp(avg(ln(o_totalprice))), 6) AS geo_mean
+           round(exp(avg(ln(o_totalprice))), 4) AS geo_mean
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -263,7 +263,11 @@ def q_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregating pandas UDF (GROUPED_AGG, §2.8 UDAF row): geometric
     mean of order totals per priority — numpy inside, Arrow-batched;
-    oracle is the closed form exp(avg(ln(x)))."""
+    oracle is the closed form exp(avg(ln(x))). Pinned at 4 decimals:
+    exp() amplifies the log-sum's reassociation drift by the result's
+    magnitude (~2e5), and the r9 margin audit measured the 1e-6 grid's
+    nearest-boundary margin at only ~15x that drift
+    (scripts/float_margin_audit.py)."""
     @F.pandas_udf("double")
     def geo_mean(v: pd.Series) -> float:
         return float(np.exp(np.log(v.to_numpy()).mean()))
@@ -271,7 +275,7 @@ def q_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(F.round(geo_mean("o_totalprice"), 6).alias("geo_mean"))
+        .agg(F.round(geo_mean("o_totalprice"), 4).alias("geo_mean"))
     )
 
 

@@ -1293,3 +1293,179 @@ def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = result.localCheckpoint(eager=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+def _stream_dedup_ingest_checked_oracle() -> str:
+    """ANSI replay of the two-batch streaming dedup ingest (VERDICT r8
+    #7 — batching-invariance twin of the rows-only
+    ``stream_dedup_ingest``): batch 0 = even doc_ids against an empty
+    corpus (all append, and they freeze the stop set — the ``indexed``
+    sink's contract), batch 1 = odd doc_ids classified against the
+    even corpus with that frozen stop set (md5 exact + corpus-rare
+    k-gram Jaccard >= 0.5, the dedup_incremental oracle fragments
+    verbatim). The final corpus membership (doc_id, batch) is the
+    hash-checked output."""
+    from pandas_etl_spark.catalog.dedup import (
+        _DD_NORM,
+        _DD_SHINGLES,
+        _MAX_DF,
+    )
+
+    return f"""
+    WITH evens AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    odds  AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    corp_fp AS (SELECT DISTINCT md5({_DD_NORM}) AS fp FROM evens),
+    new_fp  AS (SELECT doc_id AS id, md5({_DD_NORM}) AS fp FROM odds),
+    exact   AS (SELECT id FROM new_fp JOIN corp_fp USING (fp)),
+    sh_cor0 AS (SELECT doc_id AS id, unnest({_DD_SHINGLES}) AS shingle FROM evens),
+    sh_new0 AS (SELECT doc_id AS id, unnest({_DD_SHINGLES}) AS shingle FROM odds),
+    stop    AS (SELECT shingle FROM sh_cor0 GROUP BY shingle
+                HAVING count(*) > {_MAX_DF}),
+    sh_cor  AS (SELECT * FROM sh_cor0 WHERE shingle NOT IN (SELECT shingle FROM stop)),
+    sh_new  AS (SELECT * FROM sh_new0 WHERE shingle NOT IN (SELECT shingle FROM stop)),
+    n_new   AS (SELECT id, count(*) AS n_a FROM sh_new GROUP BY id),
+    n_cor   AS (SELECT id, count(*) AS n_b FROM sh_cor GROUP BY id),
+    shared  AS (
+        SELECT a.id AS id_a, c.id AS id_b, count(*) AS shared
+        FROM sh_new a JOIN sh_cor c USING (shingle)
+        GROUP BY 1, 2
+    ),
+    near    AS (
+        SELECT id_a AS id
+        FROM shared
+        JOIN n_new ON n_new.id = shared.id_a
+        JOIN n_cor ON n_cor.id = shared.id_b
+        WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5
+        GROUP BY id_a
+    )
+    SELECT doc_id, CAST(0 AS BIGINT) AS batch FROM evens
+    UNION ALL
+    SELECT o.doc_id, CAST(1 AS BIGINT) AS batch
+    FROM odds o
+    LEFT JOIN exact e ON e.id = o.doc_id
+    LEFT JOIN near  nr ON nr.id = o.doc_id
+    WHERE e.id IS NULL AND nr.id IS NULL
+    """
+
+
+@query("stream_dedup_ingest_checked", oracle=_stream_dedup_ingest_checked_oracle())
+def q_stream_dedup_ingest_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CHECKED streaming corpus ingestion (the batching-
+    invariance twin VERDICT r8 #7 asked for): the SAME two-micro-batch
+    file stream + ``dedup_ingest_sink(indexed=True)`` pipeline as the
+    rows-only ``stream_dedup_ingest``, but the output is the per-doc
+    corpus membership (doc_id, batch) instead of a 1-row summary — so
+    the driver hash-verifies WHICH documents each batch kept, i.e. the
+    incremental classification itself (exact md5 / frozen-stop-set
+    near-Jaccard / novel), not just the counts. The corpus read-back is
+    collected before temp cleanup — bounded at the gate scales this
+    twin runs at (the production path streams to durable storage and
+    never collects; cf. stream_dedup_ingest)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pandas_etl_spark.streaming import dedup_ingest_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_chk_")
+    src = os.path.join(tmp, "src")
+    corpus = os.path.join(tmp, "corpus")
+    docs.filter(F.pmod("doc_id", F.lit(2)) == 0).coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    docs.filter(F.pmod("doc_id", F.lit(2)) == 1).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    now = 1_700_000_000
+    for sub, t in (("b0", now - 100), ("b1", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(dedup_ingest_sink(corpus, threshold=0.5, indexed=True))
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        rows = [
+            (r["doc_id"], int(r["__batch"]))
+            for r in spark.read.parquet(corpus)
+            .select("doc_id", "__batch")
+            .collect()
+        ]
+    except Exception:  # empty source: no batch ever wrote the corpus
+        rows = []
+    shutil.rmtree(tmp, ignore_errors=True)  # /tmp hygiene (r7 VERDICT #6)
+    return spark.createDataFrame(
+        rows, "doc_id long, batch long"
+    )
+
+
+@query(
+    "stream_counter_checked",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_counter_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CHECKED arbitrary stateful streaming (the second VERDICT
+    r8 #7 twin): the SAME applyInPandasWithState running-counter
+    pipeline as the rows-only ``stream_stateful_counter``, with the
+    FINAL per-user state hash-verified against the plain batch GROUP BY
+    — the batching-invariance contract of a mergeable stateful
+    operator (state folded over any micro-batch schedule must equal the
+    one-shot aggregate). Totals pin to 4 decimals: event values are
+    exact cents, so every per-user sum is within ulp noise of an exact
+    2-decimal value — dead-center of its 1e-4 rounding cell regardless
+    of fold order (cf. scripts/float_margin_audit.py), unlike a
+    6-decimal pin whose margin would be ~the reassociation drift."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table = run_stream_to_table(out, output_mode="update")
+    # one update row per user per batch; the final state is the row
+    # with the largest n_events (counts only grow)
+    t = spark.table(table)
+    return t.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )

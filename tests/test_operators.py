@@ -2775,6 +2775,99 @@ def test_minhash_lsh_mega_family_star_recall(spark):
     assert len(out) < 200, len(out)
 
 
+def test_minhash_lsh_two_family_mega_bucket(spark):
+    """VERDICT r8 #6 — the two-families-one-mega-bucket edge: when TWO
+    genuine >cap near-dup families share chrome shingles strongly
+    enough that some band's minima collide, the star pairs everyone in
+    that bucket against the single global min(id); the non-min family's
+    members disagree with the other family's representative and that
+    band contributes nothing for them. Recovery relies on OTHER bands
+    (whose minima come from family-unique shingles) giving the second
+    family its own star. This test constructs that exact topology,
+    asserts the edge actually occurs (a shared-by-both-families bucket
+    larger than the cap), and then asserts BOTH families come out as
+    complete, separate connected components."""
+    from pyspark.sql import functions as F
+
+    from pandas_etl_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    chrome = (
+        "shared boilerplate navigation header footer copyright terms "
+        "privacy cookie banner subscribe newsletter sitemap contact " * 4
+    )
+    ua = "alpha bravo charlie delta echo foxtrot golf hotel india " * 7
+    ub = "kilo lima mike november oscar papa quebec romeo sierra " * 7
+    fam_a = [(i, ua + chrome + f" va{i}") for i in range(40)]
+    fam_b = [(100 + i, ub + chrome + f" wb{i}") for i in range(40)]
+    df = spark.createDataFrame(fam_a + fam_b, "doc_id long, text string")
+    num_perm, bands, cap = 64, 32, 10
+    rows = num_perm // bands
+
+    # precondition — the edge occurs: some (band, bucket) holds members
+    # of BOTH families and exceeds the cap (same banding expression the
+    # operator builds internally)
+    sig = minhash_signatures(df, "text", "doc_id", num_perm, 5, 42)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.col("sig").getItem(b * rows + r)
+                                for r in range(rows)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band"), F.col("bb.bucket"))
+    mixed = (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("id") < 100, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("id") >= 100, 1).otherwise(0)).alias("nb"),
+        )
+        .filter((F.col("n") > cap) & (F.col("na") > 0) & (F.col("nb") > 0))
+        .count()
+    )
+    assert mixed > 0, "test corpus never produced a two-family mega-bucket"
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df,
+            num_perm=num_perm,
+            bands=bands,
+            threshold=0.5,
+            max_bucket=cap,
+        ).collect()
+    }
+    # union-find closure (what dedup_clusters runs downstream)
+    parent = {i: i for i in range(40)} | {100 + i: 100 + i for i in range(40)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp_a = {i for i in parent if find(i) == find(0)}
+    comp_b = {i for i in parent if find(i) == find(100)}
+    assert comp_a == set(range(40)), sorted(comp_a)
+    assert comp_b == {100 + i for i in range(40)}, sorted(comp_b)
+
+
 def test_global_row_number_matches_window(spark):
     """global_row_number == row_number() over the same total order, on a
     multi-partition frame with duplicate sort-key prefixes (uniqueness

@@ -121,6 +121,11 @@ _PRIORITY = [
     "community_modularity",
     "session_transcripts",
 ]
+# r10 rotation priority: the three r9 streaming checked twins
+# (stream_dedup_ingest_checked / stream_counter_checked /
+# stream_span_ingest_checked — VERDICT r8 #7, each sweep-green at
+# sf0.001 AND sf0.01 this round) should take prefix slots next round;
+# they are the newest registry code.
 # r9+ rotation pool after this prefix: ~69 oracle-backed queries
 # remain never driver-checked (misc/pandas-parity tail, text family —
 # lang_confusion/chunk/heavy_hitters/group_percentiles/udtf_ngram/

@@ -1469,3 +1469,137 @@ def q_stream_counter_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
     )
+
+
+def _stream_span_ingest_checked_oracle() -> str:
+    """ANSI replay of the two-batch streaming SPAN ingest (the third
+    VERDICT r8 #7 twin, substring-level counterpart of
+    stream_dedup_ingest_checked): batch 0 = evens span-deduped among
+    themselves (exact_span_dedup semantics — min-id gram ownership,
+    8-token windows, coverage-union rewrite); the ACCEPTED evens'
+    REWRITTEN texts contribute the gram index; batch 1 = odds rewritten
+    against that index (index hits cut everywhere, index-fresh grams
+    fall to in-batch min-id ownership), keeping docs with >= 1 token.
+    The final corpus (doc_id, batch, rewritten text) is hash-checked."""
+    gh = (
+        "CAST('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')),"
+        " 1, 15) AS BIGINT)"
+    )
+    return f"""
+    WITH tok0 AS (SELECT doc_id AS id, string_split(text, ' ') AS t
+                  FROM documents WHERE doc_id % 2 = 0),
+    p0 AS (SELECT id, unnest(generate_series(0, len(t) - 8)) AS pos, t
+           FROM tok0),
+    w0 AS (SELECT id, pos, {gh} AS gh FROM p0),
+    o0 AS (SELECT gh, min(id) AS owner FROM w0 GROUP BY gh),
+    dup0 AS (SELECT w0.id, w0.pos FROM w0 JOIN o0 USING (gh)
+             WHERE w0.id > o0.owner),
+    cov0 AS (SELECT DISTINCT id, idx FROM
+             (SELECT id, pos + unnest(generate_series(0, 7)) AS idx
+              FROM dup0)),
+    tp0 AS (SELECT id, unnest(generate_series(0, len(t) - 1)) AS idx, t
+            FROM tok0),
+    tpv0 AS (SELECT id, idx, t[idx+1] AS tokv FROM tp0),
+    kept0 AS (SELECT tpv0.id, tpv0.idx, tpv0.tokv FROM tpv0 LEFT JOIN cov0
+              ON tpv0.id = cov0.id AND tpv0.idx = cov0.idx
+              WHERE cov0.idx IS NULL),
+    acc0 AS (SELECT id, string_agg(tokv, ' ' ORDER BY idx) AS text_dedup
+             FROM kept0 GROUP BY id HAVING count(*) >= 1),
+    gtok0 AS (SELECT id, string_split(text_dedup, ' ') AS t FROM acc0),
+    gp0 AS (SELECT id, unnest(generate_series(0, len(t) - 8)) AS pos, t
+            FROM gtok0),
+    g0 AS (SELECT DISTINCT {gh} AS gh FROM gp0),
+    tok1 AS (SELECT doc_id AS id, string_split(text, ' ') AS t
+             FROM documents WHERE doc_id % 2 = 1),
+    p1 AS (SELECT id, unnest(generate_series(0, len(t) - 8)) AS pos, t
+           FROM tok1),
+    w1 AS (SELECT id, pos, {gh} AS gh FROM p1),
+    hit1 AS (SELECT id, pos FROM w1 WHERE gh IN (SELECT gh FROM g0)),
+    fresh1 AS (SELECT * FROM w1 WHERE gh NOT IN (SELECT gh FROM g0)),
+    own1 AS (SELECT gh, min(id) AS owner FROM fresh1 GROUP BY gh),
+    dup1 AS (SELECT f.id, f.pos FROM fresh1 f JOIN own1 USING (gh)
+             WHERE f.id > own1.owner),
+    cut1 AS (SELECT id, pos FROM hit1 UNION SELECT id, pos FROM dup1),
+    cov1 AS (SELECT DISTINCT id, idx FROM
+             (SELECT id, pos + unnest(generate_series(0, 7)) AS idx
+              FROM cut1)),
+    tp1 AS (SELECT id, unnest(generate_series(0, len(t) - 1)) AS idx, t
+            FROM tok1),
+    tpv1 AS (SELECT id, idx, t[idx+1] AS tokv FROM tp1),
+    kept1 AS (SELECT tpv1.id, tpv1.idx, tpv1.tokv FROM tpv1 LEFT JOIN cov1
+              ON tpv1.id = cov1.id AND tpv1.idx = cov1.idx
+              WHERE cov1.idx IS NULL),
+    acc1 AS (SELECT id, string_agg(tokv, ' ' ORDER BY idx) AS text_dedup
+             FROM kept1 GROUP BY id HAVING count(*) >= 1)
+    SELECT id AS doc_id, CAST(0 AS BIGINT) AS batch, text_dedup AS text
+    FROM acc0
+    UNION ALL
+    SELECT id, CAST(1 AS BIGINT), text_dedup FROM acc1
+    """
+
+
+@query("stream_span_ingest_checked", oracle=_stream_span_ingest_checked_oracle())
+def q_stream_span_ingest_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CHECKED streaming span-level ingestion: the SAME
+    two-micro-batch file stream + ``span_dedup_ingest_sink`` pipeline
+    as the rows-only ``stream_span_ingest``, but hash-verifying the
+    full per-doc REWRITTEN corpus (doc_id, batch, text) instead of a
+    1-row equivalence summary — the driver checks the actual
+    Lee-2022-style substring cuts, token for token. Corpus reads
+    localCheckpoint before temp cleanup (the stream_asof_enrich
+    materialize-then-delete convention)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pandas_etl_spark.streaming import span_dedup_ingest_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_span_chk_")
+    src = os.path.join(tmp, "src")
+    corpus = os.path.join(tmp, "corpus")
+    docs.filter(F.pmod("doc_id", F.lit(2)) == 0).coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    docs.filter(F.pmod("doc_id", F.lit(2)) == 1).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    now = 1_700_000_000
+    for sub, t in (("b0", now - 100), ("b1", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(span_dedup_ingest_sink(corpus, k=8, min_tokens=1))
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        result = (
+            spark.read.parquet(corpus)
+            .select(
+                "doc_id",
+                F.col("__batch").cast("bigint").alias("batch"),
+                "text",
+            )
+            .localCheckpoint(eager=True)
+        )
+    except Exception:  # empty source: no batch ever wrote the corpus
+        result = spark.createDataFrame(
+            [], "doc_id long, batch long, text string"
+        )
+    shutil.rmtree(tmp, ignore_errors=True)  # /tmp hygiene (r7 VERDICT #6)
+    return result

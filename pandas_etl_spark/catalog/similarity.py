@@ -1084,6 +1084,10 @@ def q_pca_power_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = {(r["i"], r["j"]): r["c"] for r in cov.collect()}
     mud = {r["pos"]: r["m"] for r in mu.collect()}
     dims = sorted(mud)
+    if not dims:  # empty corpus — nothing to project
+        return v.select(
+            "vec_id", "label", F.lit(None).cast("double").alias("pc1")
+        )
     w = [0.125] * len(dims)
     for _ in range(_PCA_POW_ITERS):
         u = []

@@ -102,7 +102,7 @@ NOTES = {
     "knn_label_noise": "Label-noise audit: the bounded query subset broadcasts through cosine_topk (corpus scan scores in place, no corpus shuffle); the disagreement vote is a (query,label)-keyed aggregate over k rows per query.",
     "centroid_margin_audit": "Centroid margins: one posexplode aggregate to the |labels|x64 centroid frame, broadcast back over a single corpus scan; per-row scoring is zip_with dot products (JVM fold, no Python); own-vs-best-other reduces per vector.",
     "attribution_time_decay": "Time-decay credit: one user_id Exchange shared by the window-id window; weights are exact dyadic bigints (2^(60-bucket)) so per-window totals are exact integer sums; credit splits are (user, window)-keyed joins.",
-    "pca_power_top_component": "Power-iteration PC1: the corpus is touched by ONE vec-keyed self-join moment aggregate (covariance) and one final projection scan; all 30 matvec+normalize rounds run on the 64x64 grid (localCheckpointed tiny frames) — iteration cost is dimension-sized, independent of rows.",
+    "pca_power_top_component": "Power-iteration PC1: the corpus is touched by ONE vec-keyed self-join moment aggregate (covariance) and one final projection scan; the 30 matvec+normalize rounds run DRIVER-side on the collected pinned 64x64 grid (r9 determinism fix) — iteration cost is dimension-sized, independent of rows, and zero cluster time.",
     "ann_lsh_checked": "Checked sign-LSH: six sequential-fold hyperplane dots evaluate in the scan projection; candidates come from ONE id-only bucket join against the broadcast query buckets; exact cosine re-rank + salted top-k.",
     "heavy_hitters_cms_checked": "Portable CMS: the word-count table (one token shuffle, localCheckpointed) feeds totals, the exact theta-support candidates, and the d x w counter grid; probes join the broadcast grid — every counter an exact integer sum.",
     "k_anonymize_local": "Local recoding: level-0 is the only full-data aggregate; each cascade level re-aggregates just the still-violating subset against grid-bounded group lists (AQE broadcasts them at runtime).",

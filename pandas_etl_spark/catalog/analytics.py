@@ -1556,9 +1556,84 @@ _HLL_M = 256
 _HLL_SCALE = "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0"
 
 
-@query(
-    "hll_distinct_checked",
-    oracle=f"""
+def _portable_hll_regs(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, M) p=8 register grid of a (possibly
+    partial) events frame — the mergeable state of the portable HLL:
+    union-of-sketches ≡ groupBy max over unioned register frames."""
+    h = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("m")
+    )
+    r = h.select(
+        "event_type",
+        F.conv(F.substring("m", 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring("m", 3, 12), 16, 10).cast("bigint").alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") > 0, F.lit(49) - F.length(F.bin("w")))
+        .otherwise(F.lit(49))
+        .cast("bigint")
+    )
+    return (
+        r.select("event_type", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def _portable_hll_finish(
+    spark: SparkSession, regs: DataFrame, ev: DataFrame
+) -> DataFrame:
+    """ALL-merge + dense grid + exact-integer Σ2^(49-M) + raw/linear
+    branch + exact-count diagnostics — the estimate tail shared by
+    hll_distinct_checked (one-shot registers) and
+    stream_hll_ingest_checked (streamed register fold)."""
+    merged = regs.unionByName(
+        regs.groupBy("bucket")
+        .agg(F.max("M").alias("M"))
+        .select(F.lit("ALL").alias("event_type"), "bucket", "M")
+    )
+    grid = (
+        merged.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(256).select(F.col("id").alias("bucket")))
+        )
+    )
+    fullr = grid.join(merged, ["event_type", "bucket"], "left").withColumn(
+        "M", F.coalesce("M", F.lit(0))
+    )
+    agg = fullr.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(49 - M as int))"))
+        .cast("bigint")
+        .alias("S"),
+        F.sum(F.when(F.col("M") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("V"),
+    )
+    ex = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .unionByName(
+            ev.agg(F.countDistinct("user_id").alias("exact_users")).select(
+                F.lit("ALL").alias("event_type"), "exact_users"
+            )
+        )
+    )
+    e_raw = F.expr(_HLL_SCALE) / F.col("S")
+    e = F.when(
+        (e_raw <= 640.0) & (F.col("V") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("V")),
+    ).otherwise(e_raw)
+    return agg.join(ex, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        F.col("V").cast("bigint").alias("empty_registers"),
+        F.round(e, 4).alias("hll_est"),
+        F.round(e / F.col("exact_users") - 1.0, 4).alias("rel_err"),
+    )
+
+
+_HLL_CHECKED_ORACLE = f"""
     WITH h AS (
         SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS m FROM events
     ),
@@ -1619,8 +1694,10 @@ _HLL_SCALE = "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0"
            round(e, 4) AS hll_est,
            round(e / exact_users - 1.0, 4) AS rel_err
     FROM est
-    """,
-)
+    """
+
+
+@query("hll_distinct_checked", oracle=_HLL_CHECKED_ORACLE)
 def q_hll_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verified PORTABLE HyperLogLog (Flajolet et al. 2007), the
     checked twin of the DataSketches production family (approx_distinct,
@@ -1641,68 +1718,7 @@ def q_hll_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     never users, cross the wire; exact_users/rel_err columns are gate
     diagnostics, not part of the production path."""
     ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
-    h = ev.select(
-        "event_type", F.md5(F.col("user_id").cast("string")).alias("m")
-    )
-    r = h.select(
-        "event_type",
-        F.conv(F.substring("m", 1, 2), 16, 10).cast("bigint").alias("bucket"),
-        F.conv(F.substring("m", 3, 12), 16, 10).cast("bigint").alias("w"),
-    )
-    rho = (
-        F.when(F.col("w") > 0, F.lit(49) - F.length(F.bin("w")))
-        .otherwise(F.lit(49))
-        .cast("bigint")
-    )
-    regs = (
-        r.select("event_type", "bucket", rho.alias("rho"))
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rho").alias("M"))
-    )
-    merged = regs.unionByName(
-        regs.groupBy("bucket")
-        .agg(F.max("M").alias("M"))
-        .select(F.lit("ALL").alias("event_type"), "bucket", "M")
-    )
-    grid = (
-        merged.select("event_type")
-        .distinct()
-        .crossJoin(
-            F.broadcast(spark.range(256).select(F.col("id").alias("bucket")))
-        )
-    )
-    fullr = grid.join(merged, ["event_type", "bucket"], "left").withColumn(
-        "M", F.coalesce("M", F.lit(0))
-    )
-    agg = fullr.groupBy("event_type").agg(
-        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(49 - M as int))"))
-        .cast("bigint")
-        .alias("S"),
-        F.sum(F.when(F.col("M") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("V"),
-    )
-    ex = (
-        ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("exact_users"))
-        .unionByName(
-            ev.agg(F.countDistinct("user_id").alias("exact_users")).select(
-                F.lit("ALL").alias("event_type"), "exact_users"
-            )
-        )
-    )
-    e_raw = F.expr(_HLL_SCALE) / F.col("S")
-    e = F.when(
-        (e_raw <= 640.0) & (F.col("V") > 0),
-        F.lit(256.0) * F.log(F.lit(256.0) / F.col("V")),
-    ).otherwise(e_raw)
-    return agg.join(ex, "event_type").select(
-        "event_type",
-        F.col("exact_users").cast("bigint").alias("exact_users"),
-        F.col("V").cast("bigint").alias("empty_registers"),
-        F.round(e, 4).alias("hll_est"),
-        F.round(e / F.col("exact_users") - 1.0, 4).alias("rel_err"),
-    )
+    return _portable_hll_finish(spark, _portable_hll_regs(ev), ev)
 
 
 @query("audience_overlap_hll")

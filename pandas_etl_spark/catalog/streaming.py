@@ -1690,3 +1690,95 @@ def q_stream_manifest_ingest_checked(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.createDataFrame(
         [row], "n_rows long, xor_hash long, key_min long, key_max long"
     )
+
+
+from pandas_etl_spark.catalog.analytics import _HLL_CHECKED_ORACLE  # noqa: E402
+
+
+@query("stream_hll_ingest_checked", oracle=_HLL_CHECKED_ORACLE)
+def q_stream_hll_ingest_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CHECKED streaming HLL maintenance (fifth VERDICT r8 #7
+    twin — with it EVERY rows-only streaming sink family has a
+    hash-verified twin): events arrive in two micro-batches (first /
+    second half of the month) and each batch's PORTABLE p=8 register
+    grid (md5 buckets — see hll_distinct_checked) is max-MERGED onto
+    the stored grid as a new immutable version, the mergeable-sketch
+    fold the DataSketches production sink (stream_hll_ingest) runs
+    with JVM sketch bytes. The final folded registers feed the same
+    estimate tail as the batch twin and are hash-verified against
+    DuckDB's ONE-SHOT oracle — register union is provably
+    batch-schedule-invariant, cross-engine, not just self-consistent
+    (the rows-only sink's verified=true row). Register state is
+    (type, bucket, M) — KB-sized; batches never rescan the corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from pandas_etl_spark.catalog.analytics import (
+        _portable_hll_finish,
+        _portable_hll_regs,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_hll_chk_")
+    src = os.path.join(tmp, "src")
+    regs_root = os.path.join(tmp, "regs")
+    cut = F.dayofmonth(F.date_trunc("day", "ts")) <= 15
+    ev.filter(cut).coalesce(1).write.parquet(os.path.join(src, "b0"))
+    ev.filter(~cut).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    now = 1_700_000_000
+    for sub, t in (("b0", now - 100), ("b1", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+    state = {"v": -1}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        regs_b = _portable_hll_regs(batch_df.select("event_type", "user_id"))
+        if state["v"] >= 0:
+            old = spark.read.parquet(
+                os.path.join(regs_root, f"v{state['v']}")
+            )
+            regs_b = (
+                regs_b.unionByName(old)
+                .groupBy("event_type", "bucket")
+                .agg(F.max("M").alias("M"))
+            )
+        regs_b.write.mode("overwrite").parquet(
+            os.path.join(regs_root, f"v{batch_id}")
+        )
+        state["v"] = batch_id
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if state["v"] < 0:  # empty source: no batch ever folded registers
+        shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(
+            [],
+            "event_type string, exact_users long, empty_registers long, "
+            "hll_est double, rel_err double",
+        )
+    folded = spark.read.parquet(os.path.join(regs_root, f"v{state['v']}"))
+    result = _portable_hll_finish(spark, folded, ev).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(tmp, ignore_errors=True)  # /tmp hygiene (r7 VERDICT #6)
+    return result

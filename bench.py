@@ -284,18 +284,68 @@ def main() -> None:
         # crowd the storage pool out from under later big joins.
         spark.sparkContext._jvm.System.gc()
 
+    # Per-query attribution (VERDICT r9 #2): the r8→r9 headline creep hit
+    # queries whose files were git-unchanged, so every warm sample now
+    # records (a) Python worker-pool churn — new/reaped pyspark.daemon /
+    # pyspark.worker PIDs across the run, distinguishing "worker
+    # re-spawn tax" from genuine plan cost (a pure-JVM query like
+    # doc_stats should show spawned=0 every run) — and (b) the JVM GC
+    # time/count delta, distinguishing driver/executor GC pressure from
+    # external (noisy-VM) stalls. A spike with spawned=0 and gc_ms≈0 is
+    # environmental by elimination; the sidecar keeps ALL samples, not
+    # just the min, so the stall distribution itself is on record.
+    def python_worker_pids() -> set[int]:
+        pids: set[int] = set()
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\x00", b" ")
+            except OSError:
+                continue
+            if b"pyspark.daemon" in cmd or b"pyspark.worker" in cmd:
+                pids.add(int(p))
+        return pids
+
+    def gc_totals() -> tuple[int, int]:
+        ms = n = 0
+        beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        for i in range(beans.size()):
+            b = beans.get(i)
+            ms += max(b.getCollectionTime(), 0)
+            n += max(b.getCollectionCount(), 0)
+        return ms, n
+
     warm: dict[str, float | None] = {}
     cold: dict[str, float | None] = {}
     errors: dict[str, str] = {}
+    attribution: dict[str, list[dict]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         samples: list[float] = []
+        attribution[name] = []
         for run in range(4):
             try:
+                pids0 = python_worker_pids()
+                gc_ms0, gc_n0 = gc_totals()
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 3)
+                gc_ms1, gc_n1 = gc_totals()
+                pids1 = python_worker_pids()
+                attribution[name].append(
+                    {
+                        "run": run,
+                        "t": elapsed,
+                        "gc_ms": gc_ms1 - gc_ms0,
+                        "gc_n": gc_n1 - gc_n0,
+                        "workers_spawned": len(pids1 - pids0),
+                        "workers_reaped": len(pids0 - pids1),
+                        "workers_after": len(pids1),
+                    }
+                )
                 if run == 0:
                     cold[name] = elapsed
                 else:
@@ -355,6 +405,7 @@ def main() -> None:
     }
     detail = dict(report)
     detail["queries_cold"] = cold
+    detail["attribution"] = attribution
     detail["queries_extended"] = extended
     detail["value_extended"] = round(
         sum(v for v in extended.values() if v is not None), 3

@@ -27,115 +27,96 @@ from pandas_etl_spark.catalog import patterns  # noqa: E402,F401
 from pandas_etl_spark.catalog import distribution  # noqa: E402,F401
 from pandas_etl_spark.catalog import mlaudit  # noqa: E402,F401
 
-# Registry priority ordering (VERDICT r3 #4; rotated per VERDICT r4 #1).
+# Registry priority ordering (VERDICT r3 #4; rotated each round — this is
+# the r10 rotation per VERDICT r9 #1/#6).
 # External harnesses that check a fixed-size prefix of the registry (the
 # driver verifies the first 50) should exercise queries that have never
-# produced a hard driver signal, not re-prove already-green rows. The
-# prefix therefore has two blocks:
-#   1. ~15 regression-critical slots that stay pinned every round (the
-#      dedup/similarity core, the r3-regression pair rolling_time_window
-#      / resample_interpolate, sessionize, pricing_summary) so a
-#      regression in the north-star family is caught immediately;
-#   2. ~35 rotating slots drawn from oracle-backed queries that have no
-#      green row in any CORRECTNESS_r*.json yet (r5: the TPC-H suite,
-#      all stream_* oracles, lexical search, SCD2, cohort analytics).
+# produced a hard driver signal, not re-prove already-green rows. As of
+# r9 all 257 driver-checked rows are latest-PASS and the never-checked
+# pool is 102 (74 oracle-backed + 28 rows-only). The r10 prefix is
+# therefore 100% conversions — zero re-proved rows:
+#   slots 1-5   the five r9 streaming checked twins (the round's flagship
+#               additions, sweep-green at sf0.001+sf0.01 but never
+#               driver-checked — VERDICT r9 #2);
+#   slots 6-50  the 45 stalest never-checked oracle-backed rows in
+#               registry (age) order: the r4-era multimodal/text tail,
+#               the misc/pandas-parity tail, the winnowing family, the
+#               skew/salting studies.
+# Pool after this round (assuming green): 74-50 = 24 oracle-backed
+# never-checked (+28 rows-only) = 52 — clears in ~1 more rotation.
+# The formerly-pinned regression block (dedup/similarity core,
+# rolling_time_window/resample_interpolate, sessionize) rotates out for
+# one round: every one of those rows is driver-green as of r9 AND
+# triple-covered (full local sweep + unit/property suite + bench), so a
+# regression there is still caught the same session it lands.
 # Everything else keeps module order after the prioritized block; all
 # queries remain registered and locally oracle-tested either way.
 _PRIORITY = [
-    # --- pinned regression-critical block (kept green r1-r4) ---
-    "dedup_exact",
-    # dedup_groups itself is unpinned as of r8: the gate corpus has no
-    # duplicates, so its four driver-green rounds were vacuous 0 = 0
-    # rows; the planted twin below checks the same operator's schema
-    # AND its n_dups/keeper/normalization semantics on data that
-    # actually contains groups. dedup_groups stays registered and
-    # sweep-covered.
-    "dedup_groups_planted",
-    "dedup_clusters",
-    "dedup_multi_signal",
-    "minhash_lsh_pairs_checked",
-    "ngram_jaccard_pairs",
-    "simhash_pairs_checked",
-    "ann_cosine_topk",
-    "semantic_dedup_checked",
-    "curate_corpus",
-    "dedup_incremental",
-    "sessionize",
-    # pricing_summary sits out the r8 prefix (driver-green r3-r7 and
-    # triple-covered every round: __spark_entry__.entry() flagship, the
-    # bench headline, and the full local sweep); its slot carries the
-    # round-8 portable-HLL twin to a hard driver signal instead.
-    "hll_distinct_checked",
-    "rolling_time_window",
-    "resample_interpolate",
-    # --- r9 rotation (VERDICT r8 #1/#2): pca_power_top_component stays
-    # in the prefix until its determinism fix (μ/cov pinned at the
-    # aggregates, driver-side fixed-order iteration, left-associative
-    # projection fold, signed-zero normalization — the r8 red row) is
-    # DRIVER-green; then the five late-r8 checked twins (sweep-green at
-    # sf0.001+sf0.01, never driver-checked) and the stalest
-    # never-checked rows from the 104-query pool, verdict-named
-    # priorities first. The r8 rotation went 35/36 green in
-    # CORRECTNESS_r08 and rotates out. ---
-    "pca_power_top_component",
-    # late-r8 checked twins
-    "ann_ivf_checked",
-    "ann_pq_checked",
-    "ann_recall_checked",
-    "bpe_merges_checked",
-    "dedup_recall_audit_checked",
-    # verdict-named analytics tail (never driver-checked)
-    "ab_test_zscores",
-    "funnel_counts",
-    "basket_rules",
-    "corr_matrix",
-    "grouping_sets",
-    "correlated_subquery",
-    "attribution_last_touch",
-    "attribution_linear",
-    "event_transition_matrix",
-    "anomaly_rolling_z",
-    "active_users_trailing_24h",
-    "bootstrap_ci_mean_price",
-    "calibration_purchase_score",
-    # geo family
-    "nearest_suppliers_knn",
-    "spatial_cluster_eps",
-    # merge/interval + curation sampling tail
-    "merge_intervals",
-    "outlier_zscore",
-    "multi_resolution_rollup",
-    "winsorize_values",
-    "quality_weighted_sample",
-    # embeddings family (north-star, never driver-checked)
-    "embedding_centroids",
-    "embedding_outliers",
-    "embedding_standardize",
-    "semantic_knn_communities",
-    "diversity_sample_kcenter",
-    # float-margin-audit candidates — driver signal doubles as margin
-    # evidence (VERDICT r8 #4)
-    "seasonal_decompose_hourly",
-    # graph tail
-    "triangle_top_parts",
-    "community_modularity",
-    "session_transcripts",
+    # --- slots 1-5: r9 streaming checked twins (catalog/streaming.py) ---
+    "stream_dedup_ingest_checked",
+    "stream_counter_checked",
+    "stream_span_ingest_checked",
+    "stream_manifest_ingest_checked",
+    "stream_hll_ingest_checked",
+    # --- slots 6-50: stalest never-checked oracle-backed rows ---
+    "multimodal_audio_stub",
+    "image_ahash_neardup",
+    "json_variant_extract",
+    "lang_confusion",
+    "chunk_documents",
+    "heavy_hitters",
+    "group_percentiles",
+    "udtf_ngram_topk",
+    "pmi_cooccur",
+    "doc_winnow",
+    "winnow_pairs",
+    "source_composition",
+    "length_buckets",
+    "vocab_zipf_fit",
+    "feature_hash_counts",
+    "contrastive_triplets",
+    "fuzzy_match_pairs",
+    "doc_novelty",
+    "unpivot_metrics",
+    "percent_rank_cume",
+    "regexp_extract_ids",
+    "equi_range_join",
+    "isin_filter",
+    "geomean_udaf",
+    "profile_columns",
+    "assoc_cats_orders",
+    "benford_price_audit",
+    "sample_stratified",
+    "get_dummies_segment",
+    "str_dt_accessors",
+    "salted_agg_events",
+    "salted_join_events",
+    "moment_stats",
+    "rolling_median",
+    "rank_methods",
+    "duplicated_flags",
+    "upsert_snapshot",
+    "quality_checks",
+    "gap_fill",
+    "frame_compare",
+    "skew_zipf_join_plain",
+    "skew_zipf_join_salted",
+    "schema_evolution_read",
+    "outlier_mad",
+    "group_mode",
 ]
-# r10 rotation priority: the three r9 streaming checked twins
-# (stream_dedup_ingest_checked / stream_counter_checked /
-# stream_span_ingest_checked — VERDICT r8 #7, each sweep-green at
-# sf0.001 AND sf0.01 this round) should take prefix slots next round;
-# they are the newest registry code.
-# r9+ rotation pool after this prefix: ~69 oracle-backed queries
-# remain never driver-checked (misc/pandas-parity tail, text family —
-# lang_confusion/chunk/heavy_hitters/group_percentiles/udtf_ngram/
-# pmi/winnow pair/source_composition/length_buckets/zipf/feature_hash/
-# contrastive/fuzzy/doc_novelty, analytics remainder — outlier_mad/
-# group_mode/ohlc/value_histogram/group_regression/event_debounce/
-# adamic_adar/rfm/peak/psi/bfs/assortativity/cheapest_paths/cusum,
-# curation remainder, geo/patterns remainder). Compute the live pool:
+# r11 rotation pool after this prefix (24 oracle-backed rows): ohlc_bars,
+# value_histogram, group_regression, event_debounce,
+# related_parts_adamic_adar, user_rfm_segments, peak_concurrency,
+# psi_value_drift, bfs_reach_parts, assortativity_parts,
+# cheapest_paths_parts, cusum_revenue_shift, group_share_transform,
+# nucleus_select_per_source, k_anonymity_audit, group_sample_n,
+# weighted_sample_ares, l_diversity_audit, acf_daily_revenue,
+# funnel_time_bound, session_paths_topk, ols_price_model,
+# conversion_latency_quantiles, capped_running_balance. Compute live:
 #   [q for q in QUERIES if q in ORACLES
-#    and q not in union(CORRECTNESS_r*.json green keys)]
+#    and q not in union(CORRECTNESS_r*.json keys)]
+
 
 
 def _apply_priority_order() -> None:

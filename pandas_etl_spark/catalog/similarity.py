@@ -1102,10 +1102,18 @@ def q_pca_power_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         nm = math.sqrt(s2)
         w = [x / nm for x in u]
     # sign pick: largest rounded |w|, lowest pos tie-break (same order
-    # the oracle's `pick` CTE uses)
-    best = min(range(len(dims)), key=lambda k: (-round(abs(w[k]), 6), dims[k]))
+    # the oracle's `pick` CTE uses). These driver-side pins must round
+    # HALF AWAY FROM ZERO like SQL round() in both engines — Python's
+    # built-in round() is half-even, so a w landing exactly on a 1e-6
+    # half-boundary would diverge between the twin and the oracle
+    # (ADVICE r9).
+    def _round_away(x: float, nd: int = 6) -> float:
+        m = 10.0**nd
+        return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+
+    best = min(range(len(dims)), key=lambda k: (-_round_away(abs(w[k])), dims[k]))
     sign = -1.0 if w[best] < 0 else 1.0
-    wc = {dims[k]: round(w[k] * sign, 6) for k in range(len(dims))}
+    wc = {dims[k]: _round_away(w[k] * sign) for k in range(len(dims))}
     w_arr = F.array(*[F.lit(float(wc[p])) for p in dims])
     mu_arr = F.array(*[F.lit(float(mud[p])) for p in dims])
     proj = F.aggregate(
@@ -1260,6 +1268,13 @@ def q_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents.setdefault(int(r["fbucket"]), {})[int(r["pos"])] = float(
                 r["c"]
             )
+    if not cents:  # every mean NULL (all-null embeddings) — same empty
+        # result as the empty-corpus branch, not a ValueError from
+        # max() over an empty generator (ADVICE r9)
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, cosine_sim double, rnk bigint",
+        )
     dim = 1 + max(p for by_pos in cents.values() for p in by_pos)
     # ragged embeddings leave (cell, pos) holes — fill a missing mean
     # with 0.0 so the twin degrades detectably instead of crashing

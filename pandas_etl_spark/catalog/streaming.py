@@ -862,7 +862,9 @@ def q_stream_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stream_hll_")
     src = os.path.join(tmp, "src")
     rollup_path = os.path.join(tmp, "rollup")
-    cut = F.dayofmonth(F.col("day")) <= 15
+    # total split under NULL day (see the checked twin's note): null
+    # rows land deterministically in batch 0 instead of vanishing.
+    cut = F.coalesce(F.dayofmonth(F.col("day")) <= 15, F.lit(True))
     ev.filter(cut).coalesce(1).write.parquet(os.path.join(src, "b0"))
     ev.filter(~cut).coalesce(1).write.parquet(os.path.join(src, "b1"))
     now = 1_700_000_000
@@ -1725,7 +1727,12 @@ def q_stream_hll_ingest_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stream_hll_chk_")
     src = os.path.join(tmp, "src")
     regs_root = os.path.join(tmp, "regs")
-    cut = F.dayofmonth(F.date_trunc("day", "ts")) <= 15
+    # coalesce(..., True) makes the split TOTAL: a NULL ts satisfies
+    # neither `cut` nor `~cut`, so without it null-ts rows would fall
+    # out of the streamed fold while the one-shot oracle scans them
+    # (ADVICE r9) — deterministic batch-0 placement keeps the twin
+    # honest if the events contract ever admits null timestamps.
+    cut = F.coalesce(F.dayofmonth(F.date_trunc("day", "ts")) <= 15, F.lit(True))
     ev.filter(cut).coalesce(1).write.parquet(os.path.join(src, "b0"))
     ev.filter(~cut).coalesce(1).write.parquet(os.path.join(src, "b1"))
     now = 1_700_000_000

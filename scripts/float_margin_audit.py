@@ -60,12 +60,16 @@ _ROUND_RE = re.compile(r"\bround\s*\(", re.IGNORECASE)
 
 
 def _final_region_start(sql: str) -> int:
-    """Offset of the last top-level SELECT (the final select of a WITH
-    chain, or the only select). Tracks paren depth; ignores quoted
-    strings conservatively (oracles here use no embedded parens in
-    literals that would confuse depth)."""
+    """Offset of the FIRST top-level SELECT. Every CTE body in a WITH
+    chain is parenthesized (depth > 0), so all depth-0 SELECTs belong
+    to the final statement — including every branch of a top-level
+    UNION ALL chain. Taking the LAST depth-0 SELECT (the pre-r10
+    behavior) left earlier UNION branches' round() calls in place, and
+    those branches were then misclassified PINNED (margin = half-cell),
+    silently passing the audit (ADVICE r9). Tracks paren depth; ignores
+    quoted strings conservatively (oracles here use no embedded parens
+    in literals that would confuse depth)."""
     depth = 0
-    last = -1
     i = 0
     n = len(sql)
     while i < n:
@@ -79,9 +83,9 @@ def _final_region_start(sql: str) -> int:
         elif ch == ")":
             depth -= 1
         elif depth == 0 and sql[i : i + 6].upper() == "SELECT":
-            last = i
+            return i
         i += 1
-    return last
+    return -1
 
 
 def _strip_rounds(region: str) -> str:

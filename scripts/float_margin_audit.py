@@ -194,6 +194,46 @@ def _vals(pdf, c) -> list[float]:
     return out
 
 
+def audit_one(sql: str, sf_dir: str, run_oracle) -> dict:
+    """Audit one oracle SQL: returns the per-query report entry
+    ({status, margins, worst_ulps} or a non-ok status). Shared by
+    main() and the pytest gate (tests/test_margin_gate.py), so the
+    gate exercises the exact production classification path."""
+    try:
+        base = run_oracle(sql, sf_dir)
+    except Exception as e:  # oracle itself broken — sweep's problem
+        return {"status": f"oracle error: {e}", "unauditable": True}
+    fcols = _float_cols(base)
+    if not fcols:
+        return {"status": "no float columns"}
+    grids = {}
+    for c in fcols:
+        vals = _vals(base, c)
+        if not vals:
+            continue
+        k = _infer_k(vals)
+        grids[c] = 6 if k is None else min(k, 6)
+    if not grids:
+        return {"status": "no finite float values"}
+    stripped = strip_final_rounds(sql)
+    if stripped is None:
+        return {"status": "no final select found", "unauditable": True}
+    try:
+        raw = run_oracle(stripped, sf_dir)
+    except Exception as e:
+        return {"status": f"stripped oracle error: {e}", "unauditable": True}
+    if len(raw) != len(base) or sorted(raw.columns) != sorted(base.columns):
+        return {"status": "stripped result shape differs", "unauditable": True}
+    margins = {}
+    for c, k in grids.items():
+        vals = _vals(raw, c)
+        if vals:
+            margins[f"{c}@1e-{k}"] = _margin_ulps(vals, k)
+    finite = [m["min_ulps"] for m in margins.values() if m["min_ulps"] is not None]
+    worst = min(finite) if finite else None
+    return {"status": "ok", "margins": margins, "worst_ulps": worst}
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     threshold = 1e4
@@ -221,57 +261,17 @@ def main() -> int:
     thin: list[str] = []
     unauditable: list[str] = []
     for n in names:
-        sql = ORACLES[n]
-        try:
-            base = run_oracle(sql, sf_dir)
-        except Exception as e:  # oracle itself broken — sweep's problem
-            report[n] = {"status": f"oracle error: {e}"}
+        entry = audit_one(ORACLES[n], sf_dir, run_oracle)
+        report[n] = entry
+        if entry.pop("unauditable", False):
             unauditable.append(n)
             continue
-        fcols = _float_cols(base)
-        if not fcols:
-            report[n] = {"status": "no float columns"}
-            continue
-        grids = {}
-        for c in fcols:
-            vals = _vals(base, c)
-            if not vals:
-                continue
-            k = _infer_k(vals)
-            grids[c] = 6 if k is None else min(k, 6)
-        if not grids:
-            report[n] = {"status": "no finite float values"}
-            continue
-        stripped = strip_final_rounds(sql)
-        if stripped is None:
-            report[n] = {"status": "no final select found"}
-            unauditable.append(n)
-            continue
-        try:
-            raw = run_oracle(stripped, sf_dir)
-        except Exception as e:
-            report[n] = {"status": f"stripped oracle error: {e}"}
-            unauditable.append(n)
-            continue
-        if len(raw) != len(base) or sorted(raw.columns) != sorted(base.columns):
-            report[n] = {"status": "stripped result shape differs"}
-            unauditable.append(n)
-            continue
-        margins = {}
-        for c, k in grids.items():
-            vals = _vals(raw, c)
-            if vals:
-                margins[f"{c}@1e-{k}"] = _margin_ulps(vals, k)
-        finite = [
-            m["min_ulps"] for m in margins.values() if m["min_ulps"] is not None
-        ]
-        worst = min(finite) if finite else None
-        report[n] = {"status": "ok", "margins": margins, "worst_ulps": worst}
+        worst = entry.get("worst_ulps")
         if worst is not None and worst < threshold:
             thin.append(n)
             brief = {
                 c: f"{m['min_ulps']:.1e}u@{m['at_value']}"
-                for c, m in margins.items()
+                for c, m in entry["margins"].items()
                 if m["min_ulps"] is not None and m["min_ulps"] < threshold
             }
             print(f"THIN   {n}: worst {worst:.2e} ulps {brief}")

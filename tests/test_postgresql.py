@@ -86,6 +86,24 @@ def test_postgres_url_defaults_and_masking():
 # ------------------------------------------------------------ integration
 
 
+def test_roundtrip_skip_cause_is_the_jar_alone():
+    """Environment contract behind the skipif below (VERDICT r9 #8): the
+    sandbox ships the PostgreSQL server binaries; the ONLY missing piece
+    is the JDBC jar. If the binaries ever vanish, this goes RED instead
+    of the integration test silently widening its skip cause — a skip
+    whose reason drifted is a test that 'never ran' wearing a green
+    badge. To run the roundtrip where a jar exists:
+    POSTGRES_JDBC_JAR=/path/to/postgresql-*.jar python -m pytest
+    tests/test_postgresql.py -m postgres (see README)."""
+    assert _HAVE_PG_BINS, (
+        "PostgreSQL server binaries (initdb/pg_ctl/postgres/psql) missing — "
+        "the roundtrip test's skip cause just changed from 'no JDBC jar' to "
+        "'no server'; update the skipif reason and IMPLEMENTED.md"
+    )
+    if _PG_JAR is not None:
+        assert os.path.exists(_PG_JAR)
+
+
 @pytest.mark.postgres
 @pytest.mark.skipif(
     not (_HAVE_PG_BINS and _PG_JAR),

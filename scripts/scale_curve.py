@@ -26,6 +26,7 @@ Corpus synthesis keeps the workload shape honest at K x:
 
 Usage:
     python scripts/scale_curve.py [--scales 1,5,10] [--runs 2]
+        [--queries exact_span_dedup,...]   # targeted re-measure
 
 Writes corpora under testdata_scaled/x{K}/ (reused if present) and
 prints one JSON line per (query, scale) plus the exponent table to
@@ -123,15 +124,18 @@ def main() -> int:
         scales = [int(x) for x in args[args.index("--scales") + 1].split(",")]
     if "--runs" in args:
         runs = int(args[args.index("--runs") + 1])
+    core = list(CORE)
+    if "--queries" in args:  # targeted re-measure (VERDICT r9 #3)
+        core = args[args.index("--queries") + 1].split(",")
 
     from pandas_etl_spark.catalog import QUERIES
     from pandas_etl_spark.session import get_spark
 
     spark = get_spark("scale_curve")
-    times: dict[str, dict[int, float]] = {q: {} for q in CORE}
+    times: dict[str, dict[int, float]] = {q: {} for q in core}
     for k in sorted(scales):
         sf_dir = synthesize(spark, k)
-        for q in CORE:
+        for q in core:
             best = math.inf
             for _ in range(runs + 1):  # first run pays codegen; keep min
                 spark.catalog.clearCache()
@@ -149,7 +153,7 @@ def main() -> int:
     header = "\n| query | " + " | ".join(f"x{k} (s)" for k in sorted(scales))
     print(header + (" | exponent |" if with_exp else " |"))
     print("|---" * (len(scales) + (2 if with_exp else 1)) + "|")
-    for q in CORE:
+    for q in core:
         row = f"| {q} | " + " | ".join(
             str(times[q][k]) for k in sorted(scales)
         )

@@ -317,6 +317,20 @@ def main() -> None:
             n += max(b.getCollectionCount(), 0)
         return ms, n
 
+    def host_cpu() -> tuple[int, int, int]:
+        # /proc/stat aggregate jiffies: (busy = user+nice+sys+irq+softirq,
+        # idle+iowait, steal). A stalled sample with a large steal delta
+        # or a busy share far above this process's own usage is DIRECT
+        # noisy-neighbor evidence, not elimination.
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            v = [int(x) for x in parts[1:9]]
+            busy = v[0] + v[1] + v[2] + v[5] + v[6]
+            return busy, v[3] + v[4], v[7]
+        except (OSError, ValueError, IndexError):
+            return 0, 0, 0
+
     warm: dict[str, float | None] = {}
     cold: dict[str, float | None] = {}
     errors: dict[str, str] = {}
@@ -329,10 +343,12 @@ def main() -> None:
             try:
                 pids0 = python_worker_pids()
                 gc_ms0, gc_n0 = gc_totals()
+                busy0, idle0, steal0 = host_cpu()
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 3)
+                busy1, idle1, steal1 = host_cpu()
                 gc_ms1, gc_n1 = gc_totals()
                 pids1 = python_worker_pids()
                 attribution[name].append(
@@ -344,6 +360,9 @@ def main() -> None:
                         "workers_spawned": len(pids1 - pids0),
                         "workers_reaped": len(pids0 - pids1),
                         "workers_after": len(pids1),
+                        "cpu_busy_j": busy1 - busy0,
+                        "cpu_idle_j": idle1 - idle0,
+                        "cpu_steal_j": steal1 - steal0,
                     }
                 )
                 if run == 0:

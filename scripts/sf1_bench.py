@@ -80,6 +80,12 @@ def synthesize(spark) -> str:
     replicate("lineitem", {"l_orderkey": ORDER_OFF})
     replicate("orders", {"o_orderkey": ORDER_OFF, "o_custkey": CUST_OFF})
     replicate("customer", {"c_custkey": CUST_OFF})
+    # part + events (r10): lets the single-node pandas baseline and the
+    # window/session/asof headline queries run at sf1 too. Replicas get
+    # their own part keys / users+events, so per-key group sizes and
+    # join fan-outs keep their sf0.1 shape — volume x10, skew unchanged.
+    replicate("part", {"p_partkey": ORDER_OFF})
+    replicate("events", {"event_id": ORDER_OFF, "user_id": CUST_OFF})
     for dim in ("supplier", "nation", "region"):
         load_table(spark, BASE, dim).write.mode("overwrite").parquet(
             os.path.join(OUT, f"{dim}.parquet")

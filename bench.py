@@ -261,11 +261,14 @@ def main() -> None:
     # Per-query try/except: one broken query degrades to a null entry in
     # the report instead of zeroing the whole artifact (r3 shipped NO
     # bench numbers because a single AnalysisException killed the run).
-    # warm = MIN of three post-codegen runs: the sandbox VM shows random
-    # multi-second stalls (GC / noisy neighbor) hitting ~1 in 3 samples —
-    # a single warm sample misattributes one stall as a 5× per-query
-    # regression; min-of-3 is the standard noise-robust statistic and
-    # still executes the full plan each time.
+    # warm = MIN of five post-codegen runs taken in TWO time-separated
+    # passes (3 back-to-back + 2 after the full headline sweep): the
+    # host shows multi-second noisy-neighbor stalls arriving in
+    # minutes-long waves — a single warm sample misattributes one stall
+    # as a 5× per-query regression, and even min-of-3 consecutive
+    # samples of a sub-second query can land entirely inside one wave.
+    # min over time-separated samples is the standard noise-robust
+    # statistic here and still executes the full plan each time.
     def clear_leaked_storage() -> None:
         # The iterative operators (LPA, k-core, pagerank, CC) pin
         # localCheckpoint RDD blocks that outlive their query — ~5 per
@@ -335,48 +338,78 @@ def main() -> None:
     cold: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     attribution: dict[str, list[dict]] = {}
+    warm_samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+
+    def timed_sample(name: str, run: int, sampling_pass: int) -> float | None:
+        """One full-plan execution with per-sample attribution; returns
+        the wall time or None on failure (recorded in ``errors``)."""
+        try:
+            pids0 = python_worker_pids()
+            gc_ms0, gc_n0 = gc_totals()
+            busy0, idle0, steal0 = host_cpu()
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            busy1, idle1, steal1 = host_cpu()
+            gc_ms1, gc_n1 = gc_totals()
+            pids1 = python_worker_pids()
+            attribution[name].append(
+                {
+                    "run": run,
+                    "pass": sampling_pass,
+                    "t": elapsed,
+                    "gc_ms": gc_ms1 - gc_ms0,
+                    "gc_n": gc_n1 - gc_n0,
+                    "workers_spawned": len(pids1 - pids0),
+                    "workers_reaped": len(pids0 - pids1),
+                    "workers_after": len(pids1),
+                    "cpu_busy_j": busy1 - busy0,
+                    "cpu_idle_j": idle1 - idle0,
+                    "cpu_steal_j": steal1 - steal0,
+                }
+            )
+            return elapsed
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            return None
+        finally:
+            clear_leaked_storage()
+
+    # Pass 1: per query, 1 cold (first-execution codegen) + 3 warm
+    # samples, back-to-back.
     for name in HEADLINE:
-        fn = QUERIES[name]
-        samples: list[float] = []
         attribution[name] = []
         for run in range(4):
-            try:
-                pids0 = python_worker_pids()
-                gc_ms0, gc_n0 = gc_totals()
-                busy0, idle0, steal0 = host_cpu()
-                t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                elapsed = round(time.perf_counter() - t0, 3)
-                busy1, idle1, steal1 = host_cpu()
-                gc_ms1, gc_n1 = gc_totals()
-                pids1 = python_worker_pids()
-                attribution[name].append(
-                    {
-                        "run": run,
-                        "t": elapsed,
-                        "gc_ms": gc_ms1 - gc_ms0,
-                        "gc_n": gc_n1 - gc_n0,
-                        "workers_spawned": len(pids1 - pids0),
-                        "workers_reaped": len(pids0 - pids1),
-                        "workers_after": len(pids1),
-                        "cpu_busy_j": busy1 - busy0,
-                        "cpu_idle_j": idle1 - idle0,
-                        "cpu_steal_j": steal1 - steal0,
-                    }
-                )
-                if run == 0:
-                    cold[name] = elapsed
-                else:
-                    samples.append(elapsed)
-            except Exception as e:
-                if run == 0:
-                    cold[name] = None
-                errors[name] = f"{type(e).__name__}: {e}"[:500]
-                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
-            finally:
-                clear_leaked_storage()
-        warm[name] = min(samples) if samples else None
+            elapsed = timed_sample(name, run, sampling_pass=1)
+            if run == 0:
+                cold[name] = elapsed
+            elif elapsed is not None:
+                warm_samples[name].append(elapsed)
+
+    # Pass 2: two more warm samples per query, taken AFTER the whole
+    # pass-1 sweep. The host's external load arrives in minutes-long
+    # waves (SCALE.md r10: loadavg ~6-8 with zero local processes,
+    # per-query wall swinging 2-3x on identical code), so three
+    # BACK-TO-BACK samples of a sub-second query are fully
+    # wave-correlated — min-of-3 consecutive can still record a 5x
+    # stall as the query's time (the r9 doc_stats/quality_score/
+    # ewm_mean driver spikes, later shown environmental). Re-sampling
+    # each query several minutes later decorrelates the min from any
+    # single wave; warm = min over both passes, and the sidecar keeps
+    # EVERY sample with its attribution, so the stall distribution
+    # itself stays on record.
+    for name in HEADLINE:
+        if name in errors:
+            continue
+        for run in range(4, 6):
+            elapsed = timed_sample(name, run, sampling_pass=2)
+            if elapsed is not None:
+                warm_samples[name].append(elapsed)
+
+    for name in HEADLINE:
+        warm[name] = min(warm_samples[name]) if warm_samples[name] else None
 
     # Extended section: round-4+ additions, reported OUTSIDE the
     # headline metric so `value` stays comparable round-over-round on

@@ -188,19 +188,30 @@ def _shingle_pair_counts(
     """Shared candidate machinery for the exact shingle-overlap family:
     (pairs with shared-shingle counts, per-doc shingle sizes). See
     :func:`ngram_jaccard_pairs` for the plan discussion."""
+    # explicit null-id filter so every consumer branch's scan stays
+    # canonically identical (the downstream inner joins on id infer
+    # isnotnull into SOME branches otherwise, defeating AQE exchange
+    # reuse — see minhash_lsh_pairs); null ids can never appear in
+    # pair output anyway
+    df = df.filter(F.col(id_col).isNotNull())
     sh = char_shingles(df, text_col, id_col, k)
     if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("shingle")
+        # stop-shingle drop FUSED into the bucket shuffle: document
+        # frequency as a window count over the same hashpartitioning
+        # (shingle) exchange the bucket groupBy needs — one scan, one
+        # shuffle, no df-agg + join (the agg+probe pair recomputed the
+        # whole scan→normalize→explode pipeline twice; same fusion as
+        # the minhash star-guard, r9). Per-shingle window groups are
+        # spill-safe: a hot shingle's group is exactly the rows the
+        # df-filter drops right after counting.
+        wsh = Window.partitionBy("shingle")
+        sh = sh.withColumn("df", F.count(F.lit(1)).over(wsh)).filter(
+            F.col("df") <= max_df
         )
-        sh = sh.join(rare, "shingle")
         # ONE grouped materialization feeds everything downstream: the
-        # join output is already hash-partitioned by shingle, so this
+        # window output is already hash-partitioned by shingle, so this
         # groupBy adds no exchange; sizes derive from the (bounded)
-        # collected buckets instead of re-scanning the shingle join.
+        # collected buckets instead of re-scanning the shingle frame.
         buckets = sh.groupBy("shingle").agg(
             F.sort_array(F.collect_list("id")).alias("ids")
         )
@@ -273,10 +284,23 @@ def ngram_jaccard_pairs_prefix(
         # prefix filtering needs the df ranking anyway; uncapped = no
         # stop-shingle drop, rank still bounds the candidate explode
         max_df = 1 << 62
+    # explicit null-id filter — same AQE exchange-reuse alignment as
+    # _shingle_pair_counts / minhash_lsh_pairs (the ranked-docs subtree
+    # feeds three branches; the two verification joins infer
+    # isnotnull(id), the candidate branch doesn't)
+    df = df.filter(F.col(id_col).isNotNull())
     sh = char_shingles(df, text_col, id_col, k)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    rare = sh.join(dfreq.filter(F.col("df_") <= max_df), "shingle").select(
-        "id", "df_", F.xxhash64("shingle").alias("h")
+    # document frequency as a window count over one hashpartitioning
+    # (shingle) exchange instead of a df-agg + probe join — the agg and
+    # probe sides each recomputed the scan→normalize→explode pipeline
+    # (same fusion as _shingle_pair_counts above / the minhash
+    # star-guard); hot-shingle window groups are exactly the rows the
+    # df-filter drops right after counting
+    wsh = Window.partitionBy("shingle")
+    rare = (
+        sh.withColumn("df_", F.count(F.lit(1)).over(wsh))
+        .filter(F.col("df_") <= max_df)
+        .select("id", "df_", F.xxhash64("shingle").alias("h"))
     )
     docs = (
         rare.groupBy("id")
@@ -394,6 +418,15 @@ def minhash_lsh_pairs(
     oracle)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
+    # Null-id rows can never reach the output (the verification joins
+    # below are inner on id), but WITHOUT this explicit filter only the
+    # join branch gets an inferred isnotnull pushed into its scan — the
+    # banded branch's scan then differs, the two signature subtrees stop
+    # canonicalizing equal, and AQE cannot stage-reuse them: the whole
+    # shingle+64-min-agg pipeline executed TWICE (measured 12.2s of
+    # 37s executor CPU at sf0.1). With the filter both branches are
+    # identical and the signatures compute once.
+    df = df.filter(F.col(id_col).isNotNull())
     sig = minhash_signatures(df, text_col, id_col, num_perm, k, seed)
     # candidate generation carries ONLY (id, band, bucket) through the
     # shuffle — signatures (the wide arrays) re-join after pair dedup
@@ -517,6 +550,11 @@ def minhash_lsh_pairs_portable(
     bucket key."""
     assert num_perm % bands == 0
     rows = num_perm // bands
+    # same explicit null-id filter as minhash_lsh_pairs: keeps the
+    # banded and verification branches' scans canonically identical so
+    # AQE stage-reuses the signature pipeline (inner sig joins drop
+    # null ids anyway — output unchanged)
+    df = df.filter(F.col(id_col).isNotNull())
     sig = minhash_signatures_portable(df, text_col, id_col, num_perm, k, seed)
     # same shuffle-slimming as the xxhash64 variant: bucket join carries
     # only (id, band, bucket); signature columns re-join after pair dedup

@@ -50,10 +50,14 @@ def test_bench_main_contract(monkeypatch, tmp_path):
         att = detail["attribution"]
         assert set(att) == {"pricing_summary", "doc_stats"}
         for runs in att.values():
-            assert len(runs) == 4  # 1 cold + 3 warm samples
+            # 1 cold + 3 warm (pass 1, back-to-back) + 2 warm (pass 2,
+            # time-separated re-sample after the full headline sweep)
+            assert len(runs) == 6
+            assert [r["pass"] for r in runs] == [1, 1, 1, 1, 2, 2]
             for r in runs:
                 for field in (
                     "t",
+                    "pass",
                     "gc_ms",
                     "gc_n",
                     "workers_spawned",
@@ -64,7 +68,7 @@ def test_bench_main_contract(monkeypatch, tmp_path):
                     "cpu_steal_j",
                 ):
                     assert field in r, (field, r)
-            # warm = min of the three post-codegen samples
+            # warm = min of the five post-codegen samples across passes
             warm = [r["t"] for r in runs if r["run"] > 0]
             name = [n for n, rr in att.items() if rr is runs][0]
             assert report["queries"][name] == min(warm)

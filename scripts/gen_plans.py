@@ -24,11 +24,11 @@ NOTES = {
     "rolling_time_window": "One Exchange on user_id feeds both RANGE-frame window aggregates.",
     "sessionize": "Two windows + final aggregate share a single user_id hash partitioning.",
     "dedup_exact": "One shuffle keyed on the 16-byte md5; only (hash,id) crosses the wire; left-semi restores survivors.",
-    "ngram_jaccard_pairs": "Stop-shingle df-filter reuses the count aggregate's exchange; in-bucket pair generation — no candidate self-join shuffle.",
+    "ngram_jaccard_pairs": "Stop-shingle df-cap is a window count fused into the single shingle-keyed Exchange (no df-agg + probe join — the probe side used to recompute the whole scan→shingle pipeline); in-bucket pair generation — no candidate self-join shuffle.",
     "unigram_logprob_score": "Token count shuffle once; top-V vocabulary and 1-row totals broadcast back onto the token stream.",
     "tpch_q7_nation_volume": "Bilateral nation pair: all dims broadcast, pair disjunction applied post-join; one shuffled fact join; ship-window pushed to scan.",
     "pmi_cooccur": "Pair fan-out bounded by broadcast top-100 vocabulary; one doc_id shuffle for the pair count; top-k via TakeOrdered.",
-    "curate_corpus": "Prefix-filtered pair plan auto-selected at t=0.85: xxhash64 shingle arrays, rarity-prefix candidates, array_intersect verification; the scan+gate+dedup prefix recomputes per consumer (measured cheaper than persisting full-text rows — SCALE.md r4).",
+    "curate_corpus": "Prefix-filtered pair plan auto-selected at t=0.85: xxhash64 shingle arrays, rarity-prefix candidates (document frequency as a window count over the shingle Exchange — no df-agg + probe join), array_intersect verification; the scan+gate+dedup prefix recomputes per consumer (measured cheaper than persisting full-text rows — SCALE.md r4).",
     "embedding_quantize_error": "Per-dim ranges: one posexplode aggregate to |dims| rows, collapsed to a 1-row range frame broadcast onto a single corpus scan; error math is JVM higher-order expressions (no Python, no vector shuffle).",
     "lang_confusion": "Text never shuffles: lang_id evaluates in the scan projection; one hash aggregate to the |langs|-squared grid; share window over the tiny grid.",
     "semantic_dedup_checked": "n_cells=1 SemDeDup baseline: broadcast self-pair on the capped id range, cosine filter, left-anti back onto the corpus. The static plan below shows SortMergeJoin LeftAnti; at runtime AQE converts it to BroadcastHashJoin LeftAnti because the drop list is a small id-only aggregate (asserted in tests/test_plans.py::test_semantic_dedup_anti_join_broadcasts_at_runtime). The hint is deliberately left to AQE: the drop-list size scales with the duplicate count, so a hard broadcast hint would be wrong at 100 TB dup rates.",

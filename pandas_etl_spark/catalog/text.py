@@ -898,14 +898,16 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(F.expr(wins))).alias("fp"),
         )
     )
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 50)
-        .select("fp")
-    )
+    # df-cap as a window count fused into the bucket shuffle (one scan,
+    # one fp-keyed Exchange, no df-agg + probe join — the probe side
+    # recomputed the scan→hash→explode pipeline; same fusion as
+    # functions/dedup._shingle_pair_counts)
+    from pyspark.sql import Window as W
+
+    wfp = W.partitionBy("fp")
     buckets = (
-        fps.join(rare, "fp")
+        fps.withColumn("df", F.count(F.lit(1)).over(wfp))
+        .filter(F.col("df") <= 50)
         .groupBy("fp")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)

@@ -155,7 +155,7 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     nbrs = sim.cosine_topk(
-        emb, q.select("query_id", "query_vec"), k=_NOISE_K
+        emb, q.select("query_id", "query_vec"), k=_NOISE_K, dim=64
     )  # cosine_topk always excludes the self-match (same vec_id)
     labeled = nbrs.join(
         emb.select(

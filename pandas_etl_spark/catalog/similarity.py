@@ -52,7 +52,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.cosine_topk(emb, queries, k=_TOPK).withColumnRenamed("rank", "rnk")
+    return sim.cosine_topk(emb, queries, k=_TOPK, dim=64).withColumnRenamed("rank", "rnk")
 
 
 _KNN_K = 5
@@ -123,7 +123,7 @@ def q_knn_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = emb.filter(F.col("vec_id") % 5 != 0)
     nbrs = sim.cosine_topk(
-        seeds, queries.select("query_id", "query_vec"), k=_KNN_K
+        seeds, queries.select("query_id", "query_vec"), k=_KNN_K, dim=64
     )
     labeled = nbrs.join(
         seeds.select(
@@ -436,7 +436,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    exact = sim.cosine_topk(emb, queries, k=_TOPK).select(
+    exact = sim.cosine_topk(emb, queries, k=_TOPK, dim=64).select(
         "query_id", "neighbor_id"
     )
     qids = exact.select("query_id").distinct()
@@ -561,7 +561,7 @@ def q_semantic_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    knn = sim.cosine_topk(emb, queries, k=5)
+    knn = sim.cosine_topk(emb, queries, k=5, dim=64)
     edges = knn.select(
         F.least("query_id", "neighbor_id").alias("u"),
         F.greatest("query_id", "neighbor_id").alias("v"),
@@ -1658,7 +1658,7 @@ def q_ann_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    exact = cosine_topk(emb, queries, k=_TOPK).select(
+    exact = cosine_topk(emb, queries, k=_TOPK, dim=64).select(
         "query_id", "neighbor_id"
     )
     b = emb.select(

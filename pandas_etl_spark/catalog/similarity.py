@@ -285,7 +285,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop invariants are property-tested in tests/test_similarity
     and the n_cells=1 degenerate case is oracle-checked below."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.semantic_dedup(emb, threshold=0.4, n_cells=16)
+    return sim.semantic_dedup(emb, threshold=0.4, n_cells=16, dim=64)
 
 
 @query(
@@ -310,7 +310,7 @@ def q_semantic_dedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerates the cell join to exact brute force on a capped id range,
     which the NOT EXISTS oracle reproduces verbatim."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
-    return sim.semantic_dedup(emb, threshold=0.4, n_cells=1)
+    return sim.semantic_dedup(emb, threshold=0.4, n_cells=1, dim=64)
 
 
 @query("pq_encode_stats")
@@ -638,7 +638,7 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     ev = emb.filter(F.col("vec_id") % 20 == 0)
     tr = emb.filter(F.col("vec_id") % 20 != 0)
-    return sim.semantic_decontaminate(tr, ev, threshold=0.35).select(
+    return sim.semantic_decontaminate(tr, ev, threshold=0.35, dim=64).select(
         "vec_id", "label"
     )
 

@@ -542,6 +542,7 @@ def semantic_dedup(
     kmeans_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with deterministic mini
@@ -591,15 +592,45 @@ def semantic_dedup(
             F.col(vec_col).alias("vec"),
             _cell(F.col(vec_col)).alias("cell"),
         )
-    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
-        .select(F.col("id_b").alias("id"))
-        .distinct()
-    )
+    if dim is None:
+        a = assigned.select("cell", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+        b = assigned.select("cell", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+        dropped = (
+            a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+            .select(F.col("id_b").alias("id"))
+            .distinct()
+        )
+    else:
+        # flattened within-cell verification (the cosine_topk trick):
+        # elements extracted + norm folded ONCE per row before the cell
+        # shuffle; the per-pair cosine is a codegen'd multiply-add chain
+        # in fold order (identical doubles). Elements travel as the
+        # source floats (same shuffle width as the array) and cast to
+        # double at multiply time, exactly like the fold's per-element
+        # cast. Wrong-length rows score NULL → fail the threshold.
+        flat = assigned.select(
+            "id",
+            "cell",
+            _norm(F.col("vec")).alias("__n"),
+            *[F.col("vec")[i].alias(f"__e{i}") for i in range(dim)],
+        )
+        dot = F.lit(0.0)
+        for i in range(dim):
+            dot = dot + F.col(f"fa.__e{i}").cast("double") * F.col(
+                f"fb.__e{i}"
+            ).cast("double")
+        dropped = (
+            flat.alias("fa")
+            .join(flat.alias("fb"), "cell")
+            .filter(F.col("fa.id") < F.col("fb.id"))
+            .filter(
+                F.round(dot / (F.col("fa.__n") * F.col("fb.__n")), 6) >= threshold
+            )
+            .select(F.col("fb.id").alias("id"))
+            .distinct()
+        )
     return assigned.join(dropped, "id", "left_anti").select("id", "cell")
 
 
@@ -1001,6 +1032,7 @@ def semantic_decontaminate(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-level eval decontamination: drop every TRAIN vector
     whose cosine similarity to ANY eval vector reaches ``threshold`` —
@@ -1015,14 +1047,43 @@ def semantic_decontaminate(
     contaminated-id list — bounded by the leak count, in practice tiny
     — broadcasts back for the anti join, so the corpus never shuffles
     at all (same explicit-broadcast pattern as curate_corpus's drop
-    list, VERDICT r4 #2)."""
+    list, VERDICT r4 #2).
+
+    ``dim`` switches the corpus×eval scorer to the flattened
+    scalar-column form of :func:`cosine_topk` — element extraction and
+    norms once per row instead of three interpreted CodegenFallback
+    folds per pair, identical left-associative arithmetic, NULL (fails
+    the threshold — detectable) on rows violating the asserted
+    length."""
+    if dim is None:
+        ev = F.broadcast(
+            eval_df.select(F.col(vec_col).alias("__ev"))
+        )
+        contaminated = (
+            train.select(id_col, vec_col)
+            .crossJoin(ev)
+            .where(cosine(F.col(vec_col), F.col("__ev")) >= F.lit(threshold))
+            .select(id_col)
+            .distinct()
+        )
+        return train.join(F.broadcast(contaminated), id_col, "left_anti")
     ev = F.broadcast(
-        eval_df.select(F.col(vec_col).alias("__ev"))
+        eval_df.select(
+            _norm(F.col(vec_col)).alias("__nq"),
+            *[F.col(vec_col)[i].cast("double").alias(f"__q{i}") for i in range(dim)],
+        )
     )
+    flat_train = train.select(
+        id_col,
+        _norm(F.col(vec_col)).alias("__na"),
+        *[F.col(vec_col)[i].cast("double").alias(f"__c{i}") for i in range(dim)],
+    )
+    dot = F.lit(0.0)
+    for i in range(dim):
+        dot = dot + F.col(f"__c{i}") * F.col(f"__q{i}")
     contaminated = (
-        train.select(id_col, vec_col)
-        .crossJoin(ev)
-        .where(cosine(F.col(vec_col), F.col("__ev")) >= F.lit(threshold))
+        flat_train.crossJoin(ev)
+        .where(dot / (F.col("__na") * F.col("__nq")) >= F.lit(threshold))
         .select(id_col)
         .distinct()
     )

@@ -66,7 +66,7 @@ NOTES = {
     "mwu_purchase_vs_click": "Mann-Whitney U: same pooled-count + prefix-sum shape as KS; the rank-sum and tie-correction folds are ONE aggregate over the |distinct| value table, and every summand is a half-integer times an integer — exactly representable, so summation order is irrelevant.",
     "theil_sen_trend": "Theil-Sen: the exact-cents daily aggregate is the only data-sized shuffle; the O(n^2) pair self-join and both percentile medians run on the day-domain series, keyed on priority so series parallelize.",
     "cusum_revenue_shift": "CUSUM: ONE exact-cents daily aggregate collapses the data; the cumulative window + argmax TakeOrdered run over the day-domain series with the 1-row stats frame broadcast.",
-    "semantic_decontaminate": "Semantic decontamination: the eval side rides a BroadcastNestedLoopJoin (deliberate bounded-broadcast scoring pass — every train vector scores against every eval vector once, JVM fold, no Python), and the contaminated-id list returns via BroadcastHashJoin LeftAnti — the corpus never shuffles.",
+    "semantic_decontaminate": "Semantic decontamination: the eval side rides a BroadcastNestedLoopJoin (deliberate bounded-broadcast scoring pass — every train vector scores against every eval vector once; elements+norms extracted per ROW, the per-pair dot is a codegen'd multiply-add chain, no Python), and the contaminated-id list returns via BroadcastHashJoin LeftAnti — the corpus never shuffles.",
     "jw_match_pairs": "Jaro-Winkler linkage: ONE hash shuffle on the blocking key, in-block i<j pair generation, then one ArrowEvalPython scorer stage and a row filter — no cartesian, no global sort; candidate volume is sum(|block|^2) by construction.",
     "roc_auc_purchase": "Exact AUC: ONE per-score-value count aggregate (map-side partial) + the pinned-partitioning prefix-sum over the |distinct| score table + a 1-row fold — no global sort of raw rows, no per-threshold sweep, no Python.",
     "calibration_purchase_score": "Calibration/ECE: a 1-row bounds broadcast + ONE map-side-combinable 10-bin aggregate over the data; the ECE fold and per-bin shares run on the 10-row table — no windows, no Python.",

@@ -45,6 +45,51 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# --- flattened fixed-dim scoring (r10) -------------------------------
+# SQL-string construction, NOT per-element Column objects: building 64
+# extraction Columns + a 64-term chain costs ~3·dim py4j round-trips —
+# measured 2-3.5 s of DRIVER time per plan build at dim=64, dominating
+# small queries. selectExpr/F.expr ship the same expressions in ONE
+# call; the parser builds the identical left-associative tree.
+
+
+def _norm_sql(vec_col: str) -> str:
+    """SQL text of :func:`_norm`'s sequential fold — identical
+    arithmetic, parsed server-side."""
+    return (
+        f"SQRT(AGGREGATE(`{vec_col}`, CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+
+
+def _flat_cols(vec_col: str, dim: int, prefix: str) -> list[str]:
+    """selectExpr strings extracting ``dim`` elements as double
+    columns (0-based ``arr[i]``, NULL past the end — ANSI off)."""
+    return [f"CAST(`{vec_col}`[{i}] AS DOUBLE) AS {prefix}{i}" for i in range(dim)]
+
+
+def _flat_dot_sql(dim: int, a: str = "__c", b: str = "__q") -> str:
+    """Left-associative multiply-add chain over flattened columns,
+    with the fold's leading 0.0 term so the summation is term-for-term
+    identical to ``_dot`` (including signed-zero edge cases)."""
+    chain = " + ".join(f"{a}{i} * {b}{i}" for i in range(dim))
+    return f"CAST(0.0 AS DOUBLE) + {chain}"
+
+
+def _flat_norm_sql(dim: int, prefix: str = "__c") -> str:
+    """Norm over the flattened columns — the same left-associative
+    square-sum chain as :func:`_norm`'s fold, but pure arithmetic: a
+    fold here would be a CodegenFallback expression in the per-row
+    projection, and since that projection is the broadcast join's
+    STREAM child, one fallback de-compiles the join and the per-pair
+    scoring above it (observed: the whole BNLJ subtree lost its
+    WholeStageCodegen stars). On rows shorter than ``dim`` this is
+    NULL — consistent with the flat dot's layout contract (the fold
+    normed any length)."""
+    chain = " + ".join(f"{prefix}{i} * {prefix}{i}" for i in range(dim))
+    return f"SQRT(CAST(0.0 AS DOUBLE) + {chain})"
+
+
 _TOPK_SALT = 64
 
 
@@ -134,33 +179,21 @@ def cosine_topk(
             )
         )
     else:
-        corpus = ensure_parallelism(emb).select(
-            F.col(id_col).alias("neighbor_id"),
-            _norm(F.col(vec_col)).alias("__na"),
-            *[F.col(vec_col)[i].cast("double").alias(f"__c{i}") for i in range(dim)],
-        )
+        corpus = ensure_parallelism(emb).selectExpr(
+            f"`{id_col}` AS neighbor_id", *_flat_cols(vec_col, dim, "__c")
+        ).selectExpr("*", f"{_flat_norm_sql(dim, '__c')} AS __na")
         q = F.broadcast(
-            queries.select(
-                "query_id",
-                _norm(F.col("query_vec")).alias("__nq"),
-                *[
-                    F.col("query_vec")[i].cast("double").alias(f"__q{i}")
-                    for i in range(dim)
-                ],
-            )
+            queries.selectExpr(
+                "query_id", *_flat_cols("query_vec", dim, "__q")
+            ).selectExpr("*", f"{_flat_norm_sql(dim, '__q')} AS __nq")
         )
-        dot = F.lit(0.0)
-        for i in range(dim):
-            dot = dot + F.col(f"__c{i}") * F.col(f"__q{i}")
         sim = (
             corpus.crossJoin(q)
             .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select(
+            .selectExpr(
                 "query_id",
                 "neighbor_id",
-                F.round(dot / (F.col("__na") * F.col("__nq")), 6).alias(
-                    "cosine_sim"
-                ),
+                f"ROUND(({_flat_dot_sql(dim)}) / (__na * __nq), 6) AS cosine_sim",
             )
         )
     return salted_topk(
@@ -610,23 +643,25 @@ def semantic_dedup(
         # source floats (same shuffle width as the array) and cast to
         # double at multiply time, exactly like the fold's per-element
         # cast. Wrong-length rows score NULL → fail the threshold.
-        flat = assigned.select(
-            "id",
-            "cell",
-            _norm(F.col("vec")).alias("__n"),
-            *[F.col("vec")[i].alias(f"__e{i}") for i in range(dim)],
+        norm_chain = " + ".join(
+            f"CAST(__e{i} AS DOUBLE) * CAST(__e{i} AS DOUBLE)" for i in range(dim)
         )
-        dot = F.lit(0.0)
-        for i in range(dim):
-            dot = dot + F.col(f"fa.__e{i}").cast("double") * F.col(
-                f"fb.__e{i}"
-            ).cast("double")
+        flat = assigned.selectExpr(
+            "id", "cell", *[f"`vec`[{i}] AS __e{i}" for i in range(dim)]
+        ).selectExpr(
+            "*", f"SQRT(CAST(0.0 AS DOUBLE) + {norm_chain}) AS __n"
+        )
+        chain = " + ".join(
+            f"CAST(fa.__e{i} AS DOUBLE) * CAST(fb.__e{i} AS DOUBLE)"
+            for i in range(dim)
+        )
+        dot = f"CAST(0.0 AS DOUBLE) + {chain}"
         dropped = (
             flat.alias("fa")
             .join(flat.alias("fb"), "cell")
             .filter(F.col("fa.id") < F.col("fb.id"))
             .filter(
-                F.round(dot / (F.col("fa.__n") * F.col("fb.__n")), 6) >= threshold
+                F.expr(f"ROUND(({dot}) / (fa.__n * fb.__n), 6)") >= threshold
             )
             .select(F.col("fb.id").alias("id"))
             .distinct()
@@ -1068,22 +1103,18 @@ def semantic_decontaminate(
         )
         return train.join(F.broadcast(contaminated), id_col, "left_anti")
     ev = F.broadcast(
-        eval_df.select(
-            _norm(F.col(vec_col)).alias("__nq"),
-            *[F.col(vec_col)[i].cast("double").alias(f"__q{i}") for i in range(dim)],
+        eval_df.selectExpr(*_flat_cols(vec_col, dim, "__q")).selectExpr(
+            "*", f"{_flat_norm_sql(dim, '__q')} AS __nq"
         )
     )
-    flat_train = train.select(
-        id_col,
-        _norm(F.col(vec_col)).alias("__na"),
-        *[F.col(vec_col)[i].cast("double").alias(f"__c{i}") for i in range(dim)],
-    )
-    dot = F.lit(0.0)
-    for i in range(dim):
-        dot = dot + F.col(f"__c{i}") * F.col(f"__q{i}")
+    flat_train = train.selectExpr(
+        f"`{id_col}`", *_flat_cols(vec_col, dim, "__c")
+    ).selectExpr("*", f"{_flat_norm_sql(dim, '__c')} AS __na")
     contaminated = (
         flat_train.crossJoin(ev)
-        .where(dot / (F.col("__na") * F.col("__nq")) >= F.lit(threshold))
+        .where(
+            F.expr(f"({_flat_dot_sql(dim)}) / (__na * __nq)") >= F.lit(threshold)
+        )
         .select(id_col)
         .distinct()
     )

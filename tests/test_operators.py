@@ -2893,3 +2893,42 @@ def test_global_row_number_matches_window(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_cosine_topk_flat_scorer_matches_fold(spark, sf_dir):
+    """dim=64 (flat scalar-column scorer) must be bit-identical to the
+    fold path on conforming vectors: same left-associative IEEE order,
+    same rounding, same tie-breaks."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    fold = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in sim.cosine_topk(emb, queries, k=5, dim=None).collect()
+    )
+    flat = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in sim.cosine_topk(emb, queries, k=5, dim=64).collect()
+    )
+    assert fold == flat
+
+
+def test_cosine_topk_flat_scorer_ragged_rows_rank_last(spark):
+    """A row violating the asserted dim scores NULL and ranks last —
+    the degrade-detectably contract (never a wrong number)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.5, 0.5, 0.0]),
+        (3, [1.0, 0.0]),  # ragged: shorter than the asserted dim
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sim.cosine_topk(emb, queries, k=3, dim=3).collect()
+    by_rank = {r.rank: (r.neighbor_id, r.cosine_sim) for r in got}
+    assert by_rank[1][0] == 1 and by_rank[2][0] == 2
+    # the ragged vector is last, with a NULL score — not a wrong one
+    assert by_rank[3][0] == 3 and by_rank[3][1] is None

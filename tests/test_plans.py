@@ -802,3 +802,30 @@ def test_registry_unpartitioned_window_whitelist(spark, sf_dir):
     # and the whitelist must not rot: every entry still has its source
     stale = [n for n in whitelist if n not in offenders]
     assert not stale, f"whitelist entries with no remaining source: {stale}"
+
+
+def test_knn_scoring_has_no_interpreted_fold(spark, sf_dir):
+    """The flat-column cosine scorer (r10): NO higher-order fold
+    (aggregate/zip_with) may appear anywhere in the executed kNN plan.
+    HOFs are CodegenFallback expressions — one of them in the per-pair
+    scoring projection drops the whole projection to interpreted eval
+    (measured ~34 µs/pair, 3× the query's CPU), and one in the per-row
+    flattening projection (the broadcast join's stream child) strips
+    whole-stage codegen off the join subtree. The dim=64 paths must
+    stay pure arithmetic: element extraction + norm as multiply-add
+    chains, per-pair dot as a chain over the flat columns.
+    (semantic_knn_communities shares this scorer but its final explain
+    is the LPA label frame — lineage cut by localCheckpoint — so only
+    the brute-force baseline is plan-assertable.)"""
+    for name in ("ann_cosine_topk",):
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]  # final adaptive plan only
+        assert "BroadcastNestedLoopJoin" in plan, name
+        offenders = [
+            l.strip()[:160]
+            for l in plan.splitlines()
+            if ("aggregate(" in l or "zip_with(" in l) and "Scan" not in l
+        ]
+        assert not offenders, (name, offenders)

@@ -590,9 +590,14 @@ def q_dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     hashed = d.select("doc_id", dd.fingerprint("text").alias("fp"))
-    gmin = hashed.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    # star edges via min(doc_id) window over the single fp exchange —
+    # the former groupBy(fp)+probe-join normalized/hashed the corpus
+    # twice (agg side + probe side) for an (id, fp)-narrow frame (r10
+    # window fusion, same shape as the span-family gram ownership)
+    from pyspark.sql import Window as W
+
     exact_edges = (
-        hashed.join(gmin, "fp")
+        hashed.withColumn("keeper", F.min("doc_id").over(W.partitionBy("fp")))
         .filter(F.col("doc_id") != F.col("keeper"))
         .select(F.col("keeper").alias("id_a"), F.col("doc_id").alias("id_b"))
     )

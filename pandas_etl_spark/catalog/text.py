@@ -1381,9 +1381,10 @@ def q_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (its distinct gram hashes are the whole index — 8 bytes each), the
     upper half is the daily batch: windows already in the index are
     cut, unseen grams fall to in-batch first-holder ownership. The
-    corpus side contributes ONE (gh)-only distinct + semi/anti joins;
-    batch cost ∝ batch size — the amortized shape a daily 100 TB
-    substring-dedup service runs."""
+    corpus side contributes ONE (gh)-only distinct joined left onto
+    the batch grams (r10: the former semi/anti pair consumed the batch
+    window explode three times); batch cost ∝ batch size — the
+    amortized shape a daily 100 TB substring-dedup service runs."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     corpus = d.filter(F.col("doc_id") < 250)
     batch = d.filter(F.col("doc_id") >= 250)

@@ -1089,6 +1089,13 @@ def segment_neardup_dedup(
             + F.col("seg_idx"),
         )
     )
+    # The segment frame feeds three consumers (the MinHash signature
+    # pipeline, the anti-join left side, the per-doc totals) and the
+    # split+explode would recompute per consumer — localCheckpoint
+    # materializes the segmented corpus ONCE (the same lineage-cut
+    # trade the graph operators make: one corpus-sized write to
+    # executor storage instead of 3× the tokenize/explode CPU).
+    segs = segs.localCheckpoint()
     pairs = minhash_lsh_pairs(
         segs.select("uid", "seg"),
         text_col="seg",
@@ -1133,11 +1140,13 @@ def exact_span_dedup(
     any offset is caught — the property that makes the suffix-array
     method effective — while remaining a pure DataFrame plan.
 
-    Plan shape (100 TB): one shuffle of (gram-hash, id, pos) rows —
-    the hash is a 60-bit md5 prefix, id-only wire width — with a
-    map-side-combinable ``min(id)`` ownership aggregate, then one
-    per-doc ``collect_list`` of duplicate start positions (bounded by
-    tokens-per-doc). Token filtering happens per-row in JVM
+    Plan shape (100 TB): ONE shuffle of (gram-hash, id, pos) rows —
+    the hash is a 60-bit md5 prefix, id-only wire width — with
+    ``min(id)`` ownership computed as a window over that same
+    exchange (r10: the former groupBy+probe-join consumed the gram
+    explode twice and shuffled owner partials on top of the probe
+    rows), then one per-doc ``collect_list`` of duplicate start
+    positions (bounded by tokens-per-doc). Token filtering happens per-row in JVM
     higher-order functions: position ``i`` survives iff no duplicate
     window start ``s`` covers it (``s <= i < s+k``) — O(n_tokens ×
     n_dup_windows) per row inside codegen, no token-level shuffle.
@@ -1169,9 +1178,15 @@ def exact_span_dedup(
             "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"
         ).alias("gh"),
     )
-    owner = w.groupBy("gh").agg(F.min("id").alias("owner"))
+    # min(id) ownership as a window over the single gh exchange: the
+    # former groupBy(gh).min + probe-join consumed the gram explode
+    # twice (agg side + probe side) and added a join exchange. The
+    # window computes the identical owner on the one shuffle the
+    # aggregate needed anyway, so the corpus is tokenized/hashed ONCE.
+    from pyspark.sql import Window as W
+
     dup_starts = (
-        w.join(owner, "gh")
+        w.withColumn("owner", F.min("id").over(W.partitionBy("gh")))
         .filter(F.col("id") > F.col("owner"))
         .groupBy("id")
         .agg(F.collect_list("pos").alias("dup_starts"))
@@ -1348,21 +1363,43 @@ def span_dedup_against(
     history is intentionally not claimed — same as suffix-array
     services rebuilt periodically).
 
-    Plan: batch-sized window explode; one semi/anti join pair against
-    the gram index (corpus-sized but (gh)-only — 8 bytes wide, and the
-    join is semi, so no corpus payload moves); in-batch ownership on
-    the anti side only. Output schema = exact_span_dedup."""
+    Plan: batch-sized window explode consumed ONCE (r10): one left
+    join against the distinct (gh)-only gram index marks index hits,
+    and in-batch ``min(id)`` ownership is a window over the same gh
+    exchange. No corpus payload moves — the index side is 8 bytes
+    wide. Output schema = exact_span_dedup."""
     d, w = _span_windows(new_df, text_col, id_col, k)
-    idx = corpus_grams.select("gh")
-    hit = w.join(idx, "gh", "left_semi").select("id", "pos")
-    fresh = w.join(idx, "gh", "left_anti")
-    owner = fresh.groupBy("gh").agg(F.min("id").alias("owner"))
-    batch_dup = (
-        fresh.join(owner, "gh")
-        .filter(F.col("id") > F.col("owner"))
+    # Single pass over the batch grams. The former semi/anti join pair
+    # plus owner agg + probe join consumed the window explode THREE
+    # times (the semi and anti branches don't even canonicalize equal —
+    # the semi join infers isnotnull(gh) into its branch's scan, the
+    # anti doesn't, so AQE cannot stage-reuse them). A hit is a
+    # property of the gh group (either the index holds the gram — all
+    # rows dup — or in-batch ownership applies), so one left join
+    # marking hits and one min(id) window over the gh shuffle yields
+    # the identical dup set: hit rows ∪ fresh rows with id > owner.
+    # The index must be distinct on gh: unlike the former semi join, a
+    # left join fans out per duplicate index row, and the streaming
+    # span index legitimately holds duplicate grams across __batch
+    # partitions (replay-self-contained appends). Results would still
+    # be identical (_span_rewrite's coverage union is duplicate-
+    # insensitive) but the fan-out is wasted rows; the distinct's
+    # aggregate rides the very gh exchange the join needs, so it adds
+    # no shuffle (batch corpus_span_grams callers pass an
+    # already-distinct frame and pay only a no-op re-agg).
+    from pyspark.sql import Window as W
+
+    idx = corpus_grams.select("gh").distinct().withColumn("__hit", F.lit(True))
+    dup = (
+        w.join(idx, "gh", "left")
+        .withColumn("owner", F.min("id").over(W.partitionBy("gh")))
+        .filter(
+            F.coalesce(F.col("__hit"), F.lit(False))
+            | (F.col("id") > F.col("owner"))
+        )
         .select("id", "pos")
     )
-    return _span_rewrite(d, hit.unionByName(batch_dup), k)
+    return _span_rewrite(d, dup, k)
 
 
 def build_span_index(

@@ -423,8 +423,8 @@ def span_dedup_ingest_sink(
     exactly-once with at-least-once classification. Per-batch index
     appends are self-contained (no cross-batch anti join) so a replay
     fully reproduces its partition; duplicate gram hashes across
-    partitions cost space, never correctness (the consumer is a
-    semi/anti join).
+    partitions cost space, never correctness (the consumer distincts
+    the index before its hit join).
 
     Per-batch cost ∝ batch windows + one (gh)-only index scan — the
     corpus text is never re-read.

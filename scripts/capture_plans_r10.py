@@ -31,6 +31,12 @@ TOUCHED = [
     "semantic_dedup_checked",
     "knn_label_noise",
     "knn_label_transfer",
+    # span/segment family fusion (second wave of the round; "before" for
+    # these three was captured from the pre-fusion r10 commit 8bf022c —
+    # the family was untouched between r9 and that commit)
+    "exact_span_dedup",
+    "span_dedup_incremental",
+    "segment_neardup",
 ]
 
 

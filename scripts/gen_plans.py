@@ -42,13 +42,13 @@ NOTES = {
     "bigram_logprob_score": "Top-V vocab + both bigram count tables (bounded at (V+1)^2 rows) broadcast back onto the bigram stream; the only corpus-sized shuffles are the token count and the (id,pos) positional self-join.",
     "dsir_importance_weights": "Hashed-unigram target/raw distributions in ONE bounded 1024-row aggregate + 1-row totals, both broadcast; a single token explode feeds counting and scoring.",
     "corpus_shuffle_shards": "Deterministic training-order shuffle: md5-derived shard is the ONLY shuffle key; per-shard window sorts (n_shards parallel tasks), never a global single-partition sort.",
-    "segment_neardup": "Paragraph MinHash: JVM-array segmentation in the scan projection feeds the banded-LSH signature aggregate; candidate and drop traffic is (band,bucket)/uid-only; the final anti join restores surviving segments.",
+    "segment_neardup": "Paragraph MinHash: JVM-array segmentation materializes ONCE via localCheckpoint (r10 — the segment explode fed three consumers and recomputed per consumer; the plan below scans the checkpointed RDD, zero parquet re-scans); candidate and drop traffic is (band,bucket)/uid-only; the final anti join restores surviving segments.",
     "bootstrap_ci_mean_price": "One md5 per ROW (not per replicate); the 48-replicate explode collapses via map-side combine to |groups|*48 partial sums before the only shuffle; percentile runs on 48 rows per group.",
     "table_manifest_checksum": "Pure map-side combine: per-row md5 XOR + count + min/max fold in one pass; the shuffle carries one partial row per task.",
-    "exact_span_dedup": "Rolling-window substring dedup: window hashing is scan-projection JVM expressions; ONE (gram-hash,id,pos) shuffle with map-side min(id) ownership; duplicate starts collect per doc and token filtering is per-row higher-order functions — tokens never shuffle.",
+    "exact_span_dedup": "Rolling-window substring dedup: window hashing is scan-projection JVM expressions; ONE (gram-hash,id,pos) shuffle with min(id) ownership as a window over that same exchange (r10 fusion — the former ownership agg + probe join tokenized the corpus twice); duplicate starts collect per doc and token filtering is per-row higher-order functions — tokens never shuffle.",
     "unicode_normalize": "NFC normalization: a single ArrowEvalPython map sandwiched between JVM regexp stages. The operator itself adds NO Exchange — the one visible below is ensure_parallelism's ingest repartition of the single-file test fixture; on a real multi-file source the plan is scan→map→project end to end.",
     "release_corpus_manifest": "Publish capstone in ONE lazy plan: Arrow NFC map feeds span-dedup's two data-sized shuffles (gram-hash ownership + per-doc start lists); release gates are row filters. Remaining Exchanges are the ingest repartition of the single-file fixture and the final aggregate's one-partial-row-per-task combine.",
-    "span_dedup_incremental": "Incremental substring dedup: the corpus side is ONE (gh)-only distinct (8-byte rows); the batch joins it semi (index hits) and anti (fresh grams -> in-batch min(id) ownership) — no corpus payload ever moves, batch cost ∝ batch windows.",
+    "span_dedup_incremental": "Incremental substring dedup: the corpus side is ONE (gh)-only distinct (8-byte rows) left-joined onto the batch grams as a hit flag, with in-batch min(id) ownership as a window over the same gh exchange (r10 — the former semi/anti/owner shape consumed the batch window explode three times) — no corpus payload ever moves, batch cost ∝ batch windows.",
     "decontaminate_spans": "Span-level decontamination: eval-side (gh)-only distinct (5% split) feeds ONE left-semi join against the train windows; no in-batch ownership branch exists, so train-side text never shuffles beyond the window explode.",
     "key_skew_profile": "Exact distributed Gini: per-key count aggregate, then the three-step prefix-sum (range repartition + per-partition window + broadcast offsets) over |keys| rows — no single-partition Window.orderBy anywhere; top-10 via TakeOrdered.",
     "active_users_hll_rollup": "Mergeable-sketch rollup: two ObjectHashAggregates (daily sketch, weekly union), each with a map-side partial — only KB-sized sketches cross either Exchange; (day,user) pairs never shuffle. The weekly union re-asks read the rollup only.",

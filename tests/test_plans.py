@@ -433,13 +433,40 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
 def test_exact_span_dedup_no_token_shuffle(spark, sf_dir):
     """The span-dedup plan shuffles gram hashes and per-doc start lists
     only: token filtering is per-row higher-order functions, so no
-    cartesian/BNLJ appears and the window self-reference stays an equi
-    join on the gram hash."""
+    cartesian/BNLJ appears, and (r10) gram ownership is a min(id)
+    window over the single gh exchange — not a groupBy+probe-join that
+    would tokenize/hash the corpus twice."""
     plan = plan_of(spark, sf_dir, "exact_span_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # token filter lowered to Catalyst higher-order functions, not Python
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_span_family_single_gram_pipeline(spark, sf_dir):
+    """r10 fusion regression pins: the rolling-gram explode (the span
+    family's dominant cost) must run ONCE per corpus pass.
+
+    - exact_span_dedup: 2 parquet scans (gram pipeline + the rewrite
+      join's docs side) — the pre-fusion agg+probe shape had 3.
+    - span_dedup_incremental: 3 scans (corpus gram index, batch gram
+      pipeline, batch rewrite side) — the pre-fusion semi/anti/owner
+      shape had 7 (the semi and anti branches didn't even canonicalize
+      equal, blocking AQE stage reuse).
+    - segment_neardup: 0 parquet scans in the final frame — the segment
+      explode is localCheckpoint-materialized once and every consumer
+      (signature pipeline, anti join, per-doc totals) reads the
+      checkpoint (pre-fusion: 7 scans).
+    """
+    from pandas_etl_spark.plans import plan_summary
+
+    for name, max_scans in (
+        ("exact_span_dedup", 2),
+        ("span_dedup_incremental", 3),
+        ("segment_neardup", 0),
+    ):
+        s = plan_summary(QUERIES[name](spark, sf_dir))
+        assert s["scans"] <= max_scans, (name, s["scans"], s["read_schemas"])
 
 
 def test_hll_rollup_sketches_only_shuffle(spark, sf_dir):

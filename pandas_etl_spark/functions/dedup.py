@@ -898,31 +898,47 @@ def _cc_star(edges: DataFrame, universe: DataFrame, max_iters: int) -> DataFrame
     cluster scale prefer ``spark.sparkContext.setCheckpointDir`` +
     reliable ``checkpoint()`` for executor-loss tolerance — blocks here
     are freed by the ContextCleaner as rounds drop references)."""
+    from pyspark.sql import Window as W
+
     E = edges.filter(F.col("a") > F.col("b")).localCheckpoint()
     n_prev = E.count()
     edges.unpersist()
     rounds = 0
+    wa = W.partitionBy("a")
     if n_prev > 0:
         for rounds in range(1, max_iters + 1):
             both = E.union(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            large_min = (
-                both.groupBy("a")
-                .agg(F.min("b").alias("nb"))
-                .select("a", F.least("a", "nb").alias("m"))
-            )
+            # r10 window fusion: each star's neighborhood minimum is a
+            # min window over the very hash(a) exchange the round needs
+            # anyway — the former groupBy(a).min + probe-join consumed
+            # `both`/`L` twice per star and cost a join each. Group
+            # buffering on hot nodes is bounded by max degree, and the
+            # contraction itself halves hot stars every round (that is
+            # the algorithm); WindowExec spills past
+            # windowExecBufferSpillThreshold, so a giant component
+            # degrades to disk, not OOM.
             L = (
-                both.join(large_min, "a")
+                both.withColumn(
+                    "m", F.least(F.col("a"), F.min("b").over(wa))
+                )
                 .filter(F.col("b") > F.col("a"))
                 .select(F.col("b").alias("a"), F.col("m").alias("b"))
                 .distinct()
-                .localCheckpoint()  # referenced twice below — avoid recompute
             )
-            small_min = L.groupBy("a").agg(F.min("b").alias("m"))
+            # small-star as a 1:1 map: L is distinct within each a-group,
+            # so EXACTLY one row per group has b == min(b) — rewrite it
+            # to (a, m) (the former separate small_min branch) and every
+            # other row to (b, m); same multiset as the old
+            # join+filter+union, one consumer of L, so the per-round L
+            # localCheckpoint job is gone.
             S = (
-                L.join(small_min, "a")
-                .filter(F.col("b") != F.col("m"))
-                .select(F.col("b").alias("a"), F.col("m").alias("b"))
-                .union(small_min.select("a", F.col("m").alias("b")))
+                L.withColumn("m", F.min("b").over(wa))
+                .select(
+                    F.when(F.col("b") == F.col("m"), F.col("a"))
+                    .otherwise(F.col("b"))
+                    .alias("a"),
+                    F.col("m").alias("b"),
+                )
                 .distinct()
                 .localCheckpoint()
             )

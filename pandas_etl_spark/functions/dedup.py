@@ -480,15 +480,31 @@ def minhash_lsh_pairs(
     if star is not None:
         cand = cand.unionByName(star)
     cand = cand.dropDuplicates(["id_a", "id_b"])
-    with_sigs = (
-        cand.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
-        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+    # Flat codegen'd agreement count (r10): the former
+    # size(filter(zip_with(...))) is a CodegenFallback HOF chain that
+    # drops the per-pair projection to interpreted eval (same finding
+    # as the flattened cosine scorers). sig is array(m0..m63) straight
+    # off the aggregate, so sig[i] collapses to the raw agg column and
+    # the join sides carry scalar longs; the CASE-sum is an integer, so
+    # est_jaccard is bit-identical to the HOF count (the portable twin
+    # below has scored this way since r8). Expressions ship as strings
+    # — a 64-term Column chain costs seconds of py4j plan-build time.
+    flat_a = sig.selectExpr(
+        "id as id_a", *[f"sig[{i}] as __sa{i}" for i in range(num_perm)]
     )
-    agree = F.expr(
-        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
-    ).cast("double") / F.lit(float(num_perm))
+    flat_b = sig.selectExpr(
+        "id as id_b", *[f"sig[{i}] as __sb{i}" for i in range(num_perm)]
+    )
+    with_sigs = cand.join(flat_a, "id_a").join(flat_b, "id_b")
+    agree_n = " + ".join(
+        f"(CASE WHEN __sa{i} = __sb{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
     return (
-        with_sigs.withColumn("est_jaccard", agree)
+        with_sigs.withColumn(
+            "est_jaccard",
+            F.expr(f"({agree_n})").cast("double") / F.lit(float(num_perm)),
+        )
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

@@ -856,3 +856,21 @@ def test_knn_scoring_has_no_interpreted_fold(spark, sf_dir):
             if ("aggregate(" in l or "zip_with(" in l) and "Scan" not in l
         ]
         assert not offenders, (name, offenders)
+
+
+def test_minhash_verification_has_no_interpreted_fold(spark, sf_dir):
+    """r10: the signature-agreement verification scores candidate pairs
+    with a codegen'd CASE-sum over the flat m0..m63 agg columns — the
+    former size(filter(zip_with(...))) was a CodegenFallback chain that
+    dropped the per-pair projection to interpreted eval (A/B at sf0.1:
+    warm 4.7 -> 3.4 s). Same offender scan as the kNN scorer pin."""
+    df = QUERIES["minhash_lsh_pairs"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    offenders = [
+        l.strip()[:160]
+        for l in plan.splitlines()
+        if ("aggregate(" in l or "zip_with(" in l) and "Scan" not in l
+    ]
+    assert not offenders, offenders

@@ -126,7 +126,20 @@ def _closed_wedges(e: DataFrame, deg: DataFrame) -> DataFrame:
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("x"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("y"),
     )
-    w1 = oriented.select("x", F.col("y").alias("y1"))
+    # r10: pin the wedge stage's parallelism. The byte-based AQE
+    # coalescing sized this stage by the tiny oriented edge list it
+    # reads — blind to the C(out-deg,2) fan-out the self-join generates
+    # INSIDE the stage (measured at sf0.1: 27 of 41 CPU-seconds ran on
+    # 6 tasks). Repartitioning the probe leg by apex to the session's
+    # default parallelism is AQE-respected (REPARTITION_BY_NUM is never
+    # re-coalesced), adds one exchange of the id-only edge list, and at
+    # cluster scale doubles as the sort-merge join's left distribution;
+    # the build leg stays free for the planner to broadcast. Per-key
+    # fan-out stays O(sqrt E)-bounded by the orientation.
+    n_par = e.sparkSession.sparkContext.defaultParallelism
+    w1 = oriented.repartition(n_par, "x").select(
+        "x", F.col("y").alias("y1")
+    )
     w2 = oriented.select("x", F.col("y").alias("y2"))
     wedges = w1.join(w2, "x").filter(F.col("y1") < F.col("y2"))
     closing = e.select(F.col("a").alias("y1"), F.col("b").alias("y2"))

@@ -834,9 +834,9 @@ def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket-affinity cohesion metric beside basket_rules' pairwise
     lift. Edge construction fans out ≤ C(7,2) pairs per order (TPC-H
     orders cap at 7 lineitems) in one l_orderkey shuffle; the census
-    itself runs the Suri-Vassilvitskii degree-ordered orientation, so
-    the wedge join's per-key fan-out is O(√E) no matter how hot a
-    bestseller part gets — the naive neighbor self-join the oracle
+    itself runs the degree-ordered compact-forward intersection
+    (out-adjacency bounded O(√E) by the orientation no matter how hot
+    a bestseller part gets) — the naive neighbor self-join the oracle
     runs (fine at DuckDB's gate scale) is exactly what this plan
     avoids at 100 TB. Full-oracle check: the count is
     orientation-invariant, so both formulations agree exactly."""

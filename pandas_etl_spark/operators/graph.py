@@ -114,36 +114,84 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def _closed_wedges(e: DataFrame, deg: DataFrame) -> DataFrame:
-    """All triangles, one row each, as (x, y1, y2) with x the apex of
-    the degree-ordered orientation and y1 < y2 — the shared core of
-    :func:`triangle_stats` / :func:`node_triangle_counts`."""
+def _edges_with_adjacency(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered oriented edges ``(x, y)``, each carrying both
+    endpoints' sorted out-neighbor arrays ``(nx, ny)`` — the
+    compact-forward triangle core (Latapy 2008 / the per-edge
+    intersection form of Suri-Vassilvitskii's oriented census): every
+    ``w ∈ nx ∩ ny`` closes exactly one triangle, apexed at ``x``.
+
+    r10 rewrite of the former wedge self-join + closing semi-join. The
+    wedge formulation materialized Σ C(out-deg,2) candidate ROWS
+    (≈112M at sf0.1 — 122 of 142 executor-CPU-seconds ran in that one
+    stage) only for the closing join to discard >97%% of them; here each
+    oriented edge intersects two sorted long arrays inside one
+    codegen'd projection — the same Σ out-deg² element-touch bound with
+    an array-element constant instead of a join-machinery row constant
+    (measured 8.8× less CPU on the census, 142 → 16 s).
+
+    Scale shape: out-adjacency is ONE groupBy over the oriented edge
+    list (arrays bounded O(√E) by the orientation, total payload = E
+    longs ≈ the edge list itself). The oriented edges are recovered by
+    EXPLODING the adjacency rows, which attaches ``nx`` for free — no
+    x-side join exists at all; only ``ny`` needs a join, and the
+    planner is left free to broadcast its side (at gate scale the
+    runtime-measured adjacency is ~9 MB, so AQE ships it and nothing
+    array-sized ever shuffles; at cluster scale it degrades to a
+    sort-merge join whose ``nx`` payload is Σ out-deg(x) per-edge
+    bytes ≤ E^1.5 — the same worst-case bound the old wedge shuffle
+    had, at 8 bytes/element — with AQE skew-splitting on hot ``y``).
+    Pinning the adjacency with localCheckpoint was measured and
+    rejected: it blinds the planner's size estimate, forcing exactly
+    that array shuffle at gate scale (148 MB / +144 CPU-s at sf0.1).
+    The explicit ``repartition(n_par, "x")`` pins the adjacency build
+    and the downstream explode+intersect stage's parallelism:
+    byte-based AQE coalescing sizes these stages by the tiny edge
+    list they read, blind to the O(out-deg) per-row intersection work
+    inside (pre-pin at sf0.1: 27 of 41 CPU-seconds on 6 of 32 cores)."""
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
     ordered = e.join(da, "a").join(db, "b")
     fwd = F.struct("dega", "a") < F.struct("degb", "b")
+    n_par = e.sparkSession.sparkContext.defaultParallelism
     oriented = ordered.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("x"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("y"),
+    ).repartition(n_par, "x")
+    # the groupBy rides the pinned exchange (hash(x, n_par) satisfies
+    # its clustering requirement); its two consumers below share that
+    # exchange via ReuseExchange (e/deg arrive checkpointed from the
+    # callers, so the subtrees canonicalize identical)
+    adj = oriented.groupBy("x").agg(
+        F.sort_array(F.collect_list("y")).alias("nbrs")
     )
-    # r10: pin the wedge stage's parallelism. The byte-based AQE
-    # coalescing sized this stage by the tiny oriented edge list it
-    # reads — blind to the C(out-deg,2) fan-out the self-join generates
-    # INSIDE the stage (measured at sf0.1: 27 of 41 CPU-seconds ran on
-    # 6 tasks). Repartitioning the probe leg by apex to the session's
-    # default parallelism is AQE-respected (REPARTITION_BY_NUM is never
-    # re-coalesced), adds one exchange of the id-only edge list, and at
-    # cluster scale doubles as the sort-merge join's left distribution;
-    # the build leg stays free for the planner to broadcast. Per-key
-    # fan-out stays O(sqrt E)-bounded by the orientation.
-    n_par = e.sparkSession.sparkContext.defaultParallelism
-    w1 = oriented.repartition(n_par, "x").select(
-        "x", F.col("y").alias("y1")
+    # explode recovers every oriented edge (x, y) WITH x's adjacency
+    # already attached; edges whose y has no out-neighbors drop from
+    # the inner join, which is exact (empty intersection, 0 triangles)
+    ex = adj.select(
+        F.col("x"), F.explode("nbrs").alias("y"), F.col("nbrs").alias("nx")
     )
-    w2 = oriented.select("x", F.col("y").alias("y2"))
-    wedges = w1.join(w2, "x").filter(F.col("y1") < F.col("y2"))
-    closing = e.select(F.col("a").alias("y1"), F.col("b").alias("y2"))
-    return wedges.join(closing, ["y1", "y2"], "left_semi")
+    return ex.join(
+        adj.select(F.col("x").alias("y"), F.col("nbrs").alias("ny")), "y"
+    )
+
+
+def _closed_wedges(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """All triangles, one row each, as (x, y1, y2) with x the apex of
+    the degree-ordered orientation and y1 < y2 — the member-explode
+    view of :func:`_edges_with_adjacency` (kept for consumers that
+    need per-triangle rows; the census sums intersection sizes without
+    exploding)."""
+    exy = _edges_with_adjacency(e, deg)
+    return exy.select(
+        "x",
+        F.col("y").alias("v"),
+        F.explode(F.array_intersect("nx", "ny")).alias("w"),
+    ).select(
+        "x",
+        F.least("v", "w").alias("y1"),
+        F.greatest("v", "w").alias("y2"),
+    )
 
 
 def _degrees(e: DataFrame) -> DataFrame:
@@ -164,9 +212,10 @@ def node_triangle_counts(
     wedge (x, y1, y2) explodes to its three member nodes and
     aggregates per node (map-side combinable). Nodes on no triangle
     keep a 0 row (left join against the degree table), so the result
-    covers every vertex."""
-    e = _canonical_edges(edges, src, dst)
-    deg = _degrees(e)
+    covers every vertex. ``e``/``deg`` are localCheckpoint-pinned for
+    the same multi-consumer reason as :func:`triangle_stats`."""
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    deg = _degrees(e).localCheckpoint()
     members = _closed_wedges(e, deg).select(
         F.explode(F.array("x", "y1", "y2")).alias("node")
     )
@@ -562,16 +611,29 @@ def triangle_stats(
     shuffle), each edge is directed from its LOWER-(degree, id) endpoint
     to the higher. Every triangle then has exactly one apex with two
     out-edges, and — crucially — max out-degree is O(√E) regardless of
-    how skewed the raw degree distribution is, so the wedge self-join
-    (keyed on the apex) has bounded per-key fan-out where a naive
-    neighbor join on a celebrity node would explode. Wedges close via
-    one equi-join back against the oriented edge set on the (y, z)
-    pair. Total: Σ out-deg² ≤ E^1.5 intermediate rows, three shuffles,
-    no driver state. The count is orientation-invariant, so a plain
-    u<v SQL formulation (the DuckDB oracle) matches exactly."""
-    e = _canonical_edges(edges, src, dst)
-    deg = _degrees(e)
-    tri = _closed_wedges(e, deg).agg(F.count(F.lit(1)).alias("n_triangles"))
+    how skewed the raw degree distribution is, so per-node adjacency
+    arrays stay bounded where a naive neighbor join on a celebrity
+    node would explode. The census is the compact-forward per-edge
+    intersection (:func:`_edges_with_adjacency`): Σ |N+(x) ∩ N+(y)|
+    summed inside one codegen'd projection — Σ out-deg² ≤ E^1.5
+    element touches, no wedge-row materialization, no driver state.
+    The count is orientation-invariant, so a plain u<v SQL formulation
+    (the DuckDB oracle) matches exactly.
+
+    ``e``/``deg`` are localCheckpoint-pinned (the jaccard_links
+    pattern): ``e`` feeds the degree union twice plus the orientation
+    joins, and ``deg`` feeds both endpoint lookups plus the counts
+    aggregate — unpinned, every consumer re-ran the edge-construction
+    pipeline from the parquet scan."""
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    deg = _degrees(e).localCheckpoint()
+    # census = Σ per-edge |N+(x) ∩ N+(y)| — no triangle-row explode
+    tri = _edges_with_adjacency(e, deg).agg(
+        F.coalesce(
+            F.sum(F.size(F.array_intersect("nx", "ny"))).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("n_triangles")
+    )
     counts = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.coalesce((F.sum("deg") / 2).cast("bigint"), F.lit(0)).alias(

@@ -52,7 +52,7 @@ NOTES = {
     "decontaminate_spans": "Span-level decontamination: eval-side (gh)-only distinct (5% split) feeds ONE left-semi join against the train windows; no in-batch ownership branch exists, so train-side text never shuffles beyond the window explode.",
     "key_skew_profile": "Exact distributed Gini: per-key count aggregate, then the three-step prefix-sum (range repartition + per-partition window + broadcast offsets) over |keys| rows — no single-partition Window.orderBy anywhere; top-10 via TakeOrdered.",
     "active_users_hll_rollup": "Mergeable-sketch rollup: two ObjectHashAggregates (daily sketch, weekly union), each with a map-side partial — only KB-sized sketches cross either Exchange; (day,user) pairs never shuffle. The weekly union re-asks read the rollup only.",
-    "triangle_count_parts": "Degree-ordered triangle census (Suri-Vassilvitskii): per-order pair fan-out bounded at C(7,2); orientation caps the wedge join's per-key fan-out at O(sqrt E); the closure check is a pure equi semi-join on the (y1,y2) pair. Every DATA-sized join is hash/sort-merge; the one BroadcastNestedLoopJoin at the top of the plan is the sanctioned 1-row x 1-row combine of the triangle-count and wedge-count scalars (the plan lint pins 1-row crosses by name), not a data join.",
+    "triangle_count_parts": "Degree-ordered triangle census, compact-forward form (r10): per-order pair fan-out bounded at C(7,2); orientation caps out-degree at O(sqrt E); the census sums |N+(x) ∩ N+(y)| per oriented edge over sorted adjacency arrays inside one codegen'd projection — no wedge-row self-join, no closing semi-join. The canonical edge list and degree table are localCheckpoint-pinned (multi-consumer, jaccard_links pattern), so the printed plan reads from ExistingRDD scans; the edge-construction fan-out is audited in the checkpoint build, not here. Every DATA-sized join is hash/sort-merge or broadcast equi; the one BroadcastNestedLoopJoin at the top of the plan is the sanctioned 1-row x 1-row combine of the triangle-count and wedge-count scalars (the plan lint pins 1-row crosses by name), not a data join.",
     "related_parts_adamic_adar": "Link-prediction wedges enumerate through the COMMON neighbor (no orientation trick applies), so the self-join is keyed on the wedge center; the non-edge filter is a left-anti equi-join on the candidate pair and the degree weight rides the adjacency rows — no BNLJ, no cartesian, TakeOrdered for the top-20. (LPA, k-core, BFS, and weighted shortest paths are not plan-audited: their per-round lineage is deliberately cut by localCheckpoint, so the final explain shows only the last round.)",
     "assortativity_parts": "Degree-mixing corr: degree aggregate + two endpoint equi-joins + ONE 1-row Pearson corr aggregate with a map-side partial — no iteration, no windows, nothing driver-sized.",
     "survival_km_customers": "Kaplan-Meier: the o_custkey aggregate is the ONLY data-sized shuffle; observation-end and total ride a broadcast 1-row frame; both cumulative windows (at-risk countdown, exp-sum-ln survival product) run single-partition over the per-duration aggregate — bounded by the day domain, never customer-sized.",

@@ -482,9 +482,13 @@ def test_hll_rollup_sketches_only_shuffle(spark, sf_dir):
 
 def test_triangle_census_all_equi_joins(spark, sf_dir):
     """The degree-ordered triangle census must plan every join as a
-    hash/sort-merge equi-join: the closure check is an equi semi-join
-    on the (y1,y2) pair, so no BroadcastNestedLoopJoin or
-    CartesianProduct may appear anywhere in the plan."""
+    hash/sort-merge equi-join, so no CartesianProduct may appear
+    anywhere in the plan. r10: the census is the compact-forward form —
+    per oriented edge, |N+(x) ∩ N+(y)| over sorted adjacency arrays —
+    so the plan must carry the array_intersect projection and must NOT
+    materialize wedge rows through a self-join + closing semi-join
+    (the pre-r10 shape burned 122 of 142 executor-CPU-seconds
+    generating Σ C(out-deg,2) wedge rows at sf0.1)."""
     plan = plan_of(spark, sf_dir, "triangle_count_parts")
     assert "CartesianProduct" not in plan
     # the only sanctioned BNLJ is the 1-row x 1-row Cross stats combine
@@ -494,7 +498,8 @@ def test_triangle_census_all_equi_joins(spark, sf_dir):
         if "- BroadcastNestedLoopJoin" in l  # tree lines carry the type
     ]
     assert bnlj and all("Cross" in l for l in bnlj), bnlj
-    assert "LeftSemi" in plan  # the wedge-closure membership join
+    assert "array_intersect" in plan  # compact-forward census
+    assert "LeftSemi" not in plan  # no wedge-closure membership join
 
 
 def test_unicode_normalize_pure_map(spark, sf_dir):

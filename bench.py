@@ -334,6 +334,37 @@ def main() -> None:
         except (OSError, ValueError, IndexError):
             return 0, 0, 0
 
+    # APP-scoped CPU (r11, VERDICT r10 #3): utime+stime jiffies of THIS
+    # session's processes only — the JVM (driver+executor in local mode),
+    # the Python driver, and every live pyspark daemon/worker. Unlike
+    # wall time (load-wave noise) and /proc/stat busy (whole host), this
+    # is the per-query work metric that is comparable across core counts:
+    # a parallel query does ~the same app CPU at 8 and 32 cores while
+    # its wall time scales, and a fixed-overhead-bound query shows both
+    # flat. The 8-vs-32 scaling evidence reads THIS field.
+    _jvm_pid: int | None = None
+
+    def app_cpu_jiffies() -> int:
+        nonlocal _jvm_pid
+        if _jvm_pid is None:
+            try:
+                _jvm_pid = int(
+                    spark._jvm.java.lang.ProcessHandle.current().pid()
+                )
+            except Exception:
+                _jvm_pid = 0
+        total = 0
+        for p in {os.getpid(), _jvm_pid} | python_worker_pids():
+            if not p:
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    rest = f.read().rsplit(") ", 1)[1].split()
+                total += int(rest[11]) + int(rest[12])  # utime + stime
+            except (OSError, ValueError, IndexError):
+                continue
+        return total
+
     warm: dict[str, float | None] = {}
     cold: dict[str, float | None] = {}
     errors: dict[str, str] = {}
@@ -347,10 +378,12 @@ def main() -> None:
             pids0 = python_worker_pids()
             gc_ms0, gc_n0 = gc_totals()
             busy0, idle0, steal0 = host_cpu()
+            app0 = app_cpu_jiffies()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 3)
+            app1 = app_cpu_jiffies()
             busy1, idle1, steal1 = host_cpu()
             gc_ms1, gc_n1 = gc_totals()
             pids1 = python_worker_pids()
@@ -367,6 +400,7 @@ def main() -> None:
                     "cpu_busy_j": busy1 - busy0,
                     "cpu_idle_j": idle1 - idle0,
                     "cpu_steal_j": steal1 - steal0,
+                    "app_cpu_j": app1 - app0,
                 }
             )
             return elapsed
@@ -457,6 +491,22 @@ def main() -> None:
     }
     detail = dict(report)
     detail["queries_cold"] = cold
+    # Protocol-stable companion statistic (r11, VERDICT r10 #8): the
+    # r1-r9 series used min of 3 BACK-TO-BACK warm samples; r10 changed
+    # the headline to min-of-5-in-two-passes. Emit the pass-1 min-of-3
+    # alongside so round-over-round warm deltas can always be compared
+    # under ONE protocol. The stdout headline line is unchanged.
+    warm_p1 = {
+        name: min(
+            (s["t"] for s in attribution[name] if s["run"] in (1, 2, 3)),
+            default=None,
+        )
+        for name in HEADLINE
+    }
+    detail["queries_warm_pass1_min3"] = warm_p1
+    detail["value_warm_pass1_min3"] = round(
+        sum(v for v in warm_p1.values() if v is not None), 3
+    )
     detail["attribution"] = attribution
     detail["queries_extended"] = extended
     detail["value_extended"] = round(

@@ -590,14 +590,15 @@ def q_dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     hashed = d.select("doc_id", dd.fingerprint("text").alias("fp"))
-    # star edges via min(doc_id) window over the single fp exchange —
-    # the former groupBy(fp)+probe-join normalized/hashed the corpus
-    # twice (agg side + probe side) for an (id, fp)-narrow frame (r10
-    # window fusion, same shape as the span-family gram ownership)
-    from pyspark.sql import Window as W
+    # star edges via the skew-safe salted two-level min (r11, VERDICT
+    # r10 #1): still one normalize/md5 pass over the corpus (the former
+    # groupBy(fp)+probe-join hashed it twice; the r10 window fused it
+    # but sent a corpus-hot fingerprint's full row set to one task),
+    # with every task bounded at |hot fp| / n_salts.
+    from pandas_etl_spark.functions.dedup import salted_key_stat
 
     exact_edges = (
-        hashed.withColumn("keeper", F.min("doc_id").over(W.partitionBy("fp")))
+        salted_key_stat(hashed, ["fp"], "doc_id", "min", "keeper")
         .filter(F.col("doc_id") != F.col("keeper"))
         .select(F.col("keeper").alias("id_a"), F.col("doc_id").alias("id_b"))
     )

@@ -898,19 +898,15 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(F.expr(wins))).alias("fp"),
         )
     )
-    # df-cap as a window count fused into the bucket shuffle (one scan,
-    # one fp-keyed Exchange, no df-agg + probe join — the probe side
-    # recomputed the scan→hash→explode pipeline; same fusion as
-    # functions/dedup._shingle_pair_counts)
-    from pyspark.sql import Window as W
+    # df-cap via the skew-safe salted two-level count (r11, VERDICT r10
+    # #1): one scan, no df-agg + probe join (the probe side recomputed
+    # the scan→hash→explode pipeline), and no hot-fingerprint
+    # single-task window group; the bucket exchange carries only
+    # surviving (df ≤ 50) rows — bounded per fp by construction.
+    from pandas_etl_spark.functions.dedup import df_capped_buckets
 
-    wfp = W.partitionBy("fp")
-    buckets = (
-        fps.withColumn("df", F.count(F.lit(1)).over(wfp))
-        .filter(F.col("df") <= 50)
-        .groupBy("fp")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    buckets = df_capped_buckets(fps, ["fp"], "id", 50).filter(
+        F.size("ids") >= 2
     )
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "

@@ -178,6 +178,201 @@ def ngram_containment_pairs(
     )
 
 
+def salted_key_stat(
+    rows: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    stat: str,
+    out_col: str,
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Attach an exact per-key aggregate (``stat`` = ``"count"`` or
+    ``"min"`` of ``id_col``) to every row WITHOUT ever concentrating a
+    hot key's full row set in one task — the skew-safe replacement for
+    ``agg OVER (PARTITION BY key)`` window fusions (VERDICT r10 #1: a
+    near-universal shingle/gram sent the whole corpus's rows for that
+    key to ONE window task before the df-cap filter could drop them).
+
+    Plan shape (one scan, one full-width exchange written once):
+
+    1. rows repartition by (key, salt) with ``salt =
+       pmod(xxhash64(id), n_salts)`` — deterministic (guide §2.5: no
+       rand-derived partition keys), so a hot key spreads over
+       ``n_salts`` tasks.
+    2. consumer A: per-(key, salt) PARTIAL stats via a streaming hash
+       aggregate reading that exchange (bounded state, no sort).
+    3. the partials shuffle by key — at most ``n_salts`` rows per key,
+       so the per-key combine window is skew-free by construction — and
+       combine to the exact global stat (sum of counts / min of mins).
+    4. consumer B: the same full-width exchange joins the (key, salt,
+       stat) table back on BOTH (key, salt) — the rows side reuses its
+       step-1 partitioning (ReusedExchange; the partial aggregate in
+       consumer A deliberately references every row column so column
+       pruning cannot diverge the two subtrees' canonical form), and a
+       hot key's join rows stay spread across its salts.
+
+    The result is row-for-row identical to the window form (the stat is
+    exact, attached to every row), with per-task input bounded by
+    |hot key| / n_salts instead of |hot key|. ``n_salts`` defaults to
+    the session's default parallelism (locally $SPARK_GRAFT_CPUS; on a
+    cluster the core count) — scale-adaptive, not tuned to local[32].
+
+    Keys must be non-null (the attach join is an inner equality join;
+    every call site here guarantees non-null keys by construction).
+    """
+    spark = rows.sparkSession
+    n = n_salts or spark.sparkContext.defaultParallelism
+    keys = list(key_cols)
+    other = [c for c in rows.columns if c not in keys]
+    salted = rows.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n)).cast("int")
+    )
+    # explicit non-null filters on the attach-join keys: the inner join
+    # below infers isnotnull(key)/isnotnull(_salt) into ONLY its own
+    # branch's subtree otherwise, the two consumers of the salted
+    # exchange stop canonicalizing equal, and the source pipeline runs
+    # twice (the §2a AQE-reuse defect class). _salt is never null
+    # (pmod∘xxhash64 of anything is non-null) and call sites guarantee
+    # non-null keys, so the filters drop nothing.
+    notnull = F.col("_salt").isNotNull() & F.col(id_col).isNotNull()
+    for c in keys:
+        notnull = notnull & F.col(c).isNotNull()
+    salted = salted.filter(notnull)
+    rep = salted.repartition(*[F.col(c) for c in keys], F.col("_salt"))
+    # The partial stat deliberately aggregates a STRUCT over id_col and
+    # every other row column (not count(1)/min(id)): column pruning
+    # would otherwise narrow the stats subtree below the repartition to
+    # just (keys, salt), the two consumers of the salted exchange would
+    # stop canonicalizing equal, and the source pipeline would run
+    # twice (the §2a AQE-reuse defect class). The CASE-WHEN wrapper
+    # makes the probe NULLABLE so the optimizer cannot rewrite
+    # count(probe) to count(1) (a bare struct is provably non-null and
+    # WOULD be rewritten — observed); ids are non-null here (filter
+    # above), so count(probe) is exactly count(1) and
+    # min(probe)._i is exactly min(id) (struct order is
+    # lexicographic, first field dominates; min ignores NULLs).
+    # tests/test_skew.py pins the single-scan + ReusedExchange shape
+    # against future optimizer changes.
+    probe = F.when(
+        F.col(id_col).isNotNull(),
+        F.struct(
+            F.col(id_col).alias("_i"),
+            *[F.col(c) for c in other if c != id_col],
+        ),
+    )
+    if stat == "count":
+        part: Column = F.count(probe).alias("_part")
+    elif stat == "min":
+        part = F.min(probe).alias("_part")
+    else:  # pragma: no cover - internal contract
+        raise ValueError(f"unsupported stat: {stat}")
+    stats = rep.groupBy(*keys, "_salt").agg(part)
+    wk = Window.partitionBy(*keys)
+    gexpr = (
+        F.sum("_part").over(wk)
+        if stat == "count"
+        else F.min("_part").over(wk).getField("_i")
+    )
+    statsr = stats.select(*keys, "_salt", gexpr.alias(out_col))
+    return rep.join(statsr, [*keys, "_salt"]).drop("_salt")
+
+
+def _salted_leader_counts(
+    rows: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_df: int,
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Stage one of the skew-safe exact df-cap (VERDICT r10 #1): count
+    per-key document frequency via salted partials WITHOUT a join-back
+    and WITHOUT ever concentrating a hot key's rows in one task.
+
+    One exchange on (keys, salt), salt = pmod(xxhash64(id), n_salts)
+    (deterministic — guide §2.5), then per-(key, salt) window partials:
+
+    - rows whose partial count already exceeds ``max_df`` can never
+      survive the cap (df >= any partial), so they are dropped HERE —
+      a corpus-hot key's mass never leaves its salted partitions;
+    - each partial's first row (row_number == 1) is the LEADER and
+      carries the partial count in ``_cpart`` (an over-cap partial
+      keeps only its leader, with ``id_col`` nulled, purely as the
+      count marker so the key's total stays exact).
+
+    The caller aggregates/windows by ``keys`` — the downstream group
+    for any key is bounded by n_salts * max_df rows + n_salts markers
+    regardless of corpus size — computing df = sum(_cpart) (exact:
+    exactly one leader per present salt) and filtering df <= max_df.
+    Keys that survive that filter provably had no over-cap partial, so
+    no surviving row was dropped here and the result is row-identical
+    to the unsalted ``count OVER (PARTITION BY key)`` form.
+    """
+    spark = rows.sparkSession
+    n = n_salts or spark.sparkContext.defaultParallelism
+    salted = rows.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n)).cast("int")
+    )
+    rep = salted.repartition(*[F.col(c) for c in keys], F.col("_salt"))
+    wus = Window.partitionBy(*keys, "_salt")
+    word = wus.orderBy(id_col)
+    return (
+        rep.withColumn("_c", F.count(F.lit(1)).over(wus))
+        .withColumn("_rn", F.row_number().over(word))
+        .filter((F.col("_c") <= max_df) | (F.col("_rn") == 1))
+        .withColumn(id_col, F.when(F.col("_c") <= max_df, F.col(id_col)))
+        .withColumn("_cpart", F.when(F.col("_rn") == 1, F.col("_c")))
+        .drop("_salt", "_c", "_rn")
+    )
+
+
+def df_capped_buckets(
+    rows: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_df: int,
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Skew-safe df-capped inverted-index buckets: (keys..., ids) with
+    ids = sorted under-cap posting lists, exactly the old
+    ``count OVER (PARTITION BY key) <= max_df`` + collect_list plan but
+    with every task's input bounded (see _salted_leader_counts). The
+    bucket exchange carries only surviving rows (<= max_df per key) and
+    the single aggregate computes the exact df and the bucket together
+    (collect_list skips the NULL-id marker rows)."""
+    t = _salted_leader_counts(rows, keys, id_col, max_df, n_salts)
+    return (
+        t.groupBy(*keys)
+        .agg(
+            F.sum("_cpart").alias("_df"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+
+
+def df_capped_rows(
+    rows: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_df: int,
+    out_col: str,
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Skew-safe per-row exact document frequency, capped: rows of
+    under-cap keys with ``out_col`` = df attached — the old
+    ``count OVER (PARTITION BY key)`` + filter, with bounded tasks (the
+    stage-two window group is <= n_salts * max_df + n_salts rows by
+    construction; see _salted_leader_counts)."""
+    t = _salted_leader_counts(rows, keys, id_col, max_df, n_salts)
+    wk = Window.partitionBy(*keys)
+    return (
+        t.withColumn(out_col, F.sum("_cpart").over(wk))
+        .filter((F.col(out_col) <= max_df) & F.col(id_col).isNotNull())
+        .drop("_cpart")
+    )
+
+
 def _shingle_pair_counts(
     df: DataFrame,
     text_col: str,
@@ -196,25 +391,18 @@ def _shingle_pair_counts(
     df = df.filter(F.col(id_col).isNotNull())
     sh = char_shingles(df, text_col, id_col, k)
     if max_df is not None:
-        # stop-shingle drop FUSED into the bucket shuffle: document
-        # frequency as a window count over the same hashpartitioning
-        # (shingle) exchange the bucket groupBy needs — one scan, one
-        # shuffle, no df-agg + join (the agg+probe pair recomputed the
-        # whole scan→normalize→explode pipeline twice; same fusion as
-        # the minhash star-guard, r9). Per-shingle window groups are
-        # spill-safe: a hot shingle's group is exactly the rows the
-        # df-filter drops right after counting.
-        wsh = Window.partitionBy("shingle")
-        sh = sh.withColumn("df", F.count(F.lit(1)).over(wsh)).filter(
-            F.col("df") <= max_df
-        )
-        # ONE grouped materialization feeds everything downstream: the
-        # window output is already hash-partitioned by shingle, so this
-        # groupBy adds no exchange; sizes derive from the (bounded)
-        # collected buckets instead of re-scanning the shingle frame.
-        buckets = sh.groupBy("shingle").agg(
-            F.sort_array(F.collect_list("id")).alias("ids")
-        )
+        # stop-shingle drop with ONE scan and NO hot-key concentration
+        # (r11, VERDICT r10 #1): the r10 form fused the df count as a
+        # window over the bucket exchange — one scan, but a
+        # near-universal shingle shipped its entire row set to ONE
+        # window task before the filter dropped it. df_capped_buckets
+        # keeps the single scan and bounds every task's input at
+        # |hot shingle| / n_salts (stage 1) or n_salts * max_df
+        # (bucket stage). The r9 alternative — df-agg + probe join —
+        # recomputed the whole scan→normalize→explode pipeline twice;
+        # still avoided. sizes derive from the bounded buckets instead
+        # of re-scanning the shingle frame.
+        buckets = df_capped_buckets(sh, ["shingle"], "id", max_df)
         sizes = (
             buckets.select(F.explode("ids").alias("id"))
             .groupBy("id")
@@ -290,17 +478,14 @@ def ngram_jaccard_pairs_prefix(
     # isnotnull(id), the candidate branch doesn't)
     df = df.filter(F.col(id_col).isNotNull())
     sh = char_shingles(df, text_col, id_col, k)
-    # document frequency as a window count over one hashpartitioning
-    # (shingle) exchange instead of a df-agg + probe join — the agg and
-    # probe sides each recomputed the scan→normalize→explode pipeline
-    # (same fusion as _shingle_pair_counts above / the minhash
-    # star-guard); hot-shingle window groups are exactly the rows the
-    # df-filter drops right after counting
-    wsh = Window.partitionBy("shingle")
-    rare = (
-        sh.withColumn("df_", F.count(F.lit(1)).over(wsh))
-        .filter(F.col("df_") <= max_df)
-        .select("id", "df_", F.xxhash64("shingle").alias("h"))
+    # document frequency attached per row by the skew-safe salted
+    # two-level count (r11, VERDICT r10 #1) — one scan, no df-agg +
+    # probe join (the agg and probe sides each recomputed the
+    # scan→normalize→explode pipeline), and no hot-shingle single-task
+    # window group (the r10 window form concentrated a stop-shingle's
+    # full row set before filtering it)
+    rare = df_capped_rows(sh, ["shingle"], "id", max_df, "df_").select(
+        "id", "df_", F.xxhash64("shingle").alias("h")
     )
     docs = (
         rare.groupBy("id")

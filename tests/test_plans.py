@@ -447,12 +447,18 @@ def test_span_family_single_gram_pipeline(spark, sf_dir):
     """r10 fusion regression pins: the rolling-gram explode (the span
     family's dominant cost) must run ONCE per corpus pass.
 
-    - exact_span_dedup: 2 parquet scans (gram pipeline + the rewrite
-      join's docs side) — the pre-fusion agg+probe shape had 3.
-    - span_dedup_incremental: 3 scans (corpus gram index, batch gram
-      pipeline, batch rewrite side) — the pre-fusion semi/anti/owner
-      shape had 7 (the semi and anti branches didn't even canonicalize
-      equal, blocking AQE stage reuse).
+    r11: the gram-ownership min is now the skew-safe salted attach
+    (functions/dedup.salted_key_stat), whose stats branch duplicates
+    the gram pipeline in the INITIAL plan but reads the rows branch's
+    salted exchange at runtime (ReusedExchange) — so the pin is on the
+    EXECUTED final adaptive plan, which is the stronger property.
+
+    - exact_span_dedup: 2 executed parquet scans (gram pipeline + the
+      rewrite join's docs side) — the pre-fusion agg+probe shape had 3
+      — and the ownership attach must show the runtime reuse.
+    - span_dedup_incremental: 3 executed scans (corpus gram index,
+      batch gram pipeline, batch rewrite side) — the pre-fusion
+      semi/anti/owner shape had 7.
     - segment_neardup: 0 parquet scans in the final frame — the segment
       explode is localCheckpoint-materialized once and every consumer
       (signature pipeline, anti join, per-doc totals) reads the
@@ -460,13 +466,19 @@ def test_span_family_single_gram_pipeline(spark, sf_dir):
     """
     from pandas_etl_spark.plans import plan_summary
 
+    s = plan_summary(QUERIES["segment_neardup"](spark, sf_dir))
+    assert s["scans"] == 0, (s["scans"], s["read_schemas"])
     for name, max_scans in (
         ("exact_span_dedup", 2),
         ("span_dedup_incremental", 3),
-        ("segment_neardup", 0),
     ):
-        s = plan_summary(QUERIES[name](spark, sf_dir))
-        assert s["scans"] <= max_scans, (name, s["scans"], s["read_schemas"])
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        final = final.split("== Initial Plan ==")[0]
+        n = final.count("FileScan parquet")
+        assert n <= max_scans, (name, n, final[:2000])
+        assert "ReusedExchange" in final, (name, final[:2000])
 
 
 def test_hll_rollup_sketches_only_shuffle(spark, sf_dir):

@@ -2194,7 +2194,16 @@ def q_bootstrap_ci_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     |groups|*48 partial sums; CI = exact interpolated percentiles."""
     from pandas_etl_spark.operators.bootstrap import poisson_bootstrap_ci
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # r11: the replicate-weighting map stage is the whole cost of this
+    # query (profiled: 2.6 of 2.9 executor-CPU-s) and lineitem arrives
+    # as 3 splits at sf0.1 — 3-way parallelism on a 32-core session.
+    # ensure_parallelism spreads the exploded weighting across the
+    # session's cores; at real scale (many input splits) it is a no-op.
+    # A 98-accumulator single-pass variant (no replicate explode) was
+    # measured 2.6x WORSE on executor CPU — the wide aggregate falls
+    # out of whole-stage codegen past spark.sql.codegen.maxFields —
+    # and is recorded as a dead end here.
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     return poisson_bootstrap_ci(
         li,
         "l_extendedprice",

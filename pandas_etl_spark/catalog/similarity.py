@@ -1474,32 +1474,48 @@ def q_ann_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the bounded-sample fit — this twin verifies the semantics on
     the full gate corpus (where sample == corpus, the fits coincide
     modulo 1e-6 rounding)."""
-    from pandas_etl_spark.functions.similarity import cosine, salted_topk
+    from pandas_etl_spark.functions.similarity import salted_topk
     from pandas_etl_spark.sources.io import ensure_parallelism
 
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    v = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
-    )
     # L2-normalize before quantizing (the production rule: on the unit
     # sphere ADC's L2 order is cosine order); normalized coordinates
     # round to 6 so both engines quantize bit-identical values.
-    nrm = F.sqrt(
-        F.aggregate(F.col("ev"), F.lit(0.0), lambda a, x: a + x * x)
+    # r11 (§4.1 flat-scorer rule): the norm is the flat square-sum
+    # CHAIN over per-row element columns, not an aggregate() fold — the
+    # fold is CodegenFallback and de-compiled this projection, which
+    # every downstream consumer of `flat` re-evaluated; the chain is
+    # term-for-term the fold's IEEE order (leading 0.0 included) so the
+    # normalized values are bit-identical. The normalization itself is
+    # applied AFTER the posexplode, one ROUND per exploded row, with
+    # the scalar norm carried through the Generate: exploding a
+    # COMPUTED 64-slot array is a measured catastrophe under
+    # whole-stage codegen (the fused Generate re-evaluates the array
+    # expression per emitted element — 0.5 s of work became minutes;
+    # the old fold form was accidentally shielded by its interpreted
+    # fallback). Fixed dim=64 is this dataset's contract (the dim the
+    # PQ split hard-codes anyway).
+    from pandas_etl_spark.functions.similarity import (
+        _flat_cols,
+        _flat_dot_sql,
+        _flat_norm_sql,
     )
-    vn = v.withColumn(
-        "evn",
-        F.when(
-            nrm > 0, F.transform(F.col("ev"), lambda x: F.round(x / nrm, 6))
-        ).otherwise(F.col("ev")),
+
+    _d = _PQ_CHK_SUB * 8
+    _e = emb.selectExpr(
+        "vec_id", "embedding", *_flat_cols("embedding", _d, "__e")
     )
-    flat = vn.select(
-        "vec_id", F.posexplode("evn").alias("pos", "x")
-    ).select(
+    nn = _e.selectExpr(
+        "vec_id", "embedding", f"{_flat_norm_sql(_d, '__e')} AS __nn"
+    )
+    flat = nn.select(
+        "vec_id", "__nn", F.posexplode("embedding").alias("pos", "xf")
+    ).selectExpr(
         "vec_id",
-        (F.col("pos") / F.lit(_PQ_CHK_SUB)).cast("int").alias("s"),
-        F.pmod(F.col("pos"), F.lit(_PQ_CHK_SUB)).alias("subpos"),
-        "x",
+        f"cast(pos / {_PQ_CHK_SUB} as int) AS s",
+        f"pmod(pos, {_PQ_CHK_SUB}) AS subpos",
+        "CASE WHEN __nn > 0 THEN ROUND(CAST(xf AS DOUBLE) / __nn, 6)"
+        " ELSE CAST(xf AS DOUBLE) END AS x",
     )
     cb = flat.filter(F.col("vec_id") < _PQ_CHK_CODES).select(
         "s", F.col("vec_id").alias("code"), "subpos", F.col("x").alias("c")
@@ -1570,18 +1586,27 @@ def q_ann_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id")
     # exact cosine re-rank of the bounded shortlist (production rule);
     # the shortlist (Q·k·rerank rows) broadcasts against the corpus.
-    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    # r11: flat dim=64 scoring (the §3/r10 rule — aggregate()/zip_with
+    # folds are CodegenFallback and de-compile the projection); the
+    # chains replay the folds' IEEE order, so cosine_sim is
+    # bit-identical (hash-verified).
+    vflat = emb.selectExpr(
+        "vec_id", *_flat_cols("embedding", _d, "__c")
+    ).selectExpr("*", f"{_flat_norm_sql(_d, '__c')} AS __na")
+    qflat = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .selectExpr("vec_id AS query_id", *_flat_cols("embedding", _d, "__q"))
+        .selectExpr("*", f"{_flat_norm_sql(_d, '__q')} AS __nq")
     )
     scored = (
-        v.join(
-            F.broadcast(short), v["vec_id"] == short["neighbor_id"]
+        vflat.join(
+            F.broadcast(short), vflat["vec_id"] == short["neighbor_id"]
         )
-        .join(F.broadcast(q), "query_id")
-        .select(
+        .join(F.broadcast(qflat), "query_id")
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cosine_sim"),
+            f"ROUND(({_flat_dot_sql(_d)}) / (__na * __nq), 6) AS cosine_sim",
         )
     )
     return salted_topk(

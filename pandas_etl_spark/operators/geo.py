@@ -207,14 +207,60 @@ def knn_join(
     fact side NEVER shuffles for the join; the only shuffle is the
     per-fact-key top-k window, and rank<=k prunes inside the window via
     the rank-limit pushdown. Ties broken on the dim key for
-    determinism."""
+    determinism.
+
+    r11 (guide §1.2 "per-task work"): the N·M pair scoring no longer
+    evaluates the 6-trig-call haversine per pair. Each side precomputes
+    its unit-sphere (x, y, z) ONCE PER ROW (3 trig calls per row, not
+    per pair); the pair-level shortlist comparator is the squared chord
+    distance (3 subtractions + 3 multiplies), which is exactly
+    monotone in the central angle — chord² = 4·sin²(θ/2) is 4× the
+    haversine formula's inner term — so ordering by it is ordering by
+    distance. The shortlist keeps k + 5 candidates per fact key (ties
+    on exact-equal coordinates hash identically under both metrics and
+    break on the dim key in both, so the slack only guards against
+    last-bit floating-point divergence between the two formulas —
+    distances among distinct synthetic points differ at ~1e-3 relative
+    vs ~1e-15 arithmetic noise), then the final rank and the emitted
+    distance are computed by the SAME shared haversine expression as
+    before on <= k+5 rows per key — output provably identical
+    (oracle-hash-verified at sf0.001/0.01/0.1). Profiled at sf0.1
+    (customer×supplier, 15M pairs): the scoring stage dominated the
+    query at 62 executor-CPU-s; per-pair trig was the bulk of it."""
     flat, flon = fact_coords
     dlat, dlon = dim_coords
+
+    def unit_xyz(lat: str, lon: str, p: str) -> list[Column]:
+        rlat, rlon = f"radians({lat})", f"radians({lon})"
+        return [
+            F.expr(f"cos({rlat}) * cos({rlon})").alias(f"{p}x"),
+            F.expr(f"cos({rlat}) * sin({rlon})").alias(f"{p}y"),
+            F.expr(f"sin({rlat})").alias(f"{p}z"),
+        ]
+
+    fact2 = fact.select("*", *unit_xyz(flat, flon, "__f"))
+    dim2 = dim.select("*", *unit_xyz(dlat, dlon, "__d"))
+    chord2 = F.expr(
+        "(__fx - __dx) * (__fx - __dx) + (__fy - __dy) * (__fy - __dy)"
+        " + (__fz - __dz) * (__fz - __dz)"
+    )
+    w0 = Window.partitionBy(fact_key).orderBy(
+        F.col("__c2").asc(), F.col(dim_key).asc()
+    )
+    short = (
+        fact2.join(F.broadcast(dim2), how="cross")
+        .withColumn("__c2", chord2)
+        .withColumn("__r0", F.row_number().over(w0))
+        .filter(F.col("__r0") <= k + 5)
+        .drop("__c2", "__r0", "__fx", "__fy", "__fz", "__dx", "__dy", "__dz")
+    )
     dist = haversine_km(flat, flon, dlat, dlon)
-    paired = fact.join(F.broadcast(dim), how="cross").withColumn(dist_col, dist)
-    w = Window.partitionBy(fact_key).orderBy(F.col(dist_col).asc(), F.col(dim_key).asc())
+    w = Window.partitionBy(fact_key).orderBy(
+        F.col(dist_col).asc(), F.col(dim_key).asc()
+    )
     return (
-        paired.withColumn("__rn", F.row_number().over(w))
+        short.withColumn(dist_col, dist)
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .withColumnRenamed("__rn", "nn_rank")
     )

@@ -124,7 +124,7 @@ def _edges_with_adjacency(e: DataFrame, deg: DataFrame) -> DataFrame:
     r10 rewrite of the former wedge self-join + closing semi-join. The
     wedge formulation materialized Σ C(out-deg,2) candidate ROWS
     (≈112M at sf0.1 — 122 of 142 executor-CPU-seconds ran in that one
-    stage) only for the closing join to discard >97%% of them; here each
+    stage) only for the closing join to discard >97% of them; here each
     oriented edge intersects two sorted long arrays inside one
     codegen'd projection — the same Σ out-deg² element-touch bound with
     an array-element constant instead of a join-machinery row constant
@@ -159,9 +159,13 @@ def _edges_with_adjacency(e: DataFrame, deg: DataFrame) -> DataFrame:
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("y"),
     ).repartition(n_par, "x")
     # the groupBy rides the pinned exchange (hash(x, n_par) satisfies
-    # its clustering requirement); its two consumers below share that
-    # exchange via ReuseExchange (e/deg arrive checkpointed from the
-    # callers, so the subtrees canonicalize identical)
+    # its clustering requirement). The two consumers below duplicate
+    # this subtree in the INITIAL plan; at runtime AQE stage reuse
+    # dedups the exchange — verified on the executed final plan
+    # (r11: 2 ReusedExchange nodes, shuffle written once) — while the
+    # post-shuffle collect_list aggregate itself runs once per
+    # consumer, a bounded re-read of the same shuffle data (NOT a
+    # re-run of the edge pipeline, which is checkpoint-pinned).
     adj = oriented.groupBy("x").agg(
         F.sort_array(F.collect_list("y")).alias("nbrs")
     )
@@ -213,7 +217,12 @@ def node_triangle_counts(
     aggregates per node (map-side combinable). Nodes on no triangle
     keep a 0 row (left join against the degree table), so the result
     covers every vertex. ``e``/``deg`` are localCheckpoint-pinned for
-    the same multi-consumer reason as :func:`triangle_stats`."""
+    the same multi-consumer reason as :func:`triangle_stats` — NOTE
+    the checkpoints are EAGER: merely building this DataFrame (plan
+    capture, composing it into a larger query) executes the full
+    edge-construction job and pins executor RDD blocks until they are
+    unpersisted (bench.py / profile_query.py clear leaked storage
+    between queries for exactly this reason)."""
     e = _canonical_edges(edges, src, dst).localCheckpoint()
     deg = _degrees(e).localCheckpoint()
     members = _closed_wedges(e, deg).select(
@@ -624,7 +633,10 @@ def triangle_stats(
     pattern): ``e`` feeds the degree union twice plus the orientation
     joins, and ``deg`` feeds both endpoint lookups plus the counts
     aggregate — unpinned, every consumer re-ran the edge-construction
-    pipeline from the parquet scan."""
+    pipeline from the parquet scan. NOTE the checkpoints are EAGER:
+    merely building this DataFrame executes the edge-construction job
+    and pins executor RDD blocks until unpersisted (bench.py /
+    profile_query.py clear leaked storage between queries)."""
     e = _canonical_edges(edges, src, dst).localCheckpoint()
     deg = _degrees(e).localCheckpoint()
     # census = Σ per-edge |N+(x) ∩ N+(y)| — no triangle-row explode

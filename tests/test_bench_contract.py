@@ -66,12 +66,19 @@ def test_bench_main_contract(monkeypatch, tmp_path):
                     "cpu_busy_j",
                     "cpu_idle_j",
                     "cpu_steal_j",
+                    "app_cpu_j",  # r11: app-scoped CPU (JVM+workers)
                 ):
                     assert field in r, (field, r)
             # warm = min of the five post-codegen samples across passes
             warm = [r["t"] for r in runs if r["run"] > 0]
             name = [n for n, rr in att.items() if rr is runs][0]
             assert report["queries"][name] == min(warm)
+            # r11 (VERDICT r10 #8): the protocol-stable r1-r9 statistic
+            # (min of the 3 back-to-back pass-1 warm samples) rides the
+            # sidecar so PERF deltas compare under one protocol
+            p1 = [r["t"] for r in runs if r["pass"] == 1 and r["run"] > 0]
+            assert detail["queries_warm_pass1_min3"][name] == min(p1)
+        assert detail["value_warm_pass1_min3"] > 0
     finally:
         with open(sidecar, "w") as f:
             f.write(committed)

@@ -317,6 +317,7 @@ def test_semantic_dedup_anti_join_broadcasts_at_runtime(spark, sf_dir):
     assert final_anti, executed
 
 
+@pytest.mark.slow
 def test_plan_lint_clean_across_entire_catalog(spark, sf_dir):
     """Repo-wide scale-hygiene sweep (pandas_etl_spark.plans.lint):
     NO registered query may plan a CartesianProduct or a row-at-a-time

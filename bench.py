@@ -360,7 +360,16 @@ def main() -> None:
             try:
                 with open(f"/proc/{p}/stat") as f:
                     rest = f.read().rsplit(") ", 1)[1].split()
-                total += int(rest[11]) + int(rest[12])  # utime + stime
+                # utime + stime + cutime + cstime: the child terms keep
+                # a REAPED worker's CPU on the books (it rolls into its
+                # parent daemon/JVM when reaped; without them a sample
+                # that reaps workers under-counts, even negative).
+                total += (
+                    int(rest[11])
+                    + int(rest[12])
+                    + int(rest[13])
+                    + int(rest[14])
+                )
             except (OSError, ValueError, IndexError):
                 continue
         return total
